@@ -1,0 +1,124 @@
+"""JSON-LD extraction from HTML — the byte-identical invariant surface.
+
+Reference semantics (/root/reference/internal/crawl/helpers.go:53-100 and
+site.go:32-50, studied not copied):
+
+  * parse the HTML5 document, find the (implied) <head> element, collect all
+    <script> descendants, and return the **first text child, verbatim**, of
+    the first script whose ``type`` attribute *contains*
+    ``application/ld+json``;
+  * content-type dispatch: a body served as ``application/ld+json`` is the
+    document itself; ``text/html`` goes through tag extraction; anything else
+    is a non-fatal error row; a body of <= 2 bytes is fatal.
+
+Implemented on the stdlib ``html.parser`` (CDATA mode leaves script content
+byte-verbatim — no entity decoding inside <script>). The HTML5 tree-builder
+behavior that matters here is emulated: metadata content (script/meta/link/
+title/style/base/noscript/template) appearing before any body content belongs
+to the implied <head>, even with no explicit <head> tag; the first body-level
+start tag (or </head>/<body>) ends the head.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+_HEAD_OK = {
+    "meta", "link", "title", "style", "script", "noscript", "base", "template", "head", "html",
+}
+
+
+class _HeadJsonLdParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.in_head = True
+        self.in_script = False
+        self.script_matches = False
+        self.head_seen_explicitly = False
+        self.chunks: list[str] = []
+        self.result: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if self.result is not None:
+            return
+        if tag == "head":
+            self.head_seen_explicitly = True
+            self.in_head = True
+            return
+        if tag == "body" or (self.in_head and tag not in _HEAD_OK):
+            self.in_head = False
+        if tag == "script" and self.in_head:
+            type_attr = next((v for k, v in attrs if k == "type"), None)
+            if type_attr and "application/ld+json" in type_attr:
+                self.in_script = True
+                self.script_matches = True
+                self.chunks = []
+
+    def handle_endtag(self, tag):
+        if self.result is not None:
+            return
+        if tag == "script" and self.in_script:
+            self.in_script = False
+            if self.script_matches:
+                self.result = "".join(self.chunks)
+                self.script_matches = False
+        elif tag == "head":
+            self.in_head = False
+
+    def handle_data(self, data):
+        if self.in_script and self.result is None:
+            self.chunks.append(data)
+
+
+class NoJsonLdError(ValueError):
+    pass
+
+
+def get_jsonld_from_html(data: bytes | str) -> str:
+    """Return the first head-level application/ld+json script body, verbatim."""
+    if isinstance(data, bytes):
+        try:
+            text = data.decode("utf-8")
+        except UnicodeDecodeError:
+            text = data.decode("latin-1")
+    else:
+        text = data
+    parser = _HeadJsonLdParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass  # tolerant parse; keep whatever we captured
+    if parser.result is None:
+        raise NoJsonLdError("no JSON-LD found in document")
+    return parser.result
+
+
+# content-type dispatch codes (lineage error taxonomy)
+OK = ""
+ERR_NO_JSONLD = "no_jsonld"
+ERR_BAD_MIME = "bad_mime"
+ERR_EMPTY_BODY = "empty_body"
+
+
+def extract_document(body: bytes | None, content_type_hint: str | None = None) -> tuple[str, str]:
+    """(doc_text, error_code). Dispatch mirrors getJSONLD (site.go:32-50):
+    raw ld+json bodies pass through; HTML goes through tag extraction;
+    <=2-byte bodies are fatal-empty."""
+    if body is None or len(body) <= 2:
+        return "", ERR_EMPTY_BODY
+    head = body.lstrip()[:1]
+    looks_like_json = head in (b"{", b"[")
+    if content_type_hint and "application/ld+json" in content_type_hint or (
+        content_type_hint is None and looks_like_json
+    ):
+        try:
+            return body.decode("utf-8"), OK
+        except UnicodeDecodeError:
+            return "", ERR_BAD_MIME
+    if content_type_hint and ("html" not in content_type_hint and "ld+json" not in content_type_hint):
+        return "", ERR_BAD_MIME
+    try:
+        return get_jsonld_from_html(body), OK
+    except NoJsonLdError:
+        return "", ERR_NO_JSONLD

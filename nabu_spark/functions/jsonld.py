@@ -1,0 +1,502 @@
+"""Pure-Python JSON-LD 1.1 -> RDF (N-Triples) conversion.
+
+A from-scratch implementation of the subset of the JSON-LD 1.1 ``toRdf``
+algorithm exercised by schema.org-annotated web pages and by the reference's
+own fixture corpora (/root/reference/internal/common/jsonld.go:73-87 wraps
+json-gold's ToRDF; parity is asserted against its golden outputs, e.g.
+/root/reference/cmd/nabu/testdata/iow_wqp_stations__5_release.nq).
+
+Supported: inline contexts (map / array / string), prefix + term definitions,
+``@vocab``, ``@base``, ``@language``, type coercion (``@type: @id`` and
+datatype IRIs), ``@id``/``@type`` aliases, nested node objects (fresh blank
+nodes), value objects (``@value``/``@type``/``@language``), ``@list``,
+``@graph``, ``@set``, canonical xsd:double/integer/boolean literals, and an
+offline context-document cache (never touches the network — the analogue of
+the reference's CachingDocumentLoader, jsonld.go:35-52).
+
+Context standardization (http://schema.org* -> https://schema.org/ etc.)
+mirrors /root/reference/internal/common/jsonld_standardize.go:15-92.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from .ntriples import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    canonical_number,
+    fmt_iri,
+    fmt_literal,
+    is_valid_iri,
+)
+
+KEYWORDS = {
+    "@base", "@container", "@context", "@direction", "@graph", "@id", "@import",
+    "@included", "@index", "@json", "@language", "@list", "@nest", "@none",
+    "@prefix", "@propagate", "@protected", "@reverse", "@set", "@type",
+    "@value", "@version", "@vocab",
+}
+_KEYWORD_FORM_RE = re.compile(r"^@[A-Za-z]+$")
+
+# Offline context cache: context IRI -> parsed @context value. The schema.org
+# context is functionally a vocab mapping for the property/type IRIs our
+# corpora use; extend via register_context().
+_CONTEXT_CACHE: dict[str, Any] = {
+    "https://schema.org/": {"@vocab": "https://schema.org/"},
+    "https://schema.org": {"@vocab": "https://schema.org/"},
+    "http://schema.org/": {"@vocab": "http://schema.org/"},
+    "http://schema.org": {"@vocab": "http://schema.org/"},
+}
+
+
+def register_context(iri: str, context_value: Any) -> None:
+    _CONTEXT_CACHE[iri] = context_value
+
+
+class JsonLdError(ValueError):
+    pass
+
+
+class _TermDef:
+    __slots__ = ("iri", "type_mapping", "language", "container")
+
+    def __init__(self, iri, type_mapping=None, language=None, container=None):
+        self.iri = iri
+        self.type_mapping = type_mapping
+        self.language = language
+        self.container = container
+
+
+class Context:
+    __slots__ = ("terms", "vocab", "base", "language")
+
+    def __init__(self):
+        self.terms: dict[str, _TermDef] = {}
+        self.vocab: str | None = None
+        self.base: str | None = None
+        self.language: str | None = None
+
+    def copy(self) -> "Context":
+        c = Context()
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        c.base = self.base
+        c.language = self.language
+        return c
+
+
+def _expand_iri(
+    ctx: Context,
+    value: str,
+    *,
+    vocab: bool = False,
+    local: dict | None = None,
+    defined: dict | None = None,
+) -> str | None:
+    """JSON-LD IRI expansion (spec §5.2 subset). Returns an absolute IRI,
+    a blank-node id (``_:x``), a keyword, or None (drop)."""
+    if value in KEYWORDS:
+        return value
+    if _KEYWORD_FORM_RE.match(value):
+        return None  # looks like a keyword -> ignored per spec
+    if local is not None and value in local and defined is not None and not defined.get(value):
+        _create_term(ctx, local, value, defined)
+    if vocab and value in ctx.terms:
+        td = ctx.terms[value]
+        return td.iri if td else None
+    idx = value.find(":")
+    if idx > 0:
+        prefix, suffix = value[:idx], value[idx + 1 :]
+        if prefix == "_":
+            return value  # blank node
+        if suffix.startswith("//"):
+            return value  # already absolute (scheme://)
+        if local is not None and prefix in local and defined is not None and not defined.get(prefix):
+            _create_term(ctx, local, prefix, defined)
+        td = ctx.terms.get(prefix)
+        if td and td.iri:
+            return td.iri + suffix
+        return value  # treat as absolute IRI with unknown scheme
+    if vocab and ctx.vocab:
+        return ctx.vocab + value
+    if not vocab and ctx.base:
+        from urllib.parse import urljoin
+
+        return urljoin(ctx.base, value)
+    return None
+
+
+def _create_term(ctx: Context, local: dict, term: str, defined: dict) -> None:
+    if defined.get(term) is False:
+        raise JsonLdError(f"cyclic IRI mapping for term {term!r}")
+    defined[term] = False
+    value = local[term]
+    if value is None:
+        ctx.terms[term] = None  # type: ignore[assignment]
+        defined[term] = True
+        return
+    if isinstance(value, str):
+        iri = _expand_iri(ctx, value, vocab=True, local=local, defined=defined)
+        ctx.terms[term] = _TermDef(iri)
+        defined[term] = True
+        return
+    if isinstance(value, dict):
+        iri = None
+        if "@id" in value and isinstance(value["@id"], str):
+            iri = _expand_iri(ctx, value["@id"], vocab=True, local=local, defined=defined)
+        else:
+            idx = term.find(":")
+            if idx > 0:
+                iri = _expand_iri(ctx, term, vocab=True, local=local, defined=defined)
+            elif ctx.vocab:
+                iri = ctx.vocab + term
+        td = _TermDef(iri)
+        t = value.get("@type")
+        if isinstance(t, str):
+            td.type_mapping = t if t in ("@id", "@vocab", "@json") else _expand_iri(
+                ctx, t, vocab=True, local=local, defined=defined
+            )
+        lang = value.get("@language")
+        if isinstance(lang, str) or lang is None and "@language" in value:
+            td.language = lang
+        cont = value.get("@container")
+        if isinstance(cont, str):
+            td.container = cont
+        ctx.terms[term] = td
+        defined[term] = True
+        return
+    raise JsonLdError(f"invalid term definition for {term!r}: {value!r}")
+
+
+def process_context(active: Context, local: Any, *, strict_remote: bool = True) -> Context:
+    """Fold a local context (string IRI / map / array / None) into a copy of
+    the active context."""
+    result = active.copy()
+    items = local if isinstance(local, list) else [local]
+    for item in items:
+        if item is None:
+            result = Context()
+            continue
+        if isinstance(item, str):
+            if item in _CONTEXT_CACHE:
+                result = process_context(result, _CONTEXT_CACHE[item], strict_remote=strict_remote)
+            elif strict_remote:
+                raise JsonLdError(f"remote context not in offline cache: {item}")
+            continue
+        if not isinstance(item, dict):
+            continue  # tolerated, like json-gold's lenient handling
+        if "@base" in item and isinstance(item["@base"], str):
+            result.base = item["@base"]
+        if "@vocab" in item:
+            v = item["@vocab"]
+            if v is None:
+                result.vocab = None
+            elif isinstance(v, str):
+                expanded = _expand_iri(result, v, vocab=True) if not _has_scheme(v) else v
+                result.vocab = expanded if expanded else v
+        if "@language" in item:
+            result.language = item["@language"] if isinstance(item["@language"], str) else None
+        defined: dict[str, bool] = {}
+        for term in item:
+            if term in ("@base", "@vocab", "@language", "@version", "@propagate", "@protected", "@import", "@direction"):
+                continue
+            if not defined.get(term):
+                _create_term(result, item, term, defined)
+    return result
+
+
+def _has_scheme(v: str) -> bool:
+    i = v.find(":")
+    return i > 0 and bool(re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*$", v[:i]))
+
+
+class _ToRdfState:
+    __slots__ = ("triples", "bnode_counter", "bnode_map")
+
+    def __init__(self):
+        self.triples: list[tuple[str, str, str]] = []
+        self.bnode_counter = 0
+        self.bnode_map: dict[str, str] = {}
+
+    def fresh_bnode(self) -> str:
+        label = f"_:b{self.bnode_counter}"
+        self.bnode_counter += 1
+        return label
+
+    def relabel(self, bnode_id: str) -> str:
+        if bnode_id not in self.bnode_map:
+            self.bnode_map[bnode_id] = self.fresh_bnode()
+        return self.bnode_map[bnode_id]
+
+
+def _fmt_subject(term: str) -> str:
+    return term if term.startswith("_:") else fmt_iri(term)
+
+
+def _emit_literal(state, subj, pred_iri, value, datatype, language):
+    if isinstance(value, bool):
+        lex = "true" if value else "false"
+        dt = datatype or XSD_BOOLEAN
+        obj = fmt_literal(lex, dt if dt != XSD_BOOLEAN else XSD_BOOLEAN)
+    elif isinstance(value, (int, float)):
+        lex, dt = canonical_number(value, datatype)
+        obj = fmt_literal(lex, dt)
+    else:
+        obj = fmt_literal(str(value), datatype, language)
+    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), obj))
+
+
+def _node_subject(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
+    id_keys = [k for k in node if _alias_of(ctx, k) == "@id"]
+    if id_keys:
+        raw = node[id_keys[0]]
+        if isinstance(raw, str):
+            if raw.startswith("_:"):
+                return state.relabel(raw)
+            iri = _expand_iri(ctx, raw, vocab=False)
+            if iri and (is_valid_iri(iri) or iri.startswith("_:")):
+                return state.relabel(iri) if iri.startswith("_:") else iri
+            return None  # unresolvable @id -> node dropped (relative, no base)
+        return None
+    return state.fresh_bnode()
+
+
+def _alias_of(ctx: Context, key: str) -> str | None:
+    """Resolve a key to a keyword if it is one or aliases one."""
+    if key in KEYWORDS:
+        return key
+    td = ctx.terms.get(key)
+    if td and td.iri in KEYWORDS:
+        return td.iri
+    return None
+
+
+def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
+    """Emit triples for a node object; returns its subject term or None."""
+    if "@context" in node:
+        ctx = process_context(ctx, node["@context"])
+
+    # pure value object at node position is invalid here; handled by caller
+    subj = _node_subject(state, ctx, node)
+    if subj is None:
+        return None
+
+    for key, value in node.items():
+        kw = _alias_of(ctx, key)
+        if kw == "@context" or kw == "@id" or kw in ("@index", "@nest"):
+            continue
+        if kw == "@type":
+            types = value if isinstance(value, list) else [value]
+            for t in types:
+                if not isinstance(t, str):
+                    continue
+                t_iri = _expand_iri(ctx, t, vocab=True)
+                if t_iri and not t_iri.startswith("@"):
+                    obj = state.relabel(t_iri) if t_iri.startswith("_:") else fmt_iri(t_iri)
+                    state.triples.append((_fmt_subject(subj), fmt_iri(RDF_TYPE), obj))
+            continue
+        if kw == "@graph":
+            items = value if isinstance(value, list) else [value]
+            for item in items:
+                if isinstance(item, dict):
+                    _process_node(state, ctx, item)
+            continue
+        if kw == "@reverse":
+            if isinstance(value, dict):
+                for rkey, rval in value.items():
+                    pred_iri = _expand_iri(ctx, rkey, vocab=True)
+                    if not pred_iri or pred_iri.startswith("@") or not _pred_ok(pred_iri):
+                        continue
+                    for item in rval if isinstance(rval, list) else [rval]:
+                        if isinstance(item, dict):
+                            child = _process_node(state, ctx, item)
+                            if child is not None:
+                                state.triples.append(
+                                    (_fmt_subject(child), fmt_iri(pred_iri), _obj_term(subj))
+                                )
+            continue
+        if kw is not None:
+            continue  # other keywords ignored at node position
+
+        pred_iri = _expand_iri(ctx, key, vocab=True)
+        if not pred_iri or pred_iri.startswith("@"):
+            continue  # key does not expand to an IRI -> dropped entirely
+        if not _pred_ok(pred_iri):
+            continue
+        td = ctx.terms.get(key)
+        _process_values(state, ctx, subj, pred_iri, td, value)
+    return subj
+
+
+def _pred_ok(pred_iri: str) -> bool:
+    # predicates must be IRIs (bnode predicates are generalized RDF; dropped)
+    return not pred_iri.startswith("_:")
+
+
+def _obj_term(subj_or_iri: str) -> str:
+    return subj_or_iri if subj_or_iri.startswith("_:") else fmt_iri(subj_or_iri)
+
+
+def _process_values(state, ctx, subj, pred_iri, td, value) -> None:
+    if isinstance(value, list):
+        if td is not None and td.container == "@list":
+            _emit_list(state, ctx, subj, pred_iri, td, value)
+            return
+        for item in value:
+            _process_values(state, ctx, subj, pred_iri, td, item)
+        return
+    if value is None:
+        return
+    if isinstance(value, dict):
+        kws = {k: _alias_of(ctx, k) for k in value}
+        if "@value" in kws.values():
+            vkey = next(k for k, v in kws.items() if v == "@value")
+            v = value[vkey]
+            if v is None:
+                return
+            dtype = None
+            lang = None
+            for k, kwname in kws.items():
+                if kwname == "@type" and isinstance(value[k], str):
+                    dtype = _expand_iri(ctx, value[k], vocab=True)
+                elif kwname == "@language" and isinstance(value[k], str):
+                    lang = value[k]
+            if dtype is None and lang is None and td is not None:
+                if td.type_mapping and td.type_mapping not in ("@id", "@vocab", "@json"):
+                    dtype = td.type_mapping
+                elif td.language is not None:
+                    lang = td.language or None
+            if dtype is not None and not is_valid_iri(dtype):
+                return  # invalid datatype IRI -> literal dropped
+            _emit_literal(state, subj, pred_iri, v, dtype, lang)
+            return
+        if "@list" in kws.values():
+            lkey = next(k for k, v in kws.items() if v == "@list")
+            items = value[lkey]
+            _emit_list(state, ctx, subj, pred_iri, td, items if isinstance(items, list) else [items])
+            return
+        if "@set" in kws.values():
+            skey = next(k for k, v in kws.items() if v == "@set")
+            _process_values(state, ctx, subj, pred_iri, td, value[skey])
+            return
+        child = _process_node(state, ctx, value)
+        if child is not None:
+            state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), _obj_term(child)))
+        return
+    if isinstance(value, str):
+        if td is not None and td.type_mapping == "@id":
+            iri = _expand_iri(ctx, value, vocab=False)
+            if iri:
+                if iri.startswith("_:"):
+                    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), state.relabel(iri)))
+                elif is_valid_iri(iri):
+                    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), fmt_iri(iri)))
+            return
+        if td is not None and td.type_mapping == "@vocab":
+            iri = _expand_iri(ctx, value, vocab=True)
+            if iri and is_valid_iri(iri):
+                state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), fmt_iri(iri)))
+            return
+        dtype = None
+        lang = None
+        if td is not None and td.type_mapping and td.type_mapping not in ("@id", "@vocab", "@json"):
+            dtype = td.type_mapping
+            if not is_valid_iri(dtype):
+                return
+        elif td is not None and td.language is not None:
+            lang = td.language or None
+        elif ctx.language:
+            lang = ctx.language
+        _emit_literal(state, subj, pred_iri, value, dtype, lang)
+        return
+    # number / bool
+    dtype = None
+    if td is not None and td.type_mapping and td.type_mapping not in ("@id", "@vocab", "@json"):
+        dtype = td.type_mapping
+    _emit_literal(state, subj, pred_iri, value, dtype, None)
+
+
+def _emit_list(state, ctx, subj, pred_iri, td, items) -> None:
+    if not items:
+        state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), fmt_iri(RDF_NIL)))
+        return
+    head = state.fresh_bnode()
+    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), head))
+    current = head
+    # strip the @list container so item values are processed plainly
+    plain_td = _TermDef(td.iri, td.type_mapping, td.language, None) if td else None
+    for i, item in enumerate(items):
+        _process_values(state, ctx, current, RDF_FIRST, plain_td, item)
+        nxt = state.fresh_bnode() if i + 1 < len(items) else None
+        state.triples.append(
+            (current, fmt_iri(RDF_REST), nxt if nxt else fmt_iri(RDF_NIL))
+        )
+        if nxt:
+            current = nxt
+
+
+def jsonld_to_triples(doc: Any, *, base: str | None = None) -> list[tuple[str, str, str]]:
+    """Convert a parsed JSON-LD document to a list of N-Triples term tuples
+    ``(subj, pred, obj)`` (terms already serialized: ``<iri>``, ``_:bN``,
+    ``"lit"...``). Blank-node labels are doc-local (``_:b0`` ...)."""
+    state = _ToRdfState()
+    ctx = Context()
+    ctx.base = base
+    nodes = doc if isinstance(doc, list) else [doc]
+    for node in nodes:
+        if isinstance(node, dict):
+            _process_node(state, ctx, node)
+    return state.triples
+
+
+def triples_to_nt(triples: list[tuple[str, str, str]]) -> str:
+    if not triples:
+        return ""
+    return "\n".join(f"{s} {p} {o} ." for s, p, o in triples) + "\n"
+
+
+# --- context standardization (jsonld_standardize.go:15-92 semantics) ---
+
+_HYF_CANON = "https://www.opengis.net/def/schema/hy_features/hyf/"
+
+
+def _standardize_iri(iri: str) -> str:
+    if "http://schema.org" in iri:
+        return "https://schema.org/"
+    if "http://www.opengeospatial.org/standards/waterml2/hy_features" in iri:
+        return _HYF_CANON
+    if "https://www.opengis.net/def/appschema/hy_features/hyf" in iri:
+        return _HYF_CANON
+    return iri
+
+
+def _standardize_context_value(ctx_value: Any) -> Any:
+    if isinstance(ctx_value, str):
+        return _standardize_iri(ctx_value)
+    if isinstance(ctx_value, list):
+        return [_standardize_context_value(item) for item in ctx_value]
+    if isinstance(ctx_value, dict):
+        return {
+            k: (_standardize_iri(v) if isinstance(v, str) else v)
+            for k, v in ctx_value.items()
+        }
+    return ctx_value
+
+
+def standardize_jsonld_context(doc: dict) -> dict:
+    """Standardize ``@context`` IRI prefixes so http/https/www variants are
+    treated identically (reference: StandardizeJsonldContextWithMutation).
+    Raises JsonLdError when the doc has no @context (matching the reference's
+    error), leaving the caller to record a parse failure."""
+    if doc is None:
+        raise JsonLdError("nil jsonld input when trying to standardize context")
+    if "@context" not in doc:
+        raise JsonLdError("jsonld has no @context to standardize")
+    out = dict(doc)
+    out["@context"] = _standardize_context_value(doc["@context"])
+    return out

@@ -1,0 +1,137 @@
+"""docs -> quads: the core JSON-LD -> skolemized, URN-tagged N-Quads stage.
+
+Pipeline per document (ordering matters and mirrors the reference's release
+path, /root/reference/internal/synchronizer/client_release_graphs.go:100-159):
+
+    parse JSON -> standardize @context -> (optional mainstem injection,
+    done upstream) -> toRdf -> skolemize -> strict term validation (the
+    NtToNq drop-malformed-line gate) -> tag graph URN
+
+All doc-local, so the whole chain runs in ONE ``mapInPandas`` pass — no
+shuffle between steps; blank nodes never cross documents. Failed docs emit a
+single row with null subj and an error_code so lineage falls out of a cheap
+aggregation over the same output, with no second UDF pass.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.jsonld import JsonLdError, jsonld_to_triples, standardize_jsonld_context
+from ..functions.ntriples import term_is_valid
+from ..functions.skolem import skolemize_terms
+from ..functions.urn import make_urn
+
+QUADS_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("prov", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("error_code", T.StringType()),
+    ]
+)
+
+ERR_JSON_PARSE = "json_parse"
+ERR_JSONLD = "jsonld_convert"
+ERR_EMPTY_GRAPH = "empty_graph"
+
+
+def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tuple[list[tuple[str, str, str, str]], str, int]:
+    """Convert one JSON-LD document. Returns (quads, error_code, dropped_lines).
+
+    ``skolemize=False`` matches the reference's single-object-release skip
+    (client_release_graphs.go:143-152)."""
+    try:
+        doc = json.loads(doc_text)
+    except Exception:
+        return [], ERR_JSON_PARSE, 0
+    if not isinstance(doc, (dict, list)):
+        return [], ERR_JSON_PARSE, 0
+    try:
+        if isinstance(doc, dict) and "@context" in doc:
+            doc = standardize_jsonld_context(doc)
+        triples = jsonld_to_triples(doc)
+        if skolemize:
+            triples = skolemize_terms(triples)
+    except JsonLdError:
+        return [], ERR_JSONLD, 0
+    except RecursionError:
+        return [], ERR_JSONLD, 0
+    if not triples:
+        return [], ERR_EMPTY_GRAPH, 0
+    prov = "<" + make_urn(obj_key) + ">"
+    quads = []
+    dropped = 0
+    for s, p, o in triples:
+        # strict N-Quads gate: NtToNq parse-errors skip the line
+        if (
+            term_is_valid(s, as_subject=True)
+            and term_is_valid(p, as_predicate=True)
+            and term_is_valid(o)
+        ):
+            quads.append((s, p, o, prov))
+        else:
+            dropped += 1
+    if not quads:
+        return [], ERR_EMPTY_GRAPH, dropped
+    return quads, "", dropped
+
+
+def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out_s, out_p, out_o, out_g, out_h, out_e = [], [], [], [], [], []
+        for doc_text, obj_key, host, err in zip(
+            pdf["doc"], pdf["obj_key"], pdf["host"], pdf["error_code"]
+        ):
+            if err:  # upstream extraction failure propagates as a lineage row
+                out_s.append(None); out_p.append(None); out_o.append(None)
+                out_g.append(None); out_h.append(host); out_e.append(err)
+                continue
+            quads, qerr, _dropped = doc_to_quads(doc_text, obj_key)
+            if qerr:
+                out_s.append(None); out_p.append(None); out_o.append(None)
+                out_g.append(None); out_h.append(host); out_e.append(qerr)
+                continue
+            for s, p, o, g in quads:
+                out_s.append(s); out_p.append(p); out_o.append(o)
+                out_g.append(g); out_h.append(host); out_e.append(None)
+        yield pd.DataFrame(
+            {
+                "subj": pd.Series(out_s, dtype="object"),
+                "pred": pd.Series(out_p, dtype="object"),
+                "obj": pd.Series(out_o, dtype="object"),
+                "prov": pd.Series(out_g, dtype="object"),
+                "host": pd.Series(out_h, dtype="object"),
+                "error_code": pd.Series(out_e, dtype="object"),
+            }
+        )
+
+
+def docs_to_quads(docs_with_key: DataFrame) -> DataFrame:
+    """docs(url, host, sitemap_id, obj_key, doc, error_code) -> quads rows
+    (+ one null-subj row per failed doc, for lineage)."""
+    cols = docs_with_key.select("doc", "obj_key", "host", "error_code")
+    return cols.mapInPandas(_quads_batches, QUADS_SCHEMA)
+
+
+def quads_only(quads: DataFrame) -> DataFrame:
+    return quads.filter(F.col("error_code").isNull()).drop("error_code")
+
+
+def failures_by_host(quads: DataFrame, stage: str) -> DataFrame:
+    """Lineage aggregation over the stage output — no second UDF pass."""
+    return (
+        quads.groupBy("host")
+        .agg(
+            F.count(F.when(F.col("error_code").isNull(), 1)).alias("triples_out"),
+            F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("parse_failures"),
+        )
+        .withColumn("stage", F.lit(stage))
+        .withColumnRenamed("host", "partition_key")
+    )

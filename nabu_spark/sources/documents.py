@@ -1,0 +1,52 @@
+"""Adapt the driver's ``documents`` table to the ``pages`` input shape.
+
+The sf* test dirs carry no HTML corpus, so for the driver contract we wrap
+each document row into a deterministic Common-Crawl-style page: a JSON-LD
+schema:Dataset embedded in an HTML head. Built entirely from JVM-side column
+expressions (``to_json(struct(...))`` handles JSON escaping), no Python in
+the construction path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    jsonld = F.to_json(
+        F.struct(
+            F.lit("https://schema.org/").alias("@context"),
+            F.concat(
+                F.lit("https://docs.example.org/corpus/"), F.col("doc_id")
+            ).alias("@id"),
+            F.lit("Dataset").alias("@type"),
+            F.concat(F.lit("document "), F.col("doc_id")).alias("name"),
+            F.substring(F.col("text"), 1, 200).alias("description"),
+            F.col("lang").alias("inLanguage"),
+            F.col("n_chars").cast("double").alias("contentSize"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        jsonld,
+        F.lit("</script></head><body></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://corpus"),
+            F.pmod(F.col("doc_id"), F.lit(10)),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        jsonld.alias("text"),
+        F.col("lang").alias("lang"),
+    )

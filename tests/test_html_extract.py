@@ -1,0 +1,95 @@
+"""Byte-identical HTML JSON-LD extraction (helpers.go:53-100 semantics)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nabu_spark.functions.html_extract import (
+    ERR_BAD_MIME,
+    ERR_EMPTY_BODY,
+    ERR_NO_JSONLD,
+    NoJsonLdError,
+    extract_document,
+    get_jsonld_from_html,
+)
+
+from .conftest import needs_reference, reference_path
+
+
+def test_first_matching_script_verbatim():
+    payload = '\n  {"@id": "x",\t "name": "a &amp; b"}\n  '
+    html = (
+        "<html><head>"
+        '<script type="text/javascript">var x=1;</script>'
+        f'<script language="" type="application/ld+json">{payload}</script>'
+        '<script type="application/ld+json">{"second": true}</script>'
+        "</head><body></body></html>"
+    )
+    # verbatim: whitespace preserved, entities NOT decoded inside <script>
+    assert get_jsonld_from_html(html.encode()) == payload
+
+
+def test_type_contains_match():
+    html = '<head><script type="application/ld+json; charset=utf-8">{"a":1}</script></head>'
+    assert get_jsonld_from_html(html) == '{"a":1}'
+
+
+def test_implied_head_without_tags():
+    # HTML5 puts metadata content in the implied head
+    html = '<!DOCTYPE html><script type="application/ld+json">{"a":1}</script><p>hi</p>'
+    assert get_jsonld_from_html(html) == '{"a":1}'
+
+
+def test_body_script_ignored():
+    html = (
+        "<html><head><title>t</title></head><body>"
+        '<script type="application/ld+json">{"a":1}</script></body></html>'
+    )
+    with pytest.raises(NoJsonLdError):
+        get_jsonld_from_html(html)
+
+
+def test_dispatch_raw_json_body():
+    doc, err = extract_document(b'{"@id": "x"}')
+    assert err == "" and doc == '{"@id": "x"}'
+
+
+def test_dispatch_empty_body_fatal():
+    assert extract_document(b"{}")[1] == ERR_EMPTY_BODY
+    assert extract_document(b"")[1] == ERR_EMPTY_BODY
+    assert extract_document(None)[1] == ERR_EMPTY_BODY
+
+
+def test_dispatch_wrong_mime():
+    assert extract_document(b"%PDF-1.4 ....", "application/pdf")[1] == ERR_BAD_MIME
+
+
+def test_dispatch_html_without_jsonld():
+    assert extract_document(b"<html><head></head><body>x</body></html>")[1] == ERR_NO_JSONLD
+
+
+@needs_reference
+class TestReferenceHtmlFixtures:
+    def test_html_with_jsonld(self):
+        with open(reference_path("internal/crawl/testdata/html_with_jsonld.html"), "rb") as f:
+            out = get_jsonld_from_html(f.read())
+        doc = json.loads(out)
+        assert doc["@id"] == "https://geoconnex.us/SELFIE/usgs/huc/huc12obs/070900020601"
+
+    def test_html_without_jsonld(self):
+        with open(reference_path("internal/crawl/testdata/html_without_jsonld.html"), "rb") as f:
+            data = f.read()
+        with pytest.raises(NoJsonLdError):
+            get_jsonld_from_html(data)
+
+    def test_malformed_real_world_page(self):
+        # messy real-world page must still extract parseable JSON-LD
+        p = reference_path(
+            "internal/crawl/testdata/usgs_monitoring_location_351715080252401.html"
+        )
+        with open(p, "rb") as f:
+            out = get_jsonld_from_html(f.read())
+        doc = json.loads(out)
+        assert "@id" in doc or "@context" in doc
