@@ -1,0 +1,113 @@
+"""Per-round benchmark: headline KG pipeline + relational operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...,
+   "pages_per_sec": ..., "cores": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_PAGES         synthetic KG corpus size (default scaled by sf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_pages = int(os.environ.get("BENCH_PAGES", str(int(200_000 * sf_num / 0.1))))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as ent
+    from nabu_spark.datagen import generate_pages
+    from nabu_spark.pipeline import pages_to_quads_fused
+    from nabu_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="nabu-bench",
+        cores=cores,
+        shuffle_partitions=cores,
+        # bench corpora are small; shrink splits so every parallelism level
+        # gets input splits (a real 100 TB table has thousands of files)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # setup (untimed): materialize the synthetic corpus once — the real
+    # workload reads a pre-crawled table, so generation is not benchmarked
+    pages_path = f"/tmp/nabu_bench_pages_n{n_pages}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        # enough files that any parallelism level gets input splits (a real
+        # 100 TB corpus has thousands of files; mimic that layout)
+        generate_pages(spark, n_pages, partitions=256).write.mode("overwrite").parquet(
+            pages_path
+        )
+
+    # headline: full KG pipeline over the Common-Crawl-style pages table.
+    # One untimed full run spins up every python worker + Arrow codegen
+    # (steady-state is what a long-running cluster job sees), then we time.
+    pages = spark.read.parquet(pages_path)
+    quads = pages_to_quads_fused(pages, salt=False)
+
+    def run_once():
+        return quads.agg(
+            F.count(F.when(F.col("error_code").isNull(), 1)).alias("triples"),
+            F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("failures"),
+        ).first()
+
+    counts = run_once()  # warmup (untimed)
+    kg_sec = float("inf")
+    for _ in range(3):  # min-of-3: the box is a VM with steal-time noise
+        t0 = time.monotonic()
+        counts = run_once()
+        kg_sec = min(kg_sec, time.monotonic() - t0)
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    n_triples = counts["triples"]
+
+    # relational operator suite (the SURVEY §2 relational surface)
+    qs = ent.queries()
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    out = {
+        "metric": "kg_pipeline_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "cores": cores,
+        "pages": n_pages,
+        "triples": int(n_triples),
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
+        "pages_per_sec": round(n_pages / kg_sec, 1) if kg_sec > 0 else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

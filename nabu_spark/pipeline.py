@@ -121,7 +121,63 @@ def pages_to_quads_fused(
     num_partitions: int | None = None,
     salt: bool = True,
 ) -> DataFrame:
-    """Single-job fused path (no intermediate materialization) for benching
-    and for callers that don't need the docs checkpoint."""
-    docs = with_object_key(extract_docs(pages, num_partitions=num_partitions, salt=salt))
-    return docs_to_quads(docs)
+    """Single-UDF fused path: one ``mapInPandas`` does extract -> toRdf ->
+    skolemize -> URN tag, avoiding the Arrow round-trip between stages. Used
+    when the docs checkpoint isn't needed (bench / entry)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .functions.html_extract import OK, extract_document
+    from .functions.urn import object_key
+    from .operators.extract import salted_repartition, with_host
+    from .operators.triples import QUADS_SCHEMA, doc_to_quads
+
+    df = with_host(pages).withColumn(
+        "sitemap_id", F.regexp_replace(F.col("host"), r"[^A-Za-z0-9_]", "_")
+    )
+    # Scale note: extraction is per-row CPU, so its parallelism comes from the
+    # table's input splits (spark.sql.files.maxPartitionBytes), NOT from a
+    # repartition — shuffling the html binary column costs more than the whole
+    # extraction (measured 10x the UDF time at local[32]). Salting on url-host
+    # belongs to shuffle-keyed stages over the narrow quad rows; here a salt
+    # repartition is only worth it when the source has too few splits.
+    if salt:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = salted_repartition(df, n)
+    df = df.select("url", "host", "sitemap_id", "html")
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_s, out_p, out_o, out_g, out_h, out_e = [], [], [], [], [], []
+            for url, host, sid, body in zip(
+                pdf["url"], pdf["host"], pdf["sitemap_id"], pdf["html"]
+            ):
+                if isinstance(body, memoryview):
+                    body = bytes(body)
+                doc_text, err = extract_document(body)
+                if err != OK:
+                    out_s.append(None); out_p.append(None); out_o.append(None)
+                    out_g.append(None); out_h.append(host); out_e.append(err)
+                    continue
+                quads, qerr, _ = doc_to_quads(doc_text, object_key(sid, url))
+                if qerr:
+                    out_s.append(None); out_p.append(None); out_o.append(None)
+                    out_g.append(None); out_h.append(host); out_e.append(qerr)
+                    continue
+                for s, p, o, g in quads:
+                    out_s.append(s); out_p.append(p); out_o.append(o)
+                    out_g.append(g); out_h.append(host); out_e.append(None)
+            yield pd.DataFrame(
+                {
+                    "subj": pd.Series(out_s, dtype="object"),
+                    "pred": pd.Series(out_p, dtype="object"),
+                    "obj": pd.Series(out_o, dtype="object"),
+                    "prov": pd.Series(out_g, dtype="object"),
+                    "host": pd.Series(out_h, dtype="object"),
+                    "error_code": pd.Series(out_e, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(fused, QUADS_SCHEMA)
