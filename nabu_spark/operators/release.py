@@ -1,0 +1,119 @@
+"""Release-graph materialization: N-Quads text export, order-agnostic
+bytesum sidecar, release-name routing, and bytesum-skip pull.
+
+Reference semantics (studied, not copied):
+  * release stream = concatenated N-Quads lines + a ``.bytesum`` sidecar
+    (/root/reference/internal/synchronizer/client_release_graphs.go:192-321);
+  * the bytesum exists precisely because S3 streaming has no stable order
+    (docs/nabu_overview.md:21) -> it is a commutative sum and therefore an
+    exact distributed aggregate here;
+  * deterministic gzip (helpers.go:57-68) does not distribute; this engine
+    hashes the uncompressed canonical line set instead (documented deviation);
+  * pull-with-skip compares the stored sidecar against the computed sum and
+    skips unchanged releases (s3/client.go:286-318).
+
+All line construction is JVM-side (concat_ws); only the byte summation uses
+an Arrow-vectorized UDF (numpy reduction per batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MASK64 = (1 << 64) - 1
+
+
+def quad_lines(quads: DataFrame) -> DataFrame:
+    """quads -> one N-Quads text line per row (release file content)."""
+    return quads.select(
+        F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit(".")).alias("line"),
+        "prov",
+    )
+
+
+def with_release_name(quads: DataFrame) -> DataFrame:
+    """Route each quad to its release file from the prov URN
+    (urn:iow:summoned:{sitemap}:{key}) per helpers.go:29-52: the path after
+    the bucket-class segment names the file."""
+    prefix_class = F.split(F.regexp_replace("prov", r"^<|>$", ""), ":").getItem(2)
+    sitemap = F.split(F.regexp_replace("prov", r"^<|>$", ""), ":").getItem(3)
+    return quads.withColumn(
+        "release_name",
+        F.when(prefix_class == "summoned", F.concat(sitemap, F.lit("_release.nq")))
+        .when(prefix_class == "prov", F.concat(sitemap, F.lit("_prov.nq")))
+        .when(prefix_class == "orgs", F.lit("organizations.nq"))
+        .otherwise(F.lit(None)),
+    )
+
+
+def _line_bytesum_fn(lines: pd.Series) -> pd.Series:
+    # +10 per line for the trailing '\n' of the concatenated release stream
+    out = np.empty(len(lines), dtype=np.int64)
+    for i, s in enumerate(lines):
+        b = s.encode("utf-8")
+        out[i] = int(np.frombuffer(b, dtype=np.uint8).sum()) + 10
+    return pd.Series(out)
+
+
+def _line_bytesum(col):
+    return F.pandas_udf(_line_bytesum_fn, "long")(col)
+
+
+def release_bytesums(quads: DataFrame) -> DataFrame:
+    """Per-release bytesum sidecar values (uint64 wrap-around). The signed
+    Spark long wraps mod 2^64 identically; presented as unsigned."""
+    lines = with_release_name(quads)
+    lines = lines.withColumn(
+        "line", F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit("."))
+    )
+    summed = (
+        lines.groupBy("release_name")
+        .agg(F.sum(_line_bytesum(F.col("line"))).alias("signed_sum"))
+        .withColumn(
+            "bytesum",
+            F.when(F.col("signed_sum") >= 0, F.col("signed_sum").cast("decimal(20,0)"))
+            .otherwise(
+                F.col("signed_sum").cast("decimal(20,0)")
+                + F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+            ),
+        )
+        .drop("signed_sum")
+    )
+    return summed
+
+
+def write_release(quads: DataFrame, out_dir: str) -> None:
+    """Write release text files (one directory per release graph) + bytesum
+    sidecars. Text lines are the canonical release content; ordering is
+    deliberately unspecified, matching the reference's rationale for the
+    order-agnostic hash."""
+    named = with_release_name(quads).withColumn(
+        "line", F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit("."))
+    )
+    named.select("release_name", "line").write.mode("overwrite").partitionBy(
+        "release_name"
+    ).text(os.path.join(out_dir, "graphs"))
+    release_bytesums(quads).write.mode("overwrite").json(
+        os.path.join(out_dir, "bytesums")
+    )
+
+
+def pull_skip_list(
+    current: DataFrame, stored: DataFrame
+) -> DataFrame:
+    """Which releases to (re)download: compare computed bytesums against the
+    stored sidecars; equal sum -> skip (MatchesWithLocalBytesum semantics).
+    Inputs: (release_name, bytesum) both sides. Output adds ``skip``."""
+    return (
+        current.alias("c")
+        .join(stored.alias("s"), "release_name", "left")
+        .select(
+            "release_name",
+            F.col("c.bytesum").alias("bytesum"),
+            (F.col("s.bytesum").isNotNull() & (F.col("c.bytesum") == F.col("s.bytesum"))).alias("skip"),
+        )
+    )
