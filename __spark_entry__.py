@@ -243,6 +243,209 @@ def q_release_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- training-data pipeline operators (dedup / similarity / text analysis) ---
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword correction."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    subword = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(F.length(t) > 8, F.floor(F.length(t) / 4).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return docs.select(
+        "doc_id", (F.size(toks) + subword).alias("token_count")
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic) with deterministic ties."""
+    from nabu_spark.operators.textstats import LANG_MARKERS
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = _tokens("text")
+
+    def marker_hits(markers):
+        # single-arg lambda: F.filter passes the array index to 2-arg lambdas
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio composite."""
+    from nabu_spark.operators.textstats import EN_STOPWORDS
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.lit(EN_STOPWORDS).cast("array<string>")))
+    stop_ratio = F.when(
+        n_tokens > 0, stop_hits / F.least(n_tokens, F.lit(len(EN_STOPWORDS)))
+    ).otherwise(F.lit(0.0))
+    mean_wl = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + F.when((mean_wl >= 3) & (mean_wl <= 8), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct token set."""
+    docs = _load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens("text")))))
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard near-dup pairs over a bounded
+    id range — the verifier of the MinHash-LSH family, SQL-expressible."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = _tokens("text")
+    docs = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= 0.01)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (ANN exactness baseline)."""
+    from nabu_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(5)
+    out = brute_force_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+# rows-only checks (numpy-backed operators; no portable SQL equivalent)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.dedup import minhash_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.dedup import simhash_near_dups
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.dedup import embedding_near_dups
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.4, n_planes=8).orderBy("id_a", "id_b")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(5)
+    return lsh_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_fingerprints(docs, "doc_id", "text").orderBy(
+        "id", "fingerprint_hash"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.multimodal import decode_media, synth_media
+
+    media = synth_media(spark, 200)
+    return decode_media(media).orderBy("media_id")
+
+
+def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship KG pipeline over pages synthesized from the documents table."""
+    from nabu_spark.pipeline import pages_to_quads_fused
+    from nabu_spark.sources.documents import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    quads = pages_to_quads_fused(pages, salt=False)
+    return (
+        quads.filter(F.col("error_code").isNull())
+        .select("subj", "pred", "obj", "prov")
+        .orderBy("prov", "subj", "pred", "obj")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -256,6 +459,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warning_cap": q_warning_cap,
         "bytesum": q_bytesum,
         "release_naming": q_release_naming,
+        # training-data pipeline operators
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (numpy-backed; no portable SQL equivalent)
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dups": q_simhash_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_topk": q_lsh_topk,
+        "winnowing": q_winnowing,
+        "multimodal_decode": q_multimodal_decode,
+        "kg_pipeline": q_kg_pipeline,
     }
 
 
@@ -365,5 +583,128 @@ def oracle_sql() -> dict[str, str]:
                           THEN regexp_extract(prefix, '^prov/(.*)$', 1) || '_prov.nq'
                         ELSE 'organizations.nq' END AS release_name
             FROM prefixed ORDER BY doc_id
+        """,
+        "token_count": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(t) + coalesce(
+                     (SELECT sum(CASE WHEN len(x) > 8
+                                      THEN floor(len(x) / 4.0)::BIGINT ELSE 0 END)
+                      FROM unnest(t) AS u(x)), 0) AS token_count
+            FROM toks ORDER BY doc_id
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','with','for','was'))) AS s_en,
+                len(list_filter(t, x -> x IN ('el','la','de','que','los','las','una','por','con','es'))) AS s_es,
+                len(list_filter(t, x -> x IN ('le','la','les','des','est','dans','que','une','pour','qui'))) AS s_fr,
+                len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auf'))) AS s_de
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM scored ORDER BY doc_id
+        """,
+        "quality_score": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                     len(list_intersect(t, ['the','and','of','to','in','is','that','with','for','was','a','an','it','on','as','at','by','be'])) AS stop_hits,
+                     CASE WHEN len(t) > 0
+                          THEN (SELECT sum(len(x)) FROM unnest(t) AS u(x)) * 1.0 / len(t)
+                          ELSE 0.0 END AS mean_wl
+              FROM base
+            ), ratios AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / least(n_tokens, 18) ELSE 0.0 END AS stop_ratio,
+                     mean_wl
+              FROM feats
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(stop_ratio, 4) AS stopword_ratio,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + stop_ratio * 0.3
+                         + CASE WHEN mean_wl >= 3 AND mean_wl <= 8 THEN 0.2 ELSE 0.0 END
+                         + CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END, 4) AS quality_score
+            FROM ratios ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_sort(list_distinct(
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> ''))), ' ')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents WHERE doc_id < 100
+            ), ok AS (
+              SELECT * FROM toks WHERE len(t) >= 3
+            ), sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM ok, unnest(range(1, len(t) - 1)) AS u(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.01
+            ORDER BY id_a, id_b
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.qv, c.embedding) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+              FROM q CROSS JOIN embeddings c
+              WHERE q.query_id <> c.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
     }

@@ -1,0 +1,334 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, each Spark-first:
+
+  * exact          — hash groupBy (one shuffle on the content hash)
+  * minhash + LSH  — numpy-vectorized signatures in one Arrow UDF, banding
+                     equi-join on (band, band_hash) buckets, candidate pairs
+                     verified with exact shingle Jaccard
+  * simhash        — 64-bit simhash, pigeonhole banding on 16-bit chunks for
+                     hamming distance <= 3 candidates, popcount verify
+  * n-gram Jaccard — exact verifier (explode shingles -> co-group)
+  * embedding cosine near-dup — random-hyperplane LSH buckets + exact cosine
+
+Scale notes: every family reduces to (a) one narrow mapInPandas producing a
+small signature per doc, (b) an equi-join/groupBy on a bucket key — never an
+all-pairs product. Bucket skew (a boilerplate shingle shared by everything)
+is bounded by ``max_bucket`` — oversized buckets are dropped and counted, the
+standard web-dedup guardrail.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+MERSENNE = (1 << 61) - 1
+
+
+def tokens_of(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
+def shingles_of(text: str, k: int = 5) -> set[int]:
+    """k-token shingles hashed to 64-bit ints (md5-based, engine-portable)."""
+    toks = tokens_of(text)
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return {int.from_bytes(hashlib.md5(joined.encode()).digest()[:8], "big")} if toks else set()
+    out = set()
+    for i in range(len(toks) - k + 1):
+        sh = " ".join(toks[i : i + k])
+        out.add(int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "big"))
+    return out
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingle_hashes:
+        return np.full(len(a), MERSENNE, dtype=np.uint64)
+    x = np.fromiter(shingle_hashes, dtype=np.uint64)
+    # (a*x + b) mod p, vectorized over perms x shingles
+    prods = (np.outer(a, x) + b[:, None]) % MERSENNE
+    return prods.min(axis=1)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical representative (min id) per distinct content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band, band_hash) rows — the LSH bucketing relation."""
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+        ]
+    )
+
+    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, band_ids, band_hashes = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sig = minhash_signature(shingles_of(text or "", shingle_k), a, b)
+                for band in range(bands):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    h = hash(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF
+                    ids.append(int(doc_id))
+                    band_ids.append(band)
+                    band_hashes.append(h)
+            yield pd.DataFrame({"id": ids, "band": band_ids, "band_hash": band_hashes})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(sig_batches, out_schema)
+
+
+def candidate_pairs(bands_df: DataFrame, *, max_bucket: int = 64) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from shared LSH buckets.
+    Oversized buckets (boilerplate) are dropped — the standard guardrail."""
+    buckets = bands_df.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    ok = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return pairs.distinct()
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle Jaccard for candidate pairs (two broadcast-friendly
+    joins to fetch texts, one Arrow UDF to score)."""
+    docs = df.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext"))
+    joined = (
+        pairs.join(docs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vtext", "text_a"), "id_a")
+        .join(docs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vtext", "text_b"), "id_b")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ja = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                sa, sb = shingles_of(ta or "", shingle_k), shingles_of(tb or "", shingle_k)
+                union = len(sa | sb)
+                ja.append(len(sa & sb) / union if union else 0.0)
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": ja})
+
+    scored = joined.mapInPandas(score, out_schema)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: verified (id_a, id_b, jaccard)."""
+    bands_df = minhash_bands(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    pairs = candidate_pairs(bands_df)
+    return verify_jaccard(
+        pairs, df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = tokens_of(text)
+    if not toks:
+        return 0
+    hashes = np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sims = [simhash64(t or "") & 0x7FFFFFFFFFFFFFFF for t in pdf[text_col]]
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "simhash": sims})
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by hamming distance: pigeonhole banding on four 16-bit
+    chunks (distance <= 3 guarantees one identical chunk), verify popcount."""
+    sims = simhash_table(df, id_col, text_col)
+    chunks = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk"), F.col("c.chunk_val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# --- embedding near-dup ------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH: bucket on the sign
+    signature, verify exact cosine inside buckets."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(vecs) == 0:
+                yield pd.DataFrame({"id": [], "bucket": []})
+                continue
+            signs = (vecs @ planes.T) > 0
+            buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "bucket": buckets.astype("int64")}
+            )
+
+    sig = emb.select(id_col, vec_col).mapInPandas(
+        sig_batches, "id long, bucket long"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
+
+    vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    joined = (
+        cands.join(vecs.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+    )
+    cos = cosine_expr("v_a", "v_b")
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def cosine_expr(a: str, b: str):
+    """JVM-side cosine similarity over two array<float> columns — zip_with
+    dot product and aggregate norms, no Python."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)

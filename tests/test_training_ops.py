@@ -1,0 +1,223 @@
+"""Training-data pipeline operators: dedup families, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_dedup,
+    shingles_of,
+    simhash64,
+    simhash_near_dups,
+)
+from nabu_spark.operators.multimodal import (
+    decode_media,
+    resize_meta,
+    sample_frames,
+    synth_media,
+)
+from nabu_spark.operators.similarity import brute_force_topk, lsh_topk, recall_at_k
+from nabu_spark.operators.textstats import (
+    fingerprint_exprs,
+    lang_id,
+    quality_features,
+    token_count,
+    winnowing_fingerprints,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and the cat sat on the mat watching birds "
+    "fly south for the winter as leaves turn golden in october"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("golden", "crimson")),  # near dup of 0
+        (3, "completely different content about spark dataframes and shuffles "
+            "with partitions and executors running tasks in parallel stages "
+            "reading parquet files from object storage into arrow batches"),
+        (4, BASE.replace("quick", "slow").replace("lazy", "sleepy")),  # near dup
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        out = exact_dedup(docs, "text", "doc_id")
+        dup_row = out.filter(F.col("dup_count") > 1).collect()
+        assert len(dup_row) == 1 and dup_row[0]["canonical_id"] == 0
+
+    def test_minhash_finds_near_dups(self, spark, docs):
+        pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in found  # exact dup certainly found
+        assert (0, 2) in found or (1, 2) in found  # near dup found
+        # the unrelated doc never pairs with the base family
+        assert not any(3 in p for p in found)
+
+    def test_shingles_deterministic(self):
+        assert shingles_of(BASE) == shingles_of(BASE)
+        assert shingles_of(BASE) != shingles_of(BASE + " extra tail words here")
+
+    def test_simhash_hamming(self, spark, docs):
+        h0 = simhash64(BASE)
+        h2 = simhash64(BASE.replace("golden", "crimson"))
+        h3 = simhash64("completely different content about spark")
+        assert bin(h0 ^ h2).count("1") < bin(h0 ^ h3).count("1")
+        pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=6).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in found
+        assert not any(3 in p for p in found)
+
+    def test_embedding_near_dups(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # plant an exact duplicate vector under a new id
+        first = emb.first()
+        dup = spark.createDataFrame(
+            [(99999, first["embedding"], first["label"])], emb.schema
+        )
+        out = embedding_near_dups(emb.union(dup), threshold=0.999).collect()
+        assert any(
+            {r["id_a"], r["id_b"]} == {first["vec_id"], 99999} for r in out
+        )
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+    def test_brute_force_topk(self, spark, emb):
+        queries = emb.limit(5)
+        out = brute_force_topk(emb, queries, k=5).cache()
+        assert out.groupBy("query_id").count().filter(F.col("count") != 5).count() == 0
+        # cosine ordering is descending per query
+        r = out.filter(F.col("query_id") == out.first()["query_id"]).orderBy("rank").collect()
+        assert all(r[i]["cosine"] >= r[i + 1]["cosine"] - 1e-12 for i in range(len(r) - 1))
+
+    def test_lsh_mechanics_on_uniform_data(self, spark, emb):
+        # the driver's embeddings are uniform random vectors (no neighbor
+        # structure), so assert the pipeline contract: <= k ranked rows per
+        # query, descending cosine, candidates scored exactly
+        queries = emb.limit(5)
+        approx = lsh_topk(emb, queries, k=5, n_planes=8, n_probes=8).cache()
+        per = approx.groupBy("query_id").count().collect()
+        assert all(r["count"] <= 5 for r in per)
+        one = approx.orderBy("query_id", "rank").collect()
+        by_q = {}
+        for r in one:
+            by_q.setdefault(r["query_id"], []).append(r["cosine"])
+        for vals in by_q.values():
+            assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(len(vals) - 1))
+
+    def test_lsh_recall_on_clustered_data(self, spark):
+        """On data with real neighbor structure (planted clusters) the LSH
+        path recovers the exact top-k with high recall."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        centers = rng.normal(size=(40, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for ci, c in enumerate(centers):
+            for _ in range(10):
+                v = c + 0.15 * rng.normal(size=32)
+                rows.append((vid, [float(x) for x in v], ci))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).cache()
+        queries = emb.limit(10)
+        exact = brute_force_topk(emb, queries, k=5).cache()
+        approx = lsh_topk(emb, queries, k=5, n_planes=10, n_probes=10).cache()
+        rec = recall_at_k(exact, approx, k=5)
+        assert rec >= 0.8, f"LSH recall@5 too low on clustered data: {rec}"
+
+
+class TestTextStats:
+    def test_token_count(self, spark, docs):
+        out = docs.select("doc_id", token_count("text")).collect()
+        counts = {r["doc_id"]: r["token_count"] for r in out}
+        assert counts[5] == 2
+        assert counts[0] > 30
+
+    def test_quality(self, spark, docs):
+        out = quality_features(docs).collect()
+        q = {r["doc_id"]: r["quality_score"] for r in out}
+        assert q[0] > q[5]  # long english text beats 'short text'
+        assert all(0.0 <= v <= 1.0 for v in q.values())
+
+    def test_lang_id(self, spark):
+        rows = [
+            (1, "the cat is on the table and the dog is in the house"),
+            (2, "el gato es negro y la casa es grande con los perros"),
+            (3, "le chat est dans la maison et les oiseaux sont pour qui"),
+            (4, "zzz qqq xxx"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+        assert out == {1: "en", 2: "es", 3: "fr", 4: "und"}
+
+    def test_fingerprint_stable(self, spark, docs):
+        fp = docs.select("doc_id", fingerprint_exprs("text")).collect()
+        vals = {r["doc_id"]: r["fingerprint"] for r in fp}
+        assert vals[0] == vals[1]
+        assert vals[0] != vals[3]
+
+    def test_winnowing(self, spark, docs):
+        fps = winnowing_fingerprints(docs, "doc_id", "text").cache()
+        # shared fingerprints between near-dups exceed those with unrelated doc
+        a = fps.filter(F.col("id") == 0).select("fingerprint_hash")
+        b = fps.filter(F.col("id") == 2).select("fingerprint_hash")
+        c = fps.filter(F.col("id") == 3).select("fingerprint_hash")
+        ab = a.intersect(b).count()
+        ac = a.intersect(c).count()
+        assert ab > ac
+
+
+class TestMultimodal:
+    def test_decode_roundtrip(self, spark):
+        media = synth_media(spark, 30).cache()
+        decoded = decode_media(media).cache()
+        assert decoded.filter(F.col("decode_error").isNotNull()).count() == 0
+        row = decoded.filter(F.col("media_id") == 7).first()
+        assert row["width"] == 16 + (7 % 8) * 16
+        assert row["height"] == 16 + (7 % 5) * 16
+
+    def test_bad_blob_is_row_level_error(self, spark):
+        bad = spark.createDataFrame(
+            [(1, "image", bytearray(b"NOTFAKE_REAL_JPEG_BYTES"), ("u", "image/jpeg"))],
+            "media_id long, media_type string, media binary, meta struct<source_url:string,mime:string>",
+        )
+        out = decode_media(bad).collect()
+        assert out[0]["decode_error"] == "NotImplementedError"
+
+    def test_frame_sampling(self, spark):
+        media = synth_media(spark, 30)
+        frames = sample_frames(media, every_nth=4)
+        per = frames.groupBy("media_id").count()
+        decoded = decode_media(media).filter(F.col("decode_error").isNull())
+        joined = per.join(decoded, "media_id").collect()
+        for r in joined:
+            expected = (r["n_frames"] + 3) // 4
+            assert r["count"] == expected
+
+    def test_resize_meta(self, spark):
+        media = synth_media(spark, 30)
+        out = resize_meta(media, max_side=32).collect()
+        for r in out:
+            assert max(r["target_width"], r["target_height"]) <= 32
+            ratio_in = r["width"] / r["height"]
+            ratio_out = r["target_width"] / r["target_height"]
+            assert abs(ratio_in - ratio_out) / ratio_in < 0.2
