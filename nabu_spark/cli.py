@@ -1,0 +1,163 @@
+"""CLI entry points mirroring the reference's commands, Spark-first.
+
+    harvest  pages-parquet -> docs checkpoint (+ crawl stats)     [nabu harvest]
+    release  docs -> enriched -> quads + nq text + bytesums       [nabu release]
+    geo      quads -> geoparquet table                            [nabu geoparquet]
+    pull     release dir -> local dir with bytesum skip           [nabu pull]
+    link     quads + known-iris dict -> owl:sameAs quads          [north-star]
+
+Run via ``spark-submit --py-files dist/nabu_spark.zip jobs/run.py <cmd> ...``
+(see scripts/build_dist.sh) or plain ``python -m nabu_spark.cli <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nabu-spark")
+    p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("harvest", help="pages parquet -> docs checkpoint + stats")
+    h.add_argument("--pages", required=True)
+    h.add_argument("--out", required=True)
+    h.add_argument("--no-salt", action="store_true")
+    h.add_argument("--no-resume", action="store_true")
+
+    r = sub.add_parser("release", help="docs -> quads + release graphs + bytesums")
+    r.add_argument("--docs", required=True, help="docs parquet (from harvest)")
+    r.add_argument("--out", required=True)
+    r.add_argument("--mainstems", help="mainstems dict parquet (enables enrichment)")
+    r.add_argument("--no-resume", action="store_true")
+
+    g = sub.add_parser("geo", help="quads -> geoparquet")
+    g.add_argument("--quads", required=True)
+    g.add_argument("--out", required=True)
+
+    pl = sub.add_parser("pull", help="pull releases with bytesum skip")
+    pl.add_argument("--release-dir", required=True)
+    pl.add_argument("--dest", required=True)
+
+    ln = sub.add_parser("link", help="entity-link quads against a known-IRI dict")
+    ln.add_argument("--quads", required=True)
+    ln.add_argument("--dict", required=True, dest="dict_path")
+    ln.add_argument("--out", required=True)
+    ln.add_argument("--threshold", type=float, default=0.5)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    spark = get_spark(
+        app_name=f"nabu-spark-{args.cmd}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "harvest":
+        from .operators.stats import crawl_stats
+        from .pipeline import run_extract_stage
+
+        pages = spark.read.parquet(args.pages)
+        docs = run_extract_stage(
+            spark, pages, args.out, resume=not args.no_resume, salt=not args.no_salt
+        )
+        stats = crawl_stats(docs)
+        stats.write.mode("overwrite").json(os.path.join(args.out, "stats"))
+        summary = stats.agg(
+            F.sum("sites_in_sitemap").alias("sites"),
+            F.sum("successful_sites").alias("ok"),
+            F.sum("crawl_failures").alias("failed"),
+        ).first()
+        print(json.dumps({"cmd": "harvest", "sites": summary["sites"], "ok": summary["ok"], "failed": summary["failed"]}))
+        # reference exit code 3 when any sitemap had failures (main.go:248-258)
+        return 3 if summary["failed"] else 0
+
+    if args.cmd == "release":
+        from .operators.enrich import enrich_docs
+        from .operators.release import write_release
+        from .pipeline import run_quads_stage
+
+        docs = spark.read.parquet(os.path.join(args.docs, "docs"))
+        if args.mainstems:
+            mainstems = spark.read.parquet(args.mainstems)
+            docs = enrich_docs(docs, mainstems)
+        raw = run_quads_stage(spark, docs, args.out, resume=not args.no_resume)
+        quads = raw.filter(F.col("error_code").isNull()).drop("error_code")
+        write_release(quads, args.out)
+        n = quads.count()
+        print(json.dumps({"cmd": "release", "quads": n}))
+        return 0
+
+    if args.cmd == "geo":
+        from .operators.geoparquet import quads_to_geo
+
+        quads = spark.read.parquet(args.quads)
+        if "error_code" in quads.columns:
+            quads = quads.filter(F.col("error_code").isNull())
+        geo = quads_to_geo(quads)
+        geo.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "geo", "rows": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "pull":
+        import glob
+        import shutil
+
+        from .operators.release import pull_skip_list
+
+        # read current bytesums and stored sidecars; copy only changed graphs
+        cur = spark.read.json(os.path.join(args.release_dir, "bytesums"))
+        dest_sidecar = os.path.join(args.dest, "bytesums.json")
+        os.makedirs(args.dest, exist_ok=True)
+        if os.path.exists(dest_sidecar):
+            stored = spark.read.json(dest_sidecar)
+        else:
+            stored = spark.createDataFrame([], "release_name string, bytesum decimal(20,0)")
+        plan = pull_skip_list(cur, stored).collect()
+        pulled, skipped = 0, 0
+        for row in plan:
+            if row["skip"]:
+                skipped += 1
+                continue
+            src = os.path.join(args.release_dir, "graphs", f"release_name={row['release_name']}")
+            dst = os.path.join(args.dest, row["release_name"])
+            with open(dst, "wb") as out:
+                for f in sorted(glob.glob(os.path.join(src, "*.txt"))):
+                    with open(f, "rb") as fh:
+                        shutil.copyfileobj(fh, out)
+            pulled += 1
+        cur.toPandas().to_json(dest_sidecar, orient="records", lines=True)
+        print(json.dumps({"cmd": "pull", "pulled": pulled, "skipped": skipped}))
+        return 0
+
+    if args.cmd == "link":
+        from .operators.entitylink import link_and_canonicalize
+
+        quads = spark.read.parquet(args.quads)
+        if "error_code" in quads.columns:
+            quads = quads.filter(F.col("error_code").isNull())
+        known = spark.read.parquet(args.dict_path)
+        res = link_and_canonicalize(quads, known, threshold=args.threshold)
+        res["linked"].write.mode("overwrite").parquet(os.path.join(args.out, "linked"))
+        res["same_as"].write.mode("overwrite").parquet(os.path.join(args.out, "same_as"))
+        n = spark.read.parquet(os.path.join(args.out, "same_as")).count()
+        print(json.dumps({"cmd": "link", "same_as": n}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""Incremental (streaming) KG construction.
+
+The reference's incremental story is batch + content-hash skip; the Spark
+engine additionally exposes the natural streaming formulation: new page files
+landing in the corpus directory are picked up by a file-source readStream,
+flow through the SAME fused extract->toRdf->skolemize transform (mapInPandas
+is streaming-safe: doc-local, no state), and append to the quads table with
+exactly-once file-sink semantics via the checkpoint directory. A watermarked
+windowed aggregation provides streaming lineage (late pages tolerated up to
+the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..datagen import PAGES_SCHEMA
+from ..pipeline import pages_to_quads_fused
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(pages_dir)
+
+
+def quads_stream(pages_stream: DataFrame) -> DataFrame:
+    # salting is a batch-shuffle concern; the streaming micro-batch already
+    # bounds per-task work via maxFilesPerTrigger
+    return pages_to_quads_fused(pages_stream, salt=False)
+
+
+def start_incremental_quads(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append new pages' quads to ``out_dir`` exactly once per input file."""
+    q = quads_stream(read_pages_stream(spark, pages_dir))
+    writer = (
+        q.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_streaming_lineage(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked windowed lineage: pages per (host, event-time window);
+    late arrivals within the watermark still count."""
+    pages = read_pages_stream(spark, pages_dir)
+    counts = (
+        pages.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("host"))
+        .agg(F.count("*").alias("urls_in"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "urls_in",
+        )
+    )
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,69 @@
+"""CLI lifecycle smoke: harvest -> release -> pull through the packaged
+entry point (same code path spark-submit --py-files executes; the full
+spark-submit invocation is documented in jobs/run.py and exercised in
+BENCH runs)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args: list[str], timeout: int = 300) -> tuple[int, str]:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    out = subprocess.run(
+        [sys.executable, "-m", "nabu_spark.cli", "--cores", "4", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+        env=env,
+    )
+    return out.returncode, out.stdout
+
+
+@pytest.mark.slow
+def test_cli_lifecycle(spark, tmp_path):
+    from nabu_spark.datagen import generate_mainstems, generate_pages
+
+    pages = str(tmp_path / "pages")
+    run_dir = str(tmp_path / "run")
+    generate_pages(spark, 80).write.parquet(pages)
+    generate_mainstems(spark).write.parquet(str(tmp_path / "mainstems"))
+
+    rc, out = run_cli(["harvest", "--pages", pages, "--out", run_dir, "--no-salt"])
+    payload = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert payload["sites"] == 80
+    # reference semantics: exit 3 when any site failed (the generator plants some)
+    assert rc == (3 if payload["failed"] else 0)
+
+    rc, out = run_cli(
+        ["release", "--docs", run_dir, "--out", run_dir, "--mainstems", str(tmp_path / "mainstems")]
+    )
+    assert rc == 0
+    payload = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert payload["quads"] > 0
+
+    dest = str(tmp_path / "pulled")
+    rc, out = run_cli(["pull", "--release-dir", run_dir, "--dest", dest])
+    assert rc == 0
+    p1 = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert p1["pulled"] > 0 and p1["skipped"] == 0
+    # second pull skips everything via bytesum compare
+    rc, out = run_cli(["pull", "--release-dir", run_dir, "--dest", dest])
+    p2 = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert p2["pulled"] == 0 and p2["skipped"] == p1["pulled"]
+    # pulled release files are valid N-Quads
+    files = [f for f in os.listdir(dest) if f.endswith(".nq")]
+    assert files
+    with open(os.path.join(dest, files[0])) as f:
+        line = f.readline().strip()
+    assert line.endswith(" .") and line.startswith("<")

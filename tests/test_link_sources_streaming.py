@@ -1,0 +1,186 @@
+"""Entity linking, sitemap/bulk sources, and the streaming pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.datagen import generate_known_iris, generate_pages
+from nabu_spark.operators.entitylink import (
+    DictionaryIndex,
+    extract_mentions,
+    link_and_canonicalize,
+    normalize_mention,
+)
+from nabu_spark.operators.extract import extract_docs, with_object_key
+from nabu_spark.operators.triples import docs_to_quads, quads_only
+from nabu_spark.sources.bulk import read_bulk_ndjson
+from nabu_spark.sources.sitemap import (
+    parse_sitemap_index,
+    parse_urlset,
+    sitemap_index_df,
+    urlset_df,
+)
+
+from .conftest import needs_reference, reference_path
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    pages = generate_pages(spark, 100).cache()
+    docs = with_object_key(extract_docs(pages, salt=False))
+    return quads_only(docs_to_quads(docs)).cache()
+
+
+class TestEntityLinking:
+    def test_dictionary_index(self):
+        idx = DictionaryIndex(
+            [
+                ("https://e/1", "MONITORING SITE 1"),
+                ("https://e/2", "Rio Grande Mainstem"),
+            ]
+        )
+        assert idx.link("monitoring site 1") == ("https://e/1", 1.0, "exact")
+        iri, score, method = idx.link("MONITORING SITE-1")  # fuzzy variant
+        assert iri == "https://e/1" and method == "fuzzy" and score > 0.5
+        assert idx.link("completely unrelated zebra")[2] == "none"
+
+    def test_normalize(self):
+        assert normalize_mention("  A_B   c ") == "a b c"
+
+    def test_link_and_canonicalize(self, spark, quads):
+        known = generate_known_iris(spark, 200)
+        res = link_and_canonicalize(quads, known)
+        linked = res["linked"].cache()
+        hits = linked.filter(F.col("iri").isNotNull())
+        assert hits.count() > 0
+        methods = {r["method"] for r in hits.select("method").distinct().collect()}
+        assert "exact" in methods
+        sameas = res["same_as"].cache()
+        assert sameas.count() == hits.count()
+        row = sameas.first()
+        assert row["pred"] == "<http://www.w3.org/2002/07/owl#sameAs>"
+        assert row["prov"].startswith("<urn:iow:")
+        # appended graph contains both original and link edges
+        assert res["quads_with_links"].count() == quads.count() + sameas.count()
+
+    def test_mentions_extracted(self, spark, quads):
+        m = extract_mentions(quads)
+        assert m.count() > 0
+        assert m.filter(F.col("mention").startswith("MONITORING SITE")).count() > 0
+
+
+class TestSitemapSources:
+    @needs_reference
+    def test_reference_sitemap_index(self, spark):
+        with open(reference_path("cmd/nabu/testdata/sitemap_index.xml")) as f:
+            entries = parse_sitemap_index(f.read())
+        assert len(entries) == 1
+        e = entries[0]
+        assert e["sitemap_id"] == "iow:wqp:stations__5"
+        assert e["add_mainstems"] is True
+        assert e["contact_email"] == "bwebb@lincolninst.edu"
+        assert e["max_request_concurrency"] == 5
+
+    @needs_reference
+    def test_reference_urlset(self, spark):
+        with open(reference_path("internal/crawl/testdata/sitemap.xml")) as f:
+            urls = parse_urlset(f.read())
+        assert [u["loc"] for u in urls] == [
+            "https://geoconnex.us/iow/wqp/BPMWQX-1084-WR-CC01C",
+            "https://geoconnex.us/iow/wqp/BPMWQX-1085-WR-CC01C2",
+            "https://geoconnex.us/iow/wqp/BPMWQX-1086-WR-CC02A",
+        ]
+        # golden base64 key from the release file
+        assert urls[0]["base64_loc"] == (
+            "aHR0cHM6Ly9nZW9jb25uZXgudXMvaW93L3dxcC9CUE1XUVgtMTA4NC1XUi1DQzAxQw=="
+        )
+
+    def test_errors(self, spark):
+        with pytest.raises(ValueError):
+            parse_sitemap_index("<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'/>")
+        with pytest.raises(ValueError):
+            parse_sitemap_index(
+                "<sitemapindex xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'></sitemapindex>"
+            )
+
+    def test_dfs_broadcastable(self, spark):
+        xml = """<sitemapindex xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'
+                   xmlns:g='https://geoconnex.us'>
+                   <sitemap><loc>https://x/s.xml</loc>
+                     <g:sitemap_id>a:b</g:sitemap_id>
+                     <g:add_associated_mainstems>True</g:add_associated_mainstems>
+                   </sitemap></sitemapindex>"""
+        df = sitemap_index_df(spark, xml)
+        assert df.first()["sitemap_id"] == "a:b"
+
+
+class TestBulkSource:
+    def test_bulk_ndjson(self, spark, tmp_path):
+        p = tmp_path / "bulk.ndjson"
+        p.write_text(
+            '{"@id": "https://x.org/a", "@context": "https://schema.org/", "name": "A"}\n'
+            '{"name": "no id doc"}\n'
+            '{"@id": "https://x.org/b", "name": "B"}\n'
+        )
+        docs = read_bulk_ndjson(spark, str(p), "bulk_sm").cache()
+        assert docs.count() == 3
+        good = docs.filter(F.col("error_code") == "")
+        assert good.count() == 2
+        row = good.filter(F.col("url") == "https://x.org/a").first()
+        assert row["obj_key"].startswith("summoned/bulk_sm/")
+        assert row["host"] == "x.org"
+        assert docs.filter(F.col("error_code") == "missing_id").count() == 1
+
+    @needs_reference
+    def test_reference_bulk_fixture(self, spark):
+        path = reference_path("internal/crawl/testdata/bulk_sitemap/data.txt")
+        docs = read_bulk_ndjson(spark, path, "bulk").cache()
+        assert docs.count() > 0
+        assert docs.filter(F.col("error_code") == "").count() > 0
+
+
+class TestStreaming:
+    def test_incremental_exactly_once(self, spark, tmp_path):
+        from nabu_spark.streaming.incremental import start_incremental_quads
+
+        pages_dir = str(tmp_path / "pages")
+        out = str(tmp_path / "quads")
+        ckpt = str(tmp_path / "ckpt")
+        generate_pages(spark, 40).write.mode("append").parquet(pages_dir)
+        q = start_incremental_quads(spark, pages_dir, out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).filter(F.col("error_code").isNull()).count()
+        assert n1 > 0
+        # re-running with no new files appends nothing
+        q = start_incremental_quads(spark, pages_dir, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).filter(F.col("error_code").isNull()).count() == n1
+        # new files are picked up incrementally
+        generate_pages(spark, 60).filter(F.col("url").endswith("5")).write.mode(
+            "append"
+        ).parquet(pages_dir)
+        q = start_incremental_quads(spark, pages_dir, out, ckpt)
+        q.awaitTermination(120)
+        n3 = spark.read.parquet(out).filter(F.col("error_code").isNull()).count()
+        assert n3 > n1
+
+    def test_streaming_lineage_window(self, spark, tmp_path):
+        from nabu_spark.streaming.incremental import start_streaming_lineage
+
+        pages_dir = str(tmp_path / "pages")
+        out = str(tmp_path / "lineage")
+        ckpt = str(tmp_path / "ckpt2")
+        # warc_ts spans ~49 minutes -> 10-minute windows, all but the last
+        # close under a 0s watermark (append mode emits only closed windows)
+        generate_pages(spark, 50).write.mode("append").parquet(pages_dir)
+        q = start_streaming_lineage(
+            spark, pages_dir, out, ckpt, window="10 minutes", watermark="0 seconds"
+        )
+        q.awaitTermination(120)
+        lin = spark.read.parquet(out)
+        total = lin.agg(F.sum("urls_in")).first()[0]
+        assert total is not None and 0 < total <= 50
+        assert lin.select("window_start", "host", "urls_in").count() == lin.count()
