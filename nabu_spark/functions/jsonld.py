@@ -488,6 +488,21 @@ def _standardize_context_value(ctx_value: Any) -> Any:
     return ctx_value
 
 
+def get_wkt_from_jsonld(doc: dict) -> str | None:
+    """WKT extraction (GetWktFromJsonld, jsonld.go:127-140): the literal
+    ``jsonld['gsp:hasGeometry']['gsp:asWKT']['@value']`` path, None when any
+    level is missing or mistyped. The Spark-side equivalent is the
+    get_json_object expression in operators/enrich.py."""
+    geo = doc.get("gsp:hasGeometry")
+    if isinstance(geo, dict):
+        wkt_node = geo.get("gsp:asWKT")
+        if isinstance(wkt_node, dict):
+            value = wkt_node.get("@value")
+            if isinstance(value, str):
+                return value
+    return None
+
+
 def standardize_jsonld_context(doc: dict) -> dict:
     """Standardize ``@context`` IRI prefixes so http/https/www variants are
     treated identically (reference: StandardizeJsonldContextWithMutation).

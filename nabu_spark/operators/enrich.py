@@ -102,14 +102,19 @@ def mainstem_join(
     # cell size from the largest polygon bbox so each polygon covers O(1) cells
     cw = max(max(r["maxx"] - r["minx"] for r in dims), 1e-9)
     ch = max(max(r["maxy"] - r["miny"] for r in dims), 1e-9)
-    exploded = []
-    for r in dims:
+    # pre-group candidates per cell on the driver (dict is small): the join
+    # stays 1:1 per doc — no row multiplication, therefore NO groupBy/shuffle
+    # of the wide docs table afterward. Candidates are sorted by uri so the
+    # in-row resolution below is deterministic (first containing bbox wins).
+    cells: dict[str, list] = {}
+    for r in sorted(dims, key=lambda r: r["geoconnex_url"]):
         for cell in _grid_cells_for_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], cw, ch):
-            exploded.append(
-                (cell, r["geoconnex_url"], r["minx"], r["miny"], r["maxx"], r["maxy"])
+            cells.setdefault(cell, []).append(
+                (r["geoconnex_url"], r["minx"], r["miny"], r["maxx"], r["maxy"])
             )
     dict_df = spark.createDataFrame(
-        exploded, "cell string, geoconnex_url string, minx double, miny double, maxx double, maxy double"
+        [(cell, cands) for cell, cands in cells.items()],
+        "cell string, cands array<struct<uri:string,minx:double,miny:double,maxx:double,maxy:double>>",
     )
 
     enriched = with_centroid(with_wkt(docs, doc_col)).withColumn(
@@ -123,23 +128,19 @@ def mainstem_join(
             ),
         ),
     )
-    joined = enriched.join(F.broadcast(dict_df), "cell", "left").withColumn(
+    joined = enriched.join(F.broadcast(dict_df), "cell", "left")
+    # point-in-bbox refine + first-match resolution, all JVM-side per row
+    matched = F.filter(
+        F.col("cands"),
+        lambda c: (F.col("cx") >= c.getField("minx"))
+        & (F.col("cx") <= c.getField("maxx"))
+        & (F.col("cy") >= c.getField("miny"))
+        & (F.col("cy") <= c.getField("maxy")),
+    )
+    return joined.withColumn(
         "mainstem_uri",
-        F.when(
-            (F.col("cx") >= F.col("minx"))
-            & (F.col("cx") <= F.col("maxx"))
-            & (F.col("cy") >= F.col("miny"))
-            & (F.col("cy") <= F.col("maxy")),
-            F.col("geoconnex_url"),
-        ),
-    )
-    # a centroid may fall in a cell covered by several polygons: pick the
-    # first match deterministically (min uri), docs without match keep null
-    group_cols = [c for c in docs.columns]
-    return (
-        joined.groupBy(*group_cols)
-        .agg(F.min("mainstem_uri").alias("mainstem_uri"))
-    )
+        F.when(F.size(matched) > 0, F.element_at(matched, 1).getField("uri")),
+    ).drop("cands")
 
 
 def add_key_to_context(doc: dict, key: str, value: str) -> dict:

@@ -1,0 +1,112 @@
+"""Physical-plan quality gates: predicate pushdown reaches the parquet scan,
+dictionary joins broadcast, and the fused KG path stays shuffle-free. These
+are the 100-TB design invariants — a regression here is a scale bug even if
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.datagen import generate_mainstems, generate_pages
+from nabu_spark.pipeline import pages_to_quads_fused
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    generate_pages(spark, 100).write.parquet(p)
+    return p
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushdown_to_parquet(self, spark, pages_path):
+        df = spark.read.parquet(pages_path).filter(F.col("lang") == "en").select("url")
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+    def test_column_pruning(self, spark, pages_path):
+        # a 2-column projection must not read the html blob
+        df = spark.read.parquet(pages_path).select("url", "lang")
+        plan = plan_of(df)
+        assert "ReadSchema" in plan
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "html" not in read_schema and "url" in read_schema
+
+    def test_fused_pipeline_prunes_text_column(self, spark, pages_path):
+        # the fused path needs url+html only; text/warc_ts must be pruned
+        q = pages_to_quads_fused(spark.read.parquet(pages_path), salt=False)
+        plan = plan_of(q)
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "html" in read_schema
+        assert "text" not in read_schema and "warc_ts" not in read_schema
+
+
+class TestShuffleShape:
+    def test_fused_path_has_no_exchange(self, spark, pages_path):
+        q = pages_to_quads_fused(spark.read.parquet(pages_path), salt=False)
+        plan = plan_of(q)
+        assert "Exchange" not in plan, f"unexpected shuffle in fused KG path:\n{plan}"
+
+    def test_mainstem_join_broadcasts(self, spark, pages_path):
+        from nabu_spark.operators.enrich import mainstem_join
+        from nabu_spark.operators.extract import extract_docs, with_object_key
+
+        docs = with_object_key(
+            extract_docs(spark.read.parquet(pages_path), salt=False)
+        )
+        joined = mainstem_join(docs, generate_mainstems(spark))
+        plan = plan_of(joined)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # docs side must not shuffle: only the broadcast exchange may appear
+        non_broadcast_exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert not non_broadcast_exchanges, non_broadcast_exchanges
+
+    def test_incremental_skip_is_anti_join(self, spark):
+        from nabu_spark.operators.stats import incremental_skip
+
+        new = spark.createDataFrame([("k1", "a")], "obj_key string, doc string")
+        old = spark.createDataFrame([("k1", "a")], "obj_key string, doc string")
+        plan = plan_of(incremental_skip(new, old))
+        assert "LeftAnti" in plan
+
+    def test_salted_repartition_spreads_hot_key(self, spark, pages_path):
+        from nabu_spark.operators.extract import salted_repartition, with_host
+
+        df = with_host(spark.read.parquet(pages_path))
+        salted = salted_repartition(df, 8, rows_per_salt=10)
+        # the mega-host (Zipf head) must land in >1 partition
+        parts = (
+            salted.filter(F.col("host") == "host000.example.org")
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid")
+            .distinct()
+            .count()
+        )
+        assert parts > 1
+
+
+class TestCodegen:
+    def test_jvm_expressions_stay_in_codegen(self, spark, pages_path):
+        # URN derivation is pure column exprs -> must appear inside a
+        # WholeStageCodegen span, not a Python runner
+        from nabu_spark.operators.extract import with_object_key
+
+        df = spark.read.parquet(pages_path).withColumn("sitemap_id", F.lit("s"))
+        keyed = with_object_key(df).select("obj_key")
+        plan = plan_of(keyed)
+        # '*(n)' marks a WholeStageCodegen span in the plan rendering
+        assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
