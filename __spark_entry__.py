@@ -368,6 +368,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-bbox broadcast spatial join (the mainstem-lookup shape,
+    SURVEY §2 #23): customer points against nation-derived boxes."""
+    customer = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    points = customer.select(
+        "c_custkey",
+        (F.col("c_acctbal") % 1000).alias("px"),
+        (F.col("c_custkey") % 800).cast("double").alias("py"),
+    )
+    boxes = nation.select(
+        "n_name",
+        (F.col("n_nationkey") * 40.0).alias("minx"),
+        (F.col("n_nationkey") * 40.0 + 60.0).alias("maxx"),
+        (F.col("n_nationkey") * 30.0).alias("miny"),
+        (F.col("n_nationkey") * 30.0 + 90.0).alias("maxy"),
+    )
+    joined = points.join(
+        F.broadcast(boxes),
+        (F.col("px") >= F.col("minx"))
+        & (F.col("px") <= F.col("maxx"))
+        & (F.col("py") >= F.col("miny"))
+        & (F.col("py") <= F.col("maxy")),
+        "inner",
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count("*").alias("points_inside"), F.min("c_custkey").alias("first_custkey"))
+        .orderBy("n_name")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (ANN exactness baseline)."""
     from nabu_spark.operators.similarity import brute_force_topk
@@ -465,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
         "minhash_dedup": q_minhash_dedup,
@@ -686,6 +719,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "bbox_join": """
+            WITH points AS (
+              SELECT c_custkey,
+                     c_acctbal % 1000 AS px,
+                     (c_custkey % 800)::DOUBLE AS py
+              FROM customer
+            ), boxes AS (
+              SELECT n_name,
+                     n_nationkey * 40.0 AS minx,
+                     n_nationkey * 40.0 + 60.0 AS maxx,
+                     n_nationkey * 30.0 AS miny,
+                     n_nationkey * 30.0 + 90.0 AS maxy
+              FROM nation
+            )
+            SELECT n_name,
+                   count(*) AS points_inside,
+                   min(c_custkey) AS first_custkey
+            FROM points JOIN boxes
+              ON px >= minx AND px <= maxx AND py >= miny AND py <= maxy
+            GROUP BY n_name ORDER BY n_name
         """,
         "cosine_topk": """
             WITH q AS (

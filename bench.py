@@ -63,10 +63,11 @@ def main() -> None:
     # headline: full KG pipeline over the Common-Crawl-style pages table.
     # One untimed full run spins up every python worker + Arrow codegen
     # (steady-state is what a long-running cluster job sees), then we time.
-    pages = spark.read.parquet(pages_path)
-    quads = pages_to_quads_fused(pages, salt=False)
-
+    # The lineage is rebuilt from scratch each run — reusing one DataFrame lets
+    # Spark skip the map stage via shuffle-output reuse and times a no-op.
     def run_once():
+        pages = spark.read.parquet(pages_path)
+        quads = pages_to_quads_fused(pages, salt=False)
         return quads.agg(
             F.count(F.when(F.col("error_code").isNull(), 1)).alias("triples"),
             F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("failures"),
@@ -74,7 +75,8 @@ def main() -> None:
 
     counts = run_once()  # warmup (untimed)
     kg_sec = float("inf")
-    for _ in range(3):  # min-of-3: the box is a VM with steal-time noise
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    for _ in range(runs):  # min-of-k: the box is a VM with steal-time noise
         t0 = time.monotonic()
         counts = run_once()
         kg_sec = min(kg_sec, time.monotonic() - t0)

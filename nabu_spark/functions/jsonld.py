@@ -102,7 +102,7 @@ def _expand_iri(
     a blank-node id (``_:x``), a keyword, or None (drop)."""
     if value in KEYWORDS:
         return value
-    if _KEYWORD_FORM_RE.match(value):
+    if value[:1] == "@" and _KEYWORD_FORM_RE.match(value):
         return None  # looks like a keyword -> ignored per spec
     if local is not None and value in local and defined is not None and not defined.get(value):
         _create_term(ctx, local, value, defined)
@@ -276,10 +276,27 @@ def _alias_of(ctx: Context, key: str) -> str | None:
     return None
 
 
+# Processed-context cache for the common web-corpus case: millions of pages
+# sharing a handful of identical @context values. Only root-level contexts
+# (empty active context) are cacheable; keyed by the context's repr.
+_PROCESSED_CTX_CACHE: dict[str, Context] = {}
+_PROCESSED_CTX_CACHE_MAX = 1024
+
+
 def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
     """Emit triples for a node object; returns its subject term or None."""
     if "@context" in node:
-        ctx = process_context(ctx, node["@context"])
+        local = node["@context"]
+        if not ctx.terms and ctx.vocab is None and ctx.base is None and ctx.language is None:
+            key = repr(local)
+            cached = _PROCESSED_CTX_CACHE.get(key)
+            if cached is None:
+                cached = process_context(ctx, local)
+                if len(_PROCESSED_CTX_CACHE) < _PROCESSED_CTX_CACHE_MAX:
+                    _PROCESSED_CTX_CACHE[key] = cached
+            ctx = cached
+        else:
+            ctx = process_context(ctx, local)
 
     # pure value object at node position is invalid here; handled by caller
     subj = _node_subject(state, ctx, node)

@@ -39,6 +39,9 @@ _UNESCAPE_RE = re.compile(r"\\(.)")
 _UNESCAPES = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
 
 
+from functools import lru_cache
+
+
 def escape_literal(value: str) -> str:
     return _ESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], value)
 
@@ -47,7 +50,9 @@ def unescape_literal(value: str) -> str:
     return _UNESCAPE_RE.sub(lambda m: _UNESCAPES.get(m.group(1), m.group(1)), value)
 
 
+@lru_cache(maxsize=65536)
 def is_valid_iri(iri: str) -> bool:
+    # memoized: predicates/type IRIs repeat massively across a corpus batch
     return bool(_IRI_RE.match(iri))
 
 
@@ -126,6 +131,11 @@ def split_triple(line: str) -> tuple[str, str, str] | None:
 
 def term_is_valid(term: str, *, as_subject: bool = False, as_predicate: bool = False) -> bool:
     """Strict N-Quads term validation (the NtToNq drop-malformed-line gate)."""
+    return _term_is_valid_cached(term, as_subject, as_predicate)
+
+
+@lru_cache(maxsize=65536)
+def _term_is_valid_cached(term: str, as_subject: bool, as_predicate: bool) -> bool:
     if term.startswith("<") and term.endswith(">"):
         return is_valid_iri(term[1:-1])
     if term.startswith("_:"):

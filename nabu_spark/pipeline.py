@@ -63,20 +63,39 @@ def run_quads_stage(
     out_dir: str,
     *,
     resume: bool = True,
+    partition_buckets: int | None = None,
 ) -> DataFrame:
+    """``partition_buckets`` adds hash-bucket partitioning on subj (the plain
+    -parquet analogue of Iceberg's bucket(subj) transform; prov-prefix
+    routing lives in the release export) — bounded directory fan-out with
+    co-located subjects for the downstream self-joins."""
     quads_path = os.path.join(out_dir, "quads")
+
+    def bucketed(df: DataFrame) -> tuple[DataFrame, list[str] | None]:
+        if not partition_buckets:
+            return df, None
+        return (
+            df.withColumn(
+                "subj_bucket",
+                F.pmod(F.xxhash64(F.coalesce(F.col("subj"), F.lit(""))), F.lit(partition_buckets)).cast("int"),
+            ),
+            ["subj_bucket"],
+        )
+
     if resume and _committed(quads_path):
         existing = spark.read.parquet(quads_path)
         done_provs = existing.select("prov").distinct()
         todo = with_prov_key(docs).join(done_provs, "prov", "left_anti").drop("prov")
         if todo.isEmpty():
             return existing
-        docs = todo
-        out = docs_to_quads(docs)
-        out.write.mode("append").parquet(quads_path)
+        out, parts = bucketed(docs_to_quads(todo))
+        writer = out.write.mode("append")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(quads_path)
         return spark.read.parquet(quads_path)
-    out = docs_to_quads(docs)
-    _write_stage(out, quads_path)
+    out, parts = bucketed(docs_to_quads(docs))
+    _write_stage(out, quads_path, partition_by=parts)
     return spark.read.parquet(quads_path)
 
 
