@@ -448,6 +448,16 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nabu_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(5)
+    return ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.textstats import winnowing_fingerprints
 
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "winnowing": q_winnowing,
         "multimodal_decode": q_multimodal_decode,
         "kg_pipeline": q_kg_pipeline,

@@ -80,7 +80,8 @@ def main() -> None:
         t0 = time.monotonic()
         counts = run_once()
         kg_sec = min(kg_sec, time.monotonic() - t0)
-    timings["kg_pipeline"] = round(kg_sec, 3)
+    # key must not collide with the queries() entry named "kg_pipeline"
+    timings["kg_headline"] = round(kg_sec, 3)
     n_triples = counts["triples"]
 
     # relational operator suite (the SURVEY §2 relational surface)

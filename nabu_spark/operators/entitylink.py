@@ -21,11 +21,10 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .dedup import MERSENNE, _perm_params, minhash_signature
+from .dedup import _perm_params, minhash_signature
 
 SCHEMA_NAME_PRED = "<https://schema.org/name>"
 SAME_AS_PRED = "<http://www.w3.org/2002/07/owl#sameAs>"

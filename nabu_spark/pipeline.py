@@ -141,17 +141,22 @@ def pages_to_quads_fused(
     salt: bool = True,
 ) -> DataFrame:
     """Single-UDF fused path: one ``mapInPandas`` does extract -> toRdf ->
-    skolemize -> URN tag, avoiding the Arrow round-trip between stages. Used
-    when the docs checkpoint isn't needed (bench / entry)."""
+    skolemize -> URN tag, avoiding the Arrow round-trip between stages.
+
+    The UDF emits ONE row per document — (host, prov, error_code,
+    triples array<struct<subj,pred,obj>>) — and the explode to quad rows
+    happens JVM-side: the Python->JVM Arrow transfer carries prov/host once
+    per document instead of once per triple (~10x fewer Python rows), and
+    explode lives in whole-stage codegen."""
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F, types as T
 
     from .functions.html_extract import OK, extract_document
     from .functions.urn import object_key
     from .operators.extract import salted_repartition, with_host
-    from .operators.triples import QUADS_SCHEMA, doc_to_quads
+    from .operators.triples import doc_to_quads
 
     df = with_host(pages).withColumn(
         "sitemap_id", F.regexp_replace(F.col("host"), r"[^A-Za-z0-9_]", "_")
@@ -167,9 +172,29 @@ def pages_to_quads_fused(
         df = salted_repartition(df, n)
     df = df.select("url", "host", "sitemap_id", "html")
 
+    nested_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("prov", T.StringType()),
+            T.StructField("error_code", T.StringType()),
+            T.StructField(
+                "triples",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("subj", T.StringType()),
+                            T.StructField("pred", T.StringType()),
+                            T.StructField("obj", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_s, out_p, out_o, out_g, out_h, out_e = [], [], [], [], [], []
+            hosts, provs, errs, triples_col = [], [], [], []
             for url, host, sid, body in zip(
                 pdf["url"], pdf["host"], pdf["sitemap_id"], pdf["html"]
             ):
@@ -177,26 +202,37 @@ def pages_to_quads_fused(
                     body = bytes(body)
                 doc_text, err = extract_document(body)
                 if err != OK:
-                    out_s.append(None); out_p.append(None); out_o.append(None)
-                    out_g.append(None); out_h.append(host); out_e.append(err)
+                    hosts.append(host); provs.append(None)
+                    errs.append(err); triples_col.append(None)
                     continue
                 quads, qerr, _ = doc_to_quads(doc_text, object_key(sid, url))
                 if qerr:
-                    out_s.append(None); out_p.append(None); out_o.append(None)
-                    out_g.append(None); out_h.append(host); out_e.append(qerr)
+                    hosts.append(host); provs.append(None)
+                    errs.append(qerr); triples_col.append(None)
                     continue
-                for s, p, o, g in quads:
-                    out_s.append(s); out_p.append(p); out_o.append(o)
-                    out_g.append(g); out_h.append(host); out_e.append(None)
+                hosts.append(host)
+                provs.append(quads[0][3])
+                errs.append(None)
+                triples_col.append([(s, p, o) for s, p, o, _ in quads])
             yield pd.DataFrame(
                 {
-                    "subj": pd.Series(out_s, dtype="object"),
-                    "pred": pd.Series(out_p, dtype="object"),
-                    "obj": pd.Series(out_o, dtype="object"),
-                    "prov": pd.Series(out_g, dtype="object"),
-                    "host": pd.Series(out_h, dtype="object"),
-                    "error_code": pd.Series(out_e, dtype="object"),
+                    "host": pd.Series(hosts, dtype="object"),
+                    "prov": pd.Series(provs, dtype="object"),
+                    "error_code": pd.Series(errs, dtype="object"),
+                    "triples": pd.Series(triples_col, dtype="object"),
                 }
             )
 
-    return df.mapInPandas(fused, QUADS_SCHEMA)
+    nested = df.mapInPandas(fused, nested_schema)
+    # JVM-side flatten; failed docs keep one null-subj row for lineage
+    exploded = nested.select(
+        F.explode_outer("triples").alias("t"), "prov", "host", "error_code"
+    )
+    return exploded.select(
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        "prov",
+        "host",
+        "error_code",
+    )

@@ -84,6 +84,23 @@ class TestReferenceHtmlFixtures:
         with pytest.raises(NoJsonLdError):
             get_jsonld_from_html(data)
 
+    def test_extraction_snapshot_stable(self):
+        """Byte-identity snapshots: a parser change that alters even one byte
+        of extracted text fails here (the per-url invariant surface)."""
+        import hashlib
+
+        snapshots = {
+            "html_with_jsonld.html": (1094, "4b4e6e670944b0dd977533935180fbc1"),
+            "usgs_monitoring_location_351715080252401.html": (
+                718,
+                "af21a39eb8697dd0895ec81e34ea453a",
+            ),
+        }
+        for name, (length, digest) in snapshots.items():
+            with open(reference_path("internal/crawl/testdata", name), "rb") as f:
+                out = get_jsonld_from_html(f.read())
+            assert (len(out), hashlib.md5(out.encode()).hexdigest()) == (length, digest), name
+
     def test_malformed_real_world_page(self):
         # messy real-world page must still extract parseable JSON-LD
         p = reference_path(

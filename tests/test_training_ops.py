@@ -65,6 +65,14 @@ class TestDedup:
         # the unrelated doc never pairs with the base family
         assert not any(3 in p for p in found)
 
+    def test_minhash_ml_variant(self, spark, docs):
+        from nabu_spark.operators.dedup import minhash_dedup_ml
+
+        pairs = minhash_dedup_ml(docs, "doc_id", "text", threshold=0.5).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in found
+        assert not any(3 in p for p in found)
+
     def test_shingles_deterministic(self):
         assert shingles_of(BASE) == shingles_of(BASE)
         assert shingles_of(BASE) != shingles_of(BASE + " extra tail words here")
@@ -119,6 +127,30 @@ class TestSimilarity:
             by_q.setdefault(r["query_id"], []).append(r["cosine"])
         for vals in by_q.values():
             assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(len(vals) - 1))
+
+    def test_ivf_recall_on_clustered_data(self, spark):
+        import numpy as np
+
+        from nabu_spark.operators.similarity import ivf_topk
+
+        rng = np.random.RandomState(11)
+        centers = rng.normal(size=(30, 32))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for ci, c in enumerate(centers):
+            for _ in range(12):
+                v = c + 0.12 * rng.normal(size=32)
+                rows.append((vid, [float(x) for x in v], ci))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).cache()
+        queries = emb.limit(10)
+        exact = brute_force_topk(emb, queries, k=5).cache()
+        approx = ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4).cache()
+        rec = recall_at_k(exact, approx, k=5)
+        assert rec >= 0.8, f"IVF recall@5 too low on clustered data: {rec}"
 
     def test_lsh_recall_on_clustered_data(self, spark):
         """On data with real neighbor structure (planted clusters) the LSH
