@@ -121,16 +121,48 @@ def run_pipeline(
     resume: bool = True,
     salt: bool = True,
 ) -> dict:
-    """Full pages -> quads run. Returns handles to the stage outputs and
-    lineage DataFrames."""
+    """Full pages -> quads run with per-partition lineage for every stage
+    (north rule): (stage, partition_key=host, urls_in, triples_out,
+    parse_failures, seconds)."""
+    import time
+
+    t0 = time.monotonic()
     docs = run_extract_stage(
         spark, pages, out_dir, num_partitions=num_partitions, resume=resume, salt=salt
     )
+    extract_seconds = time.monotonic() - t0
+    extract_lineage = (
+        docs.groupBy("host")
+        .agg(
+            F.count("*").alias("urls_in"),
+            F.count(F.when(F.col("error_code") != "", 1)).alias("parse_failures"),
+        )
+        .withColumn("stage", F.lit("extract"))
+        .withColumn("triples_out", F.lit(None).cast("long"))
+        .withColumn("seconds", F.lit(extract_seconds))
+        .withColumnRenamed("host", "partition_key")
+    )
+
+    t1 = time.monotonic()
     raw_quads = run_quads_stage(spark, docs, out_dir, resume=resume)
+    quads_seconds = time.monotonic() - t1
     quads = quads_only(raw_quads)
-    lineage = failures_by_host(raw_quads, stage="docs_to_quads")
+    quads_lineage = (
+        failures_by_host(raw_quads, stage="docs_to_quads")
+        .join(
+            docs.groupBy(F.col("host").alias("partition_key")).agg(
+                F.count("*").alias("urls_in")
+            ),
+            "partition_key",
+            "left",
+        )
+        .withColumn("seconds", F.lit(quads_seconds))
+    )
+
+    cols = ["stage", "partition_key", "urls_in", "triples_out", "parse_failures", "seconds"]
+    lineage = extract_lineage.select(*cols).unionByName(quads_lineage.select(*cols))
     lineage_path = os.path.join(out_dir, "lineage")
-    _write_stage(lineage.withColumn("urls_in", F.lit(None).cast("long")).withColumn("seconds", F.lit(None).cast("double")), lineage_path)
+    _write_stage(lineage, lineage_path)
     return {"docs": docs, "quads": quads, "raw_quads": raw_quads, "lineage": lineage}
 
 
