@@ -752,6 +752,41 @@ def oracle_sql() -> dict[str, str]:
               ON px >= minx AND px <= maxx AND py >= miny AND py <= maxy
             GROUP BY n_name ORDER BY n_name
         """,
+        "kg_pipeline": """
+            -- the flagship pipeline on documents-derived pages is fully
+            -- predictable in SQL: schema:Dataset docs with literal values
+            -- (no blank nodes -> no skolemization in this corpus slice)
+            WITH base AS (
+              SELECT doc_id,
+                     'https://corpus' || (doc_id % 10) || '.example.org/doc/' || doc_id AS url,
+                     'corpus' || (doc_id % 10) || '_example_org' AS sitemap_id,
+                     substr(text, 1, 200) AS descr,
+                     lang, n_chars
+              FROM documents
+            ), keyed AS (
+              SELECT *,
+                     '<urn:iow:' || replace(
+                        'summoned/' || sitemap_id || '/' || to_base64(url::BLOB) || '.jsonld',
+                        '/', ':') || '>' AS prov,
+                     '<https://docs.example.org/corpus/' || doc_id || '>' AS subj
+              FROM base
+            )
+            SELECT subj, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+                   '<https://schema.org/Dataset>' AS obj, prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/name>',
+                   '"document ' || doc_id || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/description>',
+                   '"' || descr || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/inLanguage>',
+                   '"' || lang || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/contentSize>',
+                   '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>', prov
+            FROM keyed
+        """,
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv

@@ -39,9 +39,14 @@ DOCS_SCHEMA = T.StructType(
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Derive the url-host partition key JVM-side."""
+    """Derive the url-host partition key JVM-side. ``try_parse_url`` so one
+    garbage URL in a trillion-row corpus yields a null host (lineage row),
+    not a failed job."""
     return df.withColumn(
-        "host", F.parse_url(F.col(url_col), F.lit("HOST"))
+        "host",
+        F.coalesce(
+            F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("invalid_host")
+        ),
     )
 
 

@@ -89,9 +89,10 @@ def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_text, obj_key, host, err in zip(
             pdf["doc"], pdf["obj_key"], pdf["host"], pdf["error_code"]
         ):
-            if err:  # upstream extraction failure propagates as a lineage row
+            if err or obj_key is None:  # upstream failure -> lineage row
                 out_s.append(None); out_p.append(None); out_o.append(None)
-                out_g.append(None); out_h.append(host); out_e.append(err)
+                out_g.append(None); out_h.append(host)
+                out_e.append(err or "invalid_url")
                 continue
             quads, qerr, _dropped = doc_to_quads(doc_text, obj_key)
             if qerr:

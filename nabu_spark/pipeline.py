@@ -230,6 +230,10 @@ def pages_to_quads_fused(
             for url, host, sid, body in zip(
                 pdf["url"], pdf["host"], pdf["sitemap_id"], pdf["html"]
             ):
+                if url is None or sid is None:
+                    hosts.append(host); provs.append(None)
+                    errs.append("invalid_url"); triples_col.append(None)
+                    continue
                 if isinstance(body, memoryview):
                     body = bytes(body)
                 doc_text, err = extract_document(body)

@@ -21,7 +21,7 @@ def read_bulk_ndjson(spark: SparkSession, path: str, sitemap_id: str) -> DataFra
     with_id = lines.withColumn("_id", F.get_json_object(F.col("doc"), "$['@id']"))
     docs = with_id.select(
         F.coalesce(F.col("_id"), F.lit("")).alias("url"),
-        F.coalesce(F.parse_url(F.col("_id"), F.lit("HOST")), F.lit("")).alias("host"),
+        F.coalesce(F.try_parse_url(F.col("_id"), F.lit("HOST")), F.lit("")).alias("host"),
         F.lit(sitemap_id).alias("sitemap_id"),
         F.col("doc"),
         F.when(F.col("_id").isNull(), F.lit("missing_id")).otherwise(F.lit("")).alias(

@@ -30,7 +30,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("document "), F.col("doc_id")).alias("name"),
             F.substring(F.col("text"), 1, 200).alias("description"),
             F.col("lang").alias("inLanguage"),
-            F.col("n_chars").cast("double").alias("contentSize"),
+            F.col("n_chars").alias("contentSize"),
         )
     )
     html = F.concat(
