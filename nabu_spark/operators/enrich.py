@@ -222,3 +222,32 @@ def enrich_docs(docs: DataFrame, mainstems: DataFrame, doc_col: str = "doc") -> 
     ``mainstem_uri``."""
     joined = mainstem_join(docs, mainstems, doc_col=doc_col)
     return apply_injection(joined, doc_col=doc_col)
+
+
+def enrich_docs_gated(
+    docs: DataFrame,
+    sitemaps: DataFrame,
+    mainstems: DataFrame,
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Per-sitemap enrichment gate: only sitemaps with ``add_mainstems``
+    (the AddMainstems flag, sitemap_index.go:51; enrichment happens at
+    release time per docs/nabu_overview.md:22) get the spatial join +
+    injection; other docs pass through with a null mainstem_uri."""
+    dim = F.broadcast(
+        sitemaps.select("sitemap_id", "add_mainstems").dropDuplicates(["sitemap_id"])
+    )
+    flagged = docs.join(dim, "sitemap_id", "left").withColumn(
+        "_gate", F.coalesce(F.col("add_mainstems"), F.lit(False))
+    )
+    gated = flagged.filter(F.col("_gate")).drop("add_mainstems", "_gate")
+    passthrough = (
+        flagged.filter(~F.col("_gate"))
+        .drop("add_mainstems", "_gate")
+        .withColumn("mainstem_uri", F.lit(None).cast("string"))
+        .withColumn("mainstem_injected", F.lit(False))
+    )
+    enriched = enrich_docs(gated, mainstems, doc_col=doc_col)
+    # align columns (enrich adds wkt/cx/cy/cell internals? ensure identical)
+    enriched = enriched.select(*passthrough.columns)
+    return enriched.unionByName(passthrough)

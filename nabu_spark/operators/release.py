@@ -86,17 +86,23 @@ def release_bytesums(quads: DataFrame) -> DataFrame:
     return summed
 
 
-def write_release(quads: DataFrame, out_dir: str) -> None:
+def write_release(quads: DataFrame, out_dir: str, *, compress: bool = False) -> None:
     """Write release text files (one directory per release graph) + bytesum
     sidecars. Text lines are the canonical release content; ordering is
     deliberately unspecified, matching the reference's rationale for the
-    order-agnostic hash."""
+    order-agnostic hash. ``compress`` gzips the text parts; unlike the
+    reference's deterministic-gzip (helpers.go:57-68), compressed bytes are
+    NOT the hashed artifact — the bytesum is always over the uncompressed
+    canonical line set (documented deviation, SURVEY §2 #37)."""
     named = with_release_name(quads).withColumn(
         "line", F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit("."))
     )
-    named.select("release_name", "line").write.mode("overwrite").partitionBy(
+    writer = named.select("release_name", "line").write.mode("overwrite").partitionBy(
         "release_name"
-    ).text(os.path.join(out_dir, "graphs"))
+    )
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.text(os.path.join(out_dir, "graphs"))
     release_bytesums(quads).write.mode("overwrite").json(
         os.path.join(out_dir, "bytesums")
     )

@@ -123,6 +123,35 @@ class TestSpatialJoin:
         assert out[0]["mainstem_uri"] is None  # degenerate centroid -> unlinked
 
 
+class TestGatedEnrichment:
+    def test_add_mainstems_flag_gates_enrichment(self, spark):
+        import json as _json
+
+        from nabu_spark.operators.enrich import enrich_docs_gated
+
+        doc = make_place_doc(0)
+        doc["gsp:hasGeometry"]["gsp:asWKT"]["@value"] = "POINT (-108.5625 37.25)"
+        text = _json.dumps(doc)
+        docs = spark.createDataFrame(
+            [
+                ("u1", "h1", "sm_on", text, "", "k1"),
+                ("u2", "h2", "sm_off", text, "", "k2"),
+                ("u3", "h3", "sm_unknown", text, "", "k3"),
+            ],
+            "url string, host string, sitemap_id string, doc string, error_code string, obj_key string",
+        )
+        sitemaps = spark.createDataFrame(
+            [("sm_on", True), ("sm_off", False)], "sitemap_id string, add_mainstems boolean"
+        )
+        out = {r["sitemap_id"]: r for r in enrich_docs_gated(docs, sitemaps, generate_mainstems(spark)).collect()}
+        assert out["sm_on"]["mainstem_uri"] == "https://geoconnex.us/ref/mainstems/36800"
+        assert out["sm_on"]["mainstem_injected"] is True
+        assert out["sm_off"]["mainstem_uri"] is None
+        assert out["sm_unknown"]["mainstem_uri"] is None  # unknown sitemap -> off
+        # gated-off docs untouched byte-for-byte
+        assert out["sm_off"]["doc"] == text
+
+
 class TestGeoMaterialize:
     def test_geo_roundtrip(self, spark, enriched_quads):
         docs, enriched, quads = enriched_quads
