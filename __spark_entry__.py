@@ -474,6 +474,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("media_id")
 
 
+def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata/RDFa extraction pipeline (north-star formats beyond the
+    reference's JSON-LD) over microdata pages synthesized from documents."""
+    from nabu_spark.operators.structured_extract import pages_to_structured_quads
+    from nabu_spark.sources.documents import microdata_pages_from_documents
+
+    pages = microdata_pages_from_documents(spark, sf_dir)
+    quads = pages_to_structured_quads(pages)
+    return (
+        quads.filter(F.col("error_code").isNull())
+        .select("subj", "pred", "obj", "prov")
+        .orderBy("prov", "subj", "pred", "obj")
+    )
+
+
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship KG pipeline over pages synthesized from the documents table."""
     from nabu_spark.pipeline import pages_to_quads_fused
@@ -518,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "multimodal_decode": q_multimodal_decode,
         "kg_pipeline": q_kg_pipeline,
+        "structured_pipeline": q_structured_pipeline,
     }
 
 
@@ -786,6 +802,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, '<https://schema.org/contentSize>',
                    '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>', prov
             FROM keyed
+        """,
+        "structured_pipeline": """
+            -- microdata pages from documents are fully SQL-predictable:
+            -- itemid subject, schema.org/Dataset type, name/description/
+            -- inLanguage literals; no blank nodes in this slice
+            WITH base AS (
+              SELECT doc_id,
+                     'https://mdcorpus' || (doc_id % 10) || '.example.org/doc/' || doc_id AS url,
+                     'mdcorpus' || (doc_id % 10) || '_example_org' AS sitemap_id,
+                     substr(text, 1, 200) AS descr,
+                     lang
+              FROM documents
+            ), keyed AS (
+              SELECT *,
+                     '<urn:iow:' || replace(
+                        'summoned/' || sitemap_id || '/' || to_base64(url::BLOB) || '.jsonld',
+                        '/', ':') || '>' AS prov,
+                     '<https://docs.example.org/corpus/' || doc_id || '>' AS subj
+              FROM base
+            )
+            SELECT subj, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+                   '<https://schema.org/Dataset>' AS obj, prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/name>',
+                   '"document ' || doc_id || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/description>',
+                   '"' || descr || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/inLanguage>',
+                   '"' || lang || '"', prov FROM keyed
         """,
         "cosine_topk": """
             WITH q AS (

@@ -42,6 +42,32 @@ ERR_JSONLD = "jsonld_convert"
 ERR_EMPTY_GRAPH = "empty_graph"
 
 
+def finish_quads(
+    triples: list[tuple[str, str, str]], obj_key: str, *, skolemize: bool = True
+) -> tuple[list[tuple[str, str, str, str]], str, int]:
+    """Shared tail of every extraction path: skolemize -> strict term gate ->
+    URN tagging. Returns (quads, error_code, dropped_lines)."""
+    if not triples:
+        return [], ERR_EMPTY_GRAPH, 0
+    if skolemize:
+        triples = skolemize_terms(triples)
+    prov = "<" + make_urn(obj_key) + ">"
+    quads = []
+    dropped = 0
+    for s, p, o in triples:
+        if (
+            term_is_valid(s, as_subject=True)
+            and term_is_valid(p, as_predicate=True)
+            and term_is_valid(o)
+        ):
+            quads.append((s, p, o, prov))
+        else:
+            dropped += 1
+    if not quads:
+        return [], ERR_EMPTY_GRAPH, dropped
+    return quads, "", dropped
+
+
 def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tuple[list[tuple[str, str, str, str]], str, int]:
     """Convert one JSON-LD document. Returns (quads, error_code, dropped_lines).
 
@@ -57,30 +83,11 @@ def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tupl
         if isinstance(doc, dict) and "@context" in doc:
             doc = standardize_jsonld_context(doc)
         triples = jsonld_to_triples(doc)
-        if skolemize:
-            triples = skolemize_terms(triples)
     except JsonLdError:
         return [], ERR_JSONLD, 0
     except RecursionError:
         return [], ERR_JSONLD, 0
-    if not triples:
-        return [], ERR_EMPTY_GRAPH, 0
-    prov = "<" + make_urn(obj_key) + ">"
-    quads = []
-    dropped = 0
-    for s, p, o in triples:
-        # strict N-Quads gate: NtToNq parse-errors skip the line
-        if (
-            term_is_valid(s, as_subject=True)
-            and term_is_valid(p, as_predicate=True)
-            and term_is_valid(o)
-        ):
-            quads.append((s, p, o, prov))
-        else:
-            dropped += 1
-    if not quads:
-        return [], ERR_EMPTY_GRAPH, dropped
-    return quads, "", dropped
+    return finish_quads(triples, obj_key, skolemize=skolemize)
 
 
 def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

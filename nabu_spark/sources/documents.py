@@ -50,3 +50,34 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         jsonld.alias("text"),
         F.col("lang").alias("lang"),
     )
+
+
+def microdata_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose structured data is schema.org microdata (no JSON-LD) —
+    the JSON-LD-free slice of the open web. Pure JVM column construction."""
+    docs = load(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("https://docs.example.org/corpus/"), F.col("doc_id"))
+    html = F.concat(
+        F.lit('<html><head><title>doc</title></head><body>'
+              '<div itemscope itemtype="https://schema.org/Dataset" itemid="'),
+        subj,
+        F.lit('"><h1 itemprop="name">document '),
+        F.col("doc_id"),
+        F.lit('</h1><meta itemprop="description" content="'),
+        F.substring(F.col("text"), 1, 200),
+        F.lit('"><meta itemprop="inLanguage" content="'),
+        F.col("lang"),
+        F.lit('"></div></body></html>'),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://mdcorpus"),
+            F.pmod(F.col("doc_id"), F.lit(10)),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang").alias("lang"),
+    )

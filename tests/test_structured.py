@@ -1,0 +1,128 @@
+"""Microdata / RDFa Lite extraction semantics."""
+
+from __future__ import annotations
+
+from nabu_spark.functions.structured import (
+    extract_microdata,
+    extract_rdfa,
+    extract_structured_triples,
+)
+from nabu_spark.operators.structured_extract import page_structured_quads
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+class TestMicrodata:
+    def test_item_with_itemid(self):
+        html = """<div itemscope itemtype="https://schema.org/Place"
+                    itemid="https://x.org/p/1">
+                  <h1 itemprop="name">GAGE ONE</h1>
+                  <meta itemprop="description" content="a gage">
+                  <a itemprop="url" href="/p/1/page">link</a>
+                  <time itemprop="dateModified" datetime="2024-01-01">Jan</time>
+                  </div>"""
+        t = set(extract_microdata(html, base="https://x.org/"))
+        assert ("<https://x.org/p/1>", RDF_TYPE, "<https://schema.org/Place>") in t
+        assert ("<https://x.org/p/1>", "<https://schema.org/name>", '"GAGE ONE"') in t
+        assert ("<https://x.org/p/1>", "<https://schema.org/url>", "<https://x.org/p/1/page>") in t
+        assert ("<https://x.org/p/1>", "<https://schema.org/dateModified>", '"2024-01-01"') in t
+
+    def test_nested_item_is_bnode(self):
+        html = """<div itemscope itemtype="https://schema.org/Place" itemid="https://x/1">
+                  <div itemprop="geo" itemscope itemtype="https://schema.org/GeoCoordinates">
+                    <meta itemprop="latitude" content="37.1"></div></div>"""
+        t = extract_microdata(html)
+        bnodes = {s for s, _, _ in t if s.startswith("_:")}
+        assert len(bnodes) == 1
+        b = bnodes.pop()
+        assert ("<https://x/1>", "<https://schema.org/geo>", b) in t
+        assert (b, "<https://schema.org/latitude>", '"37.1"') in t
+        # nested item's properties never leak to the parent
+        assert ("<https://x/1>", "<https://schema.org/latitude>", '"37.1"') not in t
+
+    def test_absolute_itemprop(self):
+        html = """<div itemscope itemid="https://x/1">
+                  <meta itemprop="http://purl.org/dc/terms/title" content="T"></div>"""
+        t = extract_microdata(html)
+        assert ("<https://x/1>", "<http://purl.org/dc/terms/title>", '"T"') in t
+
+    def test_multi_itemprop_names(self):
+        html = """<div itemscope itemtype="https://schema.org/Place" itemid="https://x/1">
+                  <meta itemprop="name alternateName" content="N"></div>"""
+        t = extract_microdata(html)
+        preds = {p for _, p, _ in t}
+        assert "<https://schema.org/name>" in preds
+        assert "<https://schema.org/alternateName>" in preds
+
+
+class TestRdfa:
+    def test_vocab_and_about(self):
+        html = """<body vocab="https://schema.org/">
+                  <div about="https://x/1" typeof="Place">
+                  <span property="name">G</span></div></body>"""
+        t = set(extract_rdfa(html))
+        assert ("<https://x/1>", RDF_TYPE, "<https://schema.org/Place>") in t
+        assert ("<https://x/1>", "<https://schema.org/name>", '"G"') in t
+
+    def test_prefix_mapping(self):
+        html = """<body vocab="https://schema.org/"
+                        prefix="gsp: http://www.opengis.net/ont/geosparql#">
+                  <div about="https://x/1">
+                  <span property="gsp:asWKT">POINT (1 2)</span></div></body>"""
+        t = set(extract_rdfa(html))
+        assert ("<https://x/1>", "<http://www.opengis.net/ont/geosparql#asWKT>", '"POINT (1 2)"') in t
+
+    def test_content_beats_text(self):
+        html = """<body vocab="https://schema.org/"><div about="https://x/1">
+                  <meta property="description" content="real">shown text</meta>
+                  </div></body>"""
+        t = set(extract_rdfa(html))
+        assert ("<https://x/1>", "<https://schema.org/description>", '"real"') in t
+
+    def test_nested_typeof_chains(self):
+        html = """<body vocab="https://schema.org/">
+                  <div about="https://x/1" typeof="Place">
+                    <div property="geo" typeof="GeoCoordinates">
+                      <meta property="latitude" content="37.2"></div>
+                  </div></body>"""
+        t = extract_rdfa(html)
+        bnodes = {s for s, _, _ in t if s.startswith("_:")}
+        assert len(bnodes) == 1
+        b = bnodes.pop()
+        assert ("<https://x/1>", "<https://schema.org/geo>", b) in t
+        assert (b, "<https://schema.org/latitude>", '"37.2"') in t
+
+    def test_href_object(self):
+        html = """<body vocab="https://schema.org/"><div about="https://x/1">
+                  <a property="url" href="https://x/1/page">p</a></div></body>"""
+        t = set(extract_rdfa(html))
+        assert ("<https://x/1>", "<https://schema.org/url>", "<https://x/1/page>") in t
+
+
+class TestStructuredPipeline:
+    def test_combined_and_skolemized(self):
+        html = """<html><body vocab="https://schema.org/">
+          <div itemscope itemtype="https://schema.org/Place" itemid="https://x/md">
+            <div itemprop="geo" itemscope itemtype="https://schema.org/GeoCoordinates">
+              <meta itemprop="latitude" content="37.1"></div></div>
+          <div about="https://x/ra" typeof="Place"><span property="name">R</span></div>
+          </body></html>"""
+        quads, err = page_structured_quads(html.encode(), "https://h.org/p", "sm")
+        assert err == ""
+        # blank nodes skolemized, prov tagged
+        assert all(not s.startswith("_:") and not o.startswith("_:") for s, _, o, _ in quads)
+        assert all(g.startswith("<urn:iow:summoned:sm:") for _, _, _, g in quads)
+        subjects = {s for s, _, _, _ in quads}
+        assert "<https://x/md>" in subjects and "<https://x/ra>" in subjects
+
+    def test_page_without_structured_data(self):
+        quads, err = page_structured_quads(b"<html><body>plain</body></html>", "u", "s")
+        assert quads == [] and err == "no_structured_data"
+
+    def test_shared_bnode_namespace(self):
+        html = """<body vocab="https://schema.org/">
+          <div itemscope itemtype="https://schema.org/Thing"><meta itemprop="name" content="a"></div>
+          <div typeof="Thing"><span property="name">b</span></div></body>"""
+        t = extract_structured_triples(html)
+        bnodes = {s for s, _, _ in t if s.startswith("_:")}
+        assert len(bnodes) == 2  # distinct bnodes across formats
