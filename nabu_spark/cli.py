@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--release-dir", required=True)
     pl.add_argument("--dest", required=True)
 
+    st = sub.add_parser("structured", help="pages -> quads from microdata/RDFa")
+    st.add_argument("--pages", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--formats", default="microdata,rdfa")
+
     ln = sub.add_parser("link", help="entity-link quads against a known-IRI dict")
     ln.add_argument("--quads", required=True)
     ln.add_argument("--dict", required=True, dest="dict_path")
@@ -140,6 +145,22 @@ def main(argv: list[str] | None = None) -> int:
             pulled += 1
         cur.toPandas().to_json(dest_sidecar, orient="records", lines=True)
         print(json.dumps({"cmd": "pull", "pulled": pulled, "skipped": skipped}))
+        return 0
+
+    if args.cmd == "structured":
+        from .operators.structured_extract import pages_to_structured_quads
+
+        pages = spark.read.parquet(args.pages)
+        quads = pages_to_structured_quads(
+            pages, formats=tuple(args.formats.split(","))
+        )
+        quads.write.mode("overwrite").parquet(os.path.join(args.out, "quads"))
+        n = (
+            spark.read.parquet(os.path.join(args.out, "quads"))
+            .filter(F.col("error_code").isNull())
+            .count()
+        )
+        print(json.dumps({"cmd": "structured", "quads": n}))
         return 0
 
     if args.cmd == "link":
