@@ -171,6 +171,7 @@ def pages_to_quads_fused(
     *,
     num_partitions: int | None = None,
     salt: bool = True,
+    fallback_structured: bool = False,
 ) -> DataFrame:
     """Single-UDF fused path: one ``mapInPandas`` does extract -> toRdf ->
     skolemize -> URN tag, avoiding the Arrow round-trip between stages.
@@ -237,14 +238,24 @@ def pages_to_quads_fused(
                 if isinstance(body, memoryview):
                     body = bytes(body)
                 doc_text, err = extract_document(body)
-                if err != OK:
+                quads = None
+                if err == OK:
+                    quads, qerr, _ = doc_to_quads(doc_text, object_key(sid, url))
+                    err = qerr
+                if (quads is None or err) and fallback_structured and err in (
+                    "no_jsonld", "json_parse", "jsonld_convert", "empty_graph"
+                ):
+                    # JSON-LD-free page: try microdata/RDFa (the long tail of
+                    # the open web annotates without script tags); absolute
+                    # import — the closure is unpickled outside the package
+                    from nabu_spark.operators.structured_extract import (
+                        page_structured_quads,
+                    )
+
+                    quads, err = page_structured_quads(body, url, sid)
+                if err:
                     hosts.append(host); provs.append(None)
                     errs.append(err); triples_col.append(None)
-                    continue
-                quads, qerr, _ = doc_to_quads(doc_text, object_key(sid, url))
-                if qerr:
-                    hosts.append(host); provs.append(None)
-                    errs.append(qerr); triples_col.append(None)
                     continue
                 hosts.append(host)
                 provs.append(quads[0][3])

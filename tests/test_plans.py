@@ -98,6 +98,25 @@ class TestShuffleShape:
         assert parts > 1
 
 
+class TestAggregation:
+    def test_host_agg_has_map_side_combine(self, spark, pages_path):
+        """The Zipf mega-host lineage aggregation must do partial (map-side)
+        aggregation before the exchange — the skew defense for hot keys in
+        count-style aggs."""
+        from nabu_spark.operators.extract import with_host
+
+        df = with_host(spark.read.parquet(pages_path))
+        agg = df.groupBy("host").count()
+        plan = plan_of(agg)
+        # partial + final HashAggregate around one Exchange
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_count" in plan or "partial count" in plan.lower()
+
+    def test_aqe_and_skew_join_enabled(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 class TestCodegen:
     def test_jvm_expressions_stay_in_codegen(self, spark, pages_path):
         # URN derivation is pure column exprs -> must appear inside a

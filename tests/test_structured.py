@@ -119,6 +119,36 @@ class TestStructuredPipeline:
         quads, err = page_structured_quads(b"<html><body>plain</body></html>", "u", "s")
         assert quads == [] and err == "no_structured_data"
 
+    def test_fused_fallback_to_structured(self, spark):
+        from pyspark.sql import functions as F
+
+        from nabu_spark.pipeline import pages_to_quads_fused
+
+        md_only = (
+            '<html><head><title>t</title></head><body>'
+            '<div itemscope itemtype="https://schema.org/Place" itemid="https://x/md1">'
+            '<meta itemprop="name" content="MD ONLY"></div></body></html>'
+        )
+        ld = '{"@context":"https://schema.org/","@id":"https://x/ld1","name":"LD"}'
+        pages = spark.createDataFrame(
+            [
+                ("https://h.org/md", None, md_only.encode(), None, "en"),
+                ("https://h.org/ld", None, ld.encode(), None, "en"),
+                ("https://h.org/none", None, b"<html><body>nothing</body></html>", None, "en"),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        out = pages_to_quads_fused(pages, salt=False, fallback_structured=True).collect()
+        subjects = {r["subj"] for r in out if r["error_code"] is None}
+        assert "<https://x/md1>" in subjects  # recovered via microdata fallback
+        assert "<https://x/ld1>" in subjects  # normal JSON-LD path
+        errs = {r["error_code"] for r in out if r["error_code"]}
+        assert "no_structured_data" in errs
+        # without fallback, the microdata page is a no_jsonld failure
+        out2 = pages_to_quads_fused(pages, salt=False).collect()
+        errs2 = {r["error_code"] for r in out2 if r["error_code"]}
+        assert "no_jsonld" in errs2
+
     def test_shared_bnode_namespace(self):
         html = """<body vocab="https://schema.org/">
           <div itemscope itemtype="https://schema.org/Thing"><meta itemprop="name" content="a"></div>
