@@ -834,6 +834,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, '<https://schema.org/inLanguage>',
                    '"' || lang || '"', prov FROM keyed
         """,
+        "winnowing": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents WHERE doc_id < 100
+            ), ok AS (
+              SELECT * FROM toks WHERE len(t) >= 5
+            ), sh AS (
+              SELECT doc_id, i,
+                     CAST(('0x' || substr(
+                       md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]),
+                       1, 16)) AS UBIGINT) & 9223372036854775807 AS h
+              FROM ok, unnest(range(1, len(t) - 3)) AS u(i)
+            ), counts AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), big AS (
+              SELECT a.doc_id, a.i, min(b.h) AS mh
+              FROM sh a
+              JOIN counts c ON c.doc_id = a.doc_id AND c.n > 4
+              JOIN sh b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
+              WHERE a.i <= c.n - 3
+              GROUP BY 1, 2
+            ), small AS (
+              SELECT s.doc_id, min(s.h) AS mh
+              FROM sh s JOIN counts c ON c.doc_id = s.doc_id AND c.n <= 4
+              GROUP BY 1
+            ), sel AS (
+              SELECT DISTINCT doc_id, mh FROM big
+              UNION
+              SELECT doc_id, mh FROM small
+            )
+            SELECT doc_id AS id, CAST(mh AS BIGINT) AS fingerprint_hash
+            FROM sel ORDER BY id, fingerprint_hash
+        """,
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv
