@@ -834,6 +834,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, '<https://schema.org/inLanguage>',
                    '"' || lang || '"', prov FROM keyed
         """,
+        "simhash_dups": """
+            -- 64-bit bit-vote simhash; the Spark side's pigeonhole banding
+            -- finds exactly the hamming<=3 pairs, so the oracle is the
+            -- direct all-pairs filter
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), hashes AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hashes, unnest(range(0, 64)) AS u(i)
+              GROUP BY doc_id, i
+            ), sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << i ELSE 0 END)
+                          & 9223372036854775807 AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
         "winnowing": """
             WITH toks AS (
               SELECT doc_id,
