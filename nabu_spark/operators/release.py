@@ -97,14 +97,33 @@ def write_release(quads: DataFrame, out_dir: str, *, compress: bool = False) -> 
     named = with_release_name(quads).withColumn(
         "line", F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit("."))
     )
-    writer = named.select("release_name", "line").write.mode("overwrite").partitionBy(
-        "release_name"
-    )
+    out = named.select("release_name", "line")
+    writer = out.write.mode("overwrite").partitionBy("release_name")
     if compress:
         writer = writer.option("compression", "gzip")
     writer.text(os.path.join(out_dir, "graphs"))
     release_bytesums(quads).write.mode("overwrite").json(
         os.path.join(out_dir, "bytesums")
+    )
+
+
+def write_release_canonical(quads: DataFrame, out_dir: str) -> None:
+    """Canonical-ordering variant: one file per release graph with lines in
+    lexicographic order (the skolemized graph has no blank labels left, so a
+    plain sort IS its canonical serialization — the RDFC ordering concern is
+    discharged by content-hash skolemization upstream). Deterministic bytes,
+    suitable for file-level diffing; the order-agnostic bytesum still matches
+    because addition commutes."""
+    named = with_release_name(quads).withColumn(
+        "line", F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit("."))
+    )
+    (
+        named.select("release_name", "line")
+        .repartition(F.col("release_name"))
+        .sortWithinPartitions("release_name", "line")
+        .write.mode("overwrite")
+        .partitionBy("release_name")
+        .text(os.path.join(out_dir, "graphs_canonical"))
     )
 
 
