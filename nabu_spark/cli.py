@@ -169,10 +169,18 @@ def main(argv: list[str] | None = None) -> int:
         quads = spark.read.parquet(args.quads)
         if "error_code" in quads.columns:
             quads = quads.filter(F.col("error_code").isNull())
+        from .operators.entitylink import extract_mentions, link_mentions, same_as_quads
+
         known = spark.read.parquet(args.dict_path)
-        res = link_and_canonicalize(quads, known, threshold=args.threshold)
-        res["linked"].write.mode("overwrite").parquet(os.path.join(args.out, "linked"))
-        res["same_as"].write.mode("overwrite").parquet(os.path.join(args.out, "same_as"))
+        mentions = extract_mentions(quads)
+        linked = link_mentions(mentions, known, threshold=args.threshold)
+        linked_path = os.path.join(args.out, "linked")
+        linked.write.mode("overwrite").parquet(linked_path)
+        # checkpoint: same_as derives from the written table, not a recompute
+        linked = spark.read.parquet(linked_path)
+        same_as_quads(linked, quads).write.mode("overwrite").parquet(
+            os.path.join(args.out, "same_as")
+        )
         n = spark.read.parquet(os.path.join(args.out, "same_as")).count()
         print(json.dumps({"cmd": "link", "same_as": n}))
         return 0

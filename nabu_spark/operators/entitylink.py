@@ -78,8 +78,15 @@ class DictionaryIndex:
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 self.buckets.setdefault((band, chunk.tobytes()), []).append(idx)
 
-    def link(self, mention: str, threshold: float = 0.5) -> tuple[str | None, float, str]:
-        """(iri, score, method) — method in {exact, fuzzy, none}."""
+    def link(
+        self, mention: str, threshold: float = 0.5, max_candidates: int = 64
+    ) -> tuple[str | None, float, str]:
+        """(iri, score, method) — method in {exact, fuzzy, none}.
+
+        Work per mention is bounded: candidates are ranked by band-collision
+        count and only the top ``max_candidates`` get an exact Jaccard — the
+        guardrail for degenerate dictionaries whose surface forms are
+        near-identical (all sharing buckets)."""
         norm = normalize_mention(mention)
         if norm in self.exact:
             return self.exact[norm], 1.0, "exact"
@@ -87,12 +94,14 @@ class DictionaryIndex:
         if not sh:
             return None, 0.0, "none"
         sig = minhash_signature(sh, self.a, self.b)
-        cand: set[int] = set()
+        collisions: dict[int, int] = {}
         for band in range(self.bands):
             chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-            cand.update(self.buckets.get((band, chunk.tobytes()), ()))
+            for idx in self.buckets.get((band, chunk.tobytes()), ()):
+                collisions[idx] = collisions.get(idx, 0) + 1
+        cand = sorted(collisions, key=lambda i: (-collisions[i], self.forms[i][0]))
         best_iri, best_j = None, 0.0
-        for idx in cand:
+        for idx in cand[:max_candidates]:
             iri, _, dsh = self.forms[idx]
             union = len(sh | dsh)
             j = len(sh & dsh) / union if union else 0.0
