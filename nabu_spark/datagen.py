@@ -158,11 +158,48 @@ def make_invalid_doc(i: int) -> dict:
     }
 
 
-def page_for(i: int) -> dict:
+def microdata_html_for(i: int, doc: dict) -> str:
+    """Microdata rendering of a place doc (JSON-LD-free page)."""
+    subj = doc["@id"]
+    lon, lat = _coords(i)
+    return (
+        "<!DOCTYPE html><html><head><title>md site</title></head><body>"
+        f'<div itemscope itemtype="https://schema.org/Place" itemid="{subj}">'
+        f'<h1 itemprop="name">{doc["name"]}</h1>'
+        f'<meta itemprop="description" content="{doc["description"]}">'
+        '<div itemprop="geo" itemscope itemtype="https://schema.org/GeoCoordinates">'
+        f'<meta itemprop="latitude" content="{lat}">'
+        f'<meta itemprop="longitude" content="{lon}"></div>'
+        "</div></body></html>"
+    )
+
+
+def rdfa_html_for(i: int, doc: dict) -> str:
+    """RDFa Lite rendering of a place doc."""
+    subj = doc["@id"]
+    return (
+        '<!DOCTYPE html><html><body vocab="https://schema.org/">'
+        f'<div about="{subj}" typeof="Place">'
+        f'<span property="name">{doc["name"]}</span>'
+        f'<meta property="description" content="{doc["description"]}">'
+        "</div></body></html>"
+    )
+
+
+def page_for(i: int, structured_fraction: float = 0.0) -> dict:
     host = _host_for(i)
     url = f"https://{host}/iow/demo/{i}"
     mode = _uniform(i, "mode")
     kind = _uniform(i, "kind")
+    if structured_fraction and _uniform(i, "structured") < structured_fraction:
+        doc = make_place_doc(i)
+        html = (
+            microdata_html_for(i, doc)
+            if _uniform(i, "sdkind") < 0.5
+            else rdfa_html_for(i, doc)
+        )
+        ts = EPOCH + timedelta(minutes=i % 525600)
+        return {"url": url, "warc_ts": ts, "html": html.encode(), "text": "", "lang": "en"}
     if kind < 0.55:
         doc = make_place_doc(i)
     elif kind < 0.75:
@@ -199,12 +236,19 @@ def page_for(i: int) -> dict:
     return {"url": url, "warc_ts": ts, "html": b"{}", "text": "", "lang": lang}
 
 
-def generate_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    structured_fraction: float = 0.0,
+) -> DataFrame:
+    """``structured_fraction`` > 0 mixes in JSON-LD-free pages annotated with
+    microdata/RDFa only (exercises the multi-format fallback path)."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [page_for(int(i)) for i in pdf["id"]]
+            rows = [page_for(int(i), structured_fraction) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, PAGES_SCHEMA)

@@ -149,6 +149,23 @@ class TestStructuredPipeline:
         errs2 = {r["error_code"] for r in out2 if r["error_code"]}
         assert "no_jsonld" in errs2
 
+    def test_mixed_corpus_with_fallback(self, spark):
+        from pyspark.sql import functions as F
+
+        from nabu_spark.datagen import generate_pages
+        from nabu_spark.pipeline import pages_to_quads_fused
+
+        pages = generate_pages(spark, 120, structured_fraction=0.3).cache()
+        no_fb = pages_to_quads_fused(pages, salt=False).cache()
+        fb = pages_to_quads_fused(pages, salt=False, fallback_structured=True).cache()
+        miss_no_fb = no_fb.filter(F.col("error_code") == "no_jsonld").count()
+        miss_fb = fb.filter(F.col("error_code") == "no_jsonld").count()
+        assert miss_no_fb > 10  # structured-only pages fail without fallback
+        assert miss_fb == 0  # ...and all recover with it
+        assert fb.filter(F.col("error_code").isNull()).count() > no_fb.filter(
+            F.col("error_code").isNull()
+        ).count()
+
     def test_shared_bnode_namespace(self):
         html = """<body vocab="https://schema.org/">
           <div itemscope itemtype="https://schema.org/Thing"><meta itemprop="name" content="a"></div>
