@@ -40,6 +40,7 @@ QUADS_SCHEMA = T.StructType(
 ERR_JSON_PARSE = "json_parse"
 ERR_JSONLD = "jsonld_convert"
 ERR_EMPTY_GRAPH = "empty_graph"
+ERR_INVALID_KEY = "invalid_key"
 
 
 def finish_quads(
@@ -51,7 +52,13 @@ def finish_quads(
         return [], ERR_EMPTY_GRAPH, 0
     if skolemize:
         triples = skolemize_terms(triples)
-    prov = "<" + make_urn(obj_key) + ">"
+    try:
+        # base64 keys can contain '//' (std alphabet); the reference's
+        # MakeURN errors per-object there (urn.go:31-49) — here that is a
+        # lineage error row, never a task failure
+        prov = "<" + make_urn(obj_key) + ">"
+    except ValueError:
+        return [], ERR_INVALID_KEY, 0
     quads = []
     dropped = 0
     for s, p, o in triples:

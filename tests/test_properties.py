@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the invariant-bearing kernels —
+a layer the reference's own test strategy lacks (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nabu_spark.functions.bytesum import MASK64, bytesum_lines
+from nabu_spark.functions.ntriples import (
+    canonical_double,
+    canonical_number,
+    escape_literal,
+    fmt_literal,
+    split_triple,
+    unescape_literal,
+)
+from nabu_spark.functions.skolem import skolemize_terms
+from nabu_spark.functions.urn import make_urn, object_key
+
+iri = st.from_regex(r"https?://[a-z]{1,10}\.org/[a-zA-Z0-9_\-]{1,12}", fullmatch=True)
+bnode = st.from_regex(r"_:b[0-9]{1,3}", fullmatch=True)
+literal_text = st.text(min_size=0, max_size=40)
+
+
+@st.composite
+def triple(draw):
+    s = draw(st.one_of(iri.map(lambda x: f"<{x}>"), bnode))
+    p = draw(iri.map(lambda x: f"<{x}>"))
+    o = draw(
+        st.one_of(
+            iri.map(lambda x: f"<{x}>"),
+            bnode,
+            literal_text.map(lambda t: fmt_literal(t)),
+        )
+    )
+    return (s, p, o)
+
+
+class TestSkolemProperties:
+    @given(st.lists(triple(), min_size=1, max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_no_blank_nodes_survive(self, triples):
+        out = skolemize_terms(triples)
+        for s, p, o in out:
+            assert not s.startswith("_:")
+            assert not o.startswith("_:")
+
+    @given(st.lists(triple(), min_size=1, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_order_invariant(self, triples):
+        a = set(skolemize_terms(triples))
+        b = set(skolemize_terms(list(reversed(triples))))
+        assert a == b
+
+    @given(st.lists(triple(), min_size=1, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_non_blank_terms_unchanged(self, triples):
+        out = skolemize_terms(triples)
+        for (s0, p0, o0), (s1, p1, o1) in zip(triples, out):
+            assert p0 == p1
+            if not s0.startswith("_:"):
+                assert s0 == s1
+            if not o0.startswith("_:"):
+                assert o0 == o1
+
+
+class TestLiteralProperties:
+    @given(literal_text)
+    @settings(max_examples=300)
+    def test_escape_roundtrip(self, s):
+        assert unescape_literal(escape_literal(s)) == s
+
+    @given(st.floats(allow_nan=False, allow_infinity=False))
+    @settings(max_examples=500)
+    def test_canonical_double_roundtrips(self, v):
+        lex = canonical_double(v)
+        assert float(lex) == v  # shortest-repr mantissa must round-trip
+
+    @given(st.floats(allow_nan=False, allow_infinity=False, min_value=-1e20, max_value=1e20))
+    @settings(max_examples=300)
+    def test_canonical_number_integer_rule(self, v):
+        lex, dtype = canonical_number(v)
+        if v == int(v) and abs(v) < 1e21:
+            assert dtype.endswith("integer") and lex == str(int(v))
+        else:
+            assert dtype.endswith("double") and "E" in lex
+
+    @given(literal_text.filter(lambda s: "\n" not in s and "\r" not in s))
+    @settings(max_examples=200)
+    def test_split_triple_inverse_of_format(self, s):
+        line = f'<https://a.org/s> <https://a.org/p> {fmt_literal(s)} .'
+        parts = split_triple(line)
+        assert parts == ("<https://a.org/s>", "<https://a.org/p>", fmt_literal(s))
+
+
+class TestBytesumProperties:
+    @given(st.lists(st.text(max_size=30), min_size=0, max_size=20))
+    @settings(max_examples=200)
+    def test_permutation_invariant(self, lines):
+        import random
+
+        shuffled = list(lines)
+        random.Random(0).shuffle(shuffled)
+        assert bytesum_lines(lines) == bytesum_lines(shuffled)
+
+    @given(st.lists(st.text(max_size=30), min_size=0, max_size=10),
+           st.lists(st.text(max_size=30), min_size=0, max_size=10))
+    @settings(max_examples=200)
+    def test_concat_additive(self, a, b):
+        assert bytesum_lines(a + b) == (bytesum_lines(a) + bytesum_lines(b)) & MASK64
+
+
+class TestUrnProperties:
+    @given(st.lists(st.from_regex(r"[a-zA-Z0-9_.\-]{1,10}", fullmatch=True), min_size=2, max_size=5))
+    @settings(max_examples=200)
+    def test_urn_segments(self, parts):
+        urn = make_urn("/".join(parts))
+        assert urn == "urn:iow:" + ":".join(parts)
+
+    @given(st.from_regex(r"https?://[a-z]{1,8}\.org/[a-zA-Z0-9/_\-]{0,20}", fullmatch=True),
+           st.from_regex(r"[a-z0-9_]{1,10}", fullmatch=True))
+    @settings(max_examples=300, deadline=None)
+    def test_doc_to_quads_never_raises_on_any_key(self, url, sitemap_id):
+        """Std-base64 keys may contain '//' which makes make_urn error (the
+        reference errors per-object, urn.go:31-49); the pipeline must turn
+        that into an error row, never a raised exception."""
+        from nabu_spark.operators.triples import doc_to_quads
+
+        key = object_key(sitemap_id, url)
+        doc = '{"@context":"https://schema.org/","@id":"https://x.org/1","name":"n"}'
+        quads, err, _ = doc_to_quads(doc, key)
+        if "//" in key:
+            assert err == "invalid_key" and quads == []
+        else:
+            assert err == "" and quads
+            assert all(g.startswith("<urn:iow:summoned:") for _, _, _, g in quads)
