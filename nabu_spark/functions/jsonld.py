@@ -73,13 +73,17 @@ class _TermDef:
 
 
 class Context:
-    __slots__ = ("terms", "vocab", "base", "language")
+    __slots__ = ("terms", "vocab", "base", "language", "expand_cache", "alias_cache")
 
     def __init__(self):
         self.terms: dict[str, _TermDef] = {}
         self.vocab: str | None = None
         self.base: str | None = None
         self.language: str | None = None
+        # per-context memos: shared contexts (the common web case) warm these
+        # across documents; workers are single-threaded so plain dicts are fine
+        self.expand_cache: dict = {}
+        self.alias_cache: dict = {}
 
     def copy(self) -> "Context":
         c = Context()
@@ -100,6 +104,27 @@ def _expand_iri(
 ) -> str | None:
     """JSON-LD IRI expansion (spec §5.2 subset). Returns an absolute IRI,
     a blank-node id (``_:x``), a keyword, or None (drop)."""
+    if local is None:
+        key = (value, vocab)
+        cached = ctx.expand_cache.get(key, _MISS)
+        if cached is not _MISS:
+            return cached
+        result = _expand_iri_uncached(ctx, value, vocab)
+        ctx.expand_cache[key] = result
+        return result
+    return _expand_iri_uncached(ctx, value, vocab, local, defined)
+
+
+_MISS = object()
+
+
+def _expand_iri_uncached(
+    ctx: Context,
+    value: str,
+    vocab: bool = False,
+    local: dict | None = None,
+    defined: dict | None = None,
+) -> str | None:
     if value in KEYWORDS:
         return value
     if value[:1] == "@" and _KEYWORD_FORM_RE.match(value):
@@ -268,12 +293,16 @@ def _node_subject(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
 
 def _alias_of(ctx: Context, key: str) -> str | None:
     """Resolve a key to a keyword if it is one or aliases one."""
+    cached = ctx.alias_cache.get(key, _MISS)
+    if cached is not _MISS:
+        return cached
     if key in KEYWORDS:
-        return key
-    td = ctx.terms.get(key)
-    if td and td.iri in KEYWORDS:
-        return td.iri
-    return None
+        result = key
+    else:
+        td = ctx.terms.get(key)
+        result = td.iri if (td and td.iri in KEYWORDS) else None
+    ctx.alias_cache[key] = result
+    return result
 
 
 # Processed-context cache for the common web-corpus case: millions of pages

@@ -43,6 +43,8 @@ from functools import lru_cache
 
 
 def escape_literal(value: str) -> str:
+    if _ESCAPE_RE.search(value) is None:  # overwhelmingly common fast path
+        return value
     return _ESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], value)
 
 
@@ -86,11 +88,24 @@ def canonical_double(v: float) -> str:
     if v == 0.0:
         # repr distinguishes -0.0
         return "-0.0E0" if repr(v).startswith("-") else "0.0E0"
-    d = Decimal(repr(v))
-    sign, digits, _ = d.as_tuple()
-    digstr = "".join(map(str, digits)).rstrip("0") or "0"
-    mantissa = digstr[0] + "." + (digstr[1:] or "0")
-    return ("-" if sign else "") + mantissa + "E" + str(d.adjusted())
+    # manual shortest-repr -> scientific normalization (Decimal is ~6x slower)
+    s = repr(v)
+    neg = s[0] == "-"
+    if neg:
+        s = s[1:]
+    if "e" in s:
+        mant, _, exp_s = s.partition("e")
+        exp = int(exp_s)
+    else:
+        mant, exp = s, 0
+    ip, _, fp = mant.partition(".")
+    alldigits = ip + fp
+    digits = alldigits.lstrip("0")
+    lead = len(alldigits) - len(digits)
+    adj = exp + len(ip) - 1 - lead
+    digits = digits.rstrip("0") or "0"
+    mantissa = digits[0] + "." + (digits[1:] or "0")
+    return ("-" if neg else "") + mantissa + "E" + str(adj)
 
 
 def canonical_number(v: int | float, datatype: str | None = None) -> tuple[str, str]:

@@ -59,17 +59,26 @@ def skolemize_terms(
 
     Operates on parsed terms (strictly safer than the reference's string
     replace on ``_:x `` / ``_:x .`` boundaries, urn.go:122-127) while keeping
-    the identical hash preimage: the preimage is computed from the serialized
-    line split on spaces, matching the reference byte-for-byte.
+    the identical hash preimage: subjects and predicates are space-free
+    terms, so the reference's space-split tokens [0],[1],[2] are exactly
+    (subj, pred, first-space-token-of-obj) — computed here without building
+    lines (tests lock equality with skolem_map_from_lines).
     """
-    lines = [f"{s} {p} {o} ." for s, p, o in triples]
-    mapping = skolem_map_from_lines(lines)
-    if not mapping:
-        return triples
-    out = []
+    contexts: dict[str, list[str]] = {}
     for s, p, o in triples:
-        out.append((mapping.get(s, s), p, mapping.get(o, o)))
-    return out
+        if s.startswith("_:"):
+            obj_token = o.split(" ", 1)[0]
+            contexts.setdefault(s, []).append(p + obj_token)
+        if o.startswith("_:"):
+            contexts.setdefault(o, []).append(s + p)
+    if not contexts:
+        return triples
+    mapping: dict[str, str] = {}
+    for bnode, ctxs in contexts.items():
+        ctxs.sort()
+        digest = hashlib.sha256("\n".join(ctxs).encode("utf-8")).hexdigest()
+        mapping[bnode] = f"<{SKOLEM_PREFIX}{digest}>"
+    return [(mapping.get(s, s), p, mapping.get(o, o)) for s, p, o in triples]
 
 
 def skolemize_nt(nt: str) -> str:
