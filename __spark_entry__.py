@@ -201,16 +201,12 @@ def q_warning_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bytesum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-agnostic bytesum (§2 #25, hash.go:29-51): commutative sum of
-    UTF-8 byte values per source partition — an exact distributed agg."""
+    true UTF-8 byte values per source partition, routed through the SAME
+    Arrow kernel the release sidecar uses (operators/release.py)."""
+    from nabu_spark.operators.release import utf8_bytesum
+
     docs = _load(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "source",
-        F.aggregate(
-            F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("doc_sum"),
-    )
+    per_doc = docs.select("source", utf8_bytesum(F.col("text")).alias("doc_sum"))
     return (
         per_doc.groupBy("source")
         .agg(F.sum("doc_sum").alias("bytesum"))
@@ -620,13 +616,18 @@ def oracle_sql() -> dict[str, str]:
             FROM agg ORDER BY event_type
         """,
         "bytesum": """
+            -- true UTF-8 byte-value sum: encode to BLOB, sum hex byte pairs
+            -- (DuckDB sum() yields HUGEINT; cast to BIGINT to match Spark long)
             WITH per_doc AS (
               SELECT source,
-                     (SELECT coalesce(sum(unicode(c)), 0)
-                      FROM unnest(split(text, '')) AS t(c)) AS doc_sum
+                     (SELECT CAST(coalesce(sum(
+                        CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS INTEGER)
+                      ), 0) AS BIGINT)
+                      FROM unnest(range(octet_length(encode(text)))) AS u(i)) AS doc_sum
               FROM documents
             )
-            SELECT source, sum(doc_sum) AS bytesum FROM per_doc GROUP BY source ORDER BY source
+            SELECT source, CAST(sum(doc_sum) AS BIGINT) AS bytesum
+            FROM per_doc GROUP BY source ORDER BY source
         """,
         "release_naming": """
             WITH prefixed AS (
@@ -652,10 +653,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   len(t) + coalesce(
+                   CAST(len(t) + coalesce(
                      (SELECT sum(CASE WHEN len(x) > 8
                                       THEN floor(len(x) / 4.0)::BIGINT ELSE 0 END)
-                      FROM unnest(t) AS u(x)), 0) AS token_count
+                      FROM unnest(t) AS u(x)), 0) AS BIGINT) AS token_count
             FROM toks ORDER BY doc_id
         """,
         "lang_id": """

@@ -31,7 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--no-resume", action="store_true")
 
     r = sub.add_parser("release", help="docs -> quads + release graphs + bytesums")
-    r.add_argument("--docs", required=True, help="docs parquet (from harvest)")
+    r.add_argument(
+        "--docs", required=True,
+        help="harvest output dir (reads its docs/ parquet subdirectory)",
+    )
     r.add_argument("--out", required=True)
     r.add_argument("--mainstems", help="mainstems dict parquet (enables enrichment)")
     r.add_argument("--no-resume", action="store_true")

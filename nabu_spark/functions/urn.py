@@ -41,14 +41,21 @@ def make_urn(s3_prefix: str) -> str:
     return urn
 
 
+def _text_before_last_dot(s: str) -> str:
+    """helpers.go getTextBeforeDot: LAST-dot semantics ('a.b.c' -> 'a.b')."""
+    n = s.rfind(".")
+    return s if n == -1 else s[:n]
+
+
 def make_release_nq_name(prefix: str) -> str:
-    """Route a storage prefix to its release-graph filename."""
+    """Route a storage prefix to its release-graph filename
+    (helpers.go:29-52: join tail segments with '_', path.Base, text before
+    the LAST dot — no underscore stripping)."""
     parts = prefix.split("/")
     if len(parts) <= 1:
         raise ValueError(f"prefix {prefix} did not contain a slash and thus is ambiguous")
-    tail = "_".join(parts[1:]).rstrip("_")
-    base = tail.split("/")[-1]
-    name = base.split(".")[0] if base else ""
+    base = "_".join(parts[1:])
+    name = _text_before_last_dot(base) if base else ""
     if "summoned" in parts and name:
         return f"{name}_release.nq"
     if "prov" in parts and name:

@@ -37,11 +37,18 @@ def normalize_mention(s: str) -> str:
 
 
 def char_shingles(s: str, k: int = 3) -> set[int]:
-    s = normalize_mention(s)
-    if len(s) < k:
-        return {hash(s) & 0x7FFFFFFFFFFFFFFF} if s else set()
     import hashlib
 
+    s = normalize_mention(s)
+    if len(s) < k:
+        # md5 here too: the dictionary index is built driver-side (random
+        # PYTHONHASHSEED) while mentions hash in executors (seed pinned 0) —
+        # builtin hash() would silently never match short surface forms
+        return (
+            {int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")}
+            if s
+            else set()
+        )
     return {
         int.from_bytes(hashlib.md5(s[i : i + k].encode()).digest()[:8], "big")
         for i in range(len(s) - k + 1)

@@ -50,17 +50,25 @@ def with_release_name(quads: DataFrame) -> DataFrame:
     )
 
 
-def _line_bytesum_fn(lines: pd.Series) -> pd.Series:
-    # +10 per line for the trailing '\n' of the concatenated release stream
-    out = np.empty(len(lines), dtype=np.int64)
-    for i, s in enumerate(lines):
-        b = s.encode("utf-8")
-        out[i] = int(np.frombuffer(b, dtype=np.uint8).sum()) + 10
+def _utf8_bytesum_fn(texts: pd.Series) -> pd.Series:
+    """Sum of UTF-8 byte VALUES per string — the reference's order-agnostic
+    hash kernel (hash.go:29-51 sums the bytes of each object's content)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        b = (s or "").encode("utf-8")
+        out[i] = int(np.frombuffer(b, dtype=np.uint8).sum())
     return pd.Series(out)
 
 
+def utf8_bytesum(col):
+    """Arrow-vectorized UTF-8 byte-value sum column (the real kernel; also
+    used by the driver-contract ``bytesum`` query)."""
+    return F.pandas_udf(_utf8_bytesum_fn, "long")(col)
+
+
 def _line_bytesum(col):
-    return F.pandas_udf(_line_bytesum_fn, "long")(col)
+    # +10 per line for the trailing '\n' of the concatenated release stream
+    return utf8_bytesum(col) + F.lit(10)
 
 
 def release_bytesums(quads: DataFrame) -> DataFrame:

@@ -28,10 +28,16 @@ def page_structured_quads(
         return [], "empty_body"
     bnodes = _BnodeGen("sd")
     triples = []
-    if "microdata" in formats:
-        triples.extend(extract_microdata(body, base=url, bnodes=bnodes))
-    if "rdfa" in formats:
-        triples.extend(extract_rdfa(body, base=url, bnodes=bnodes))
+    # row-level garbage must become lineage rows, never task failures: the
+    # extract walks are recursive, so one hostile deeply-nested page would
+    # otherwise RecursionError the whole task (ADVICE r01, medium)
+    try:
+        if "microdata" in formats:
+            triples.extend(extract_microdata(body, base=url, bnodes=bnodes))
+        if "rdfa" in formats:
+            triples.extend(extract_rdfa(body, base=url, bnodes=bnodes))
+    except Exception:
+        return [], "structured_parse"
     if not triples:
         return [], ERR_NO_STRUCTURED
     quads, err, _ = finish_quads(triples, object_key(sitemap_id, url))

@@ -68,6 +68,14 @@ def parse_sitemap_index(xml_text: str) -> list[dict]:
                 except ValueError:
                     pass
         if entry["loc"]:
+            if not entry["sitemap_id"]:
+                # NewSitemapIndex errors on any <sitemap> missing the
+                # geoconnex sitemap_id (sitemap_index.go:102-106) — null ids
+                # would otherwise poison object keys and URNs downstream
+                raise ValueError(
+                    f"sitemap at index {len(entries)} with loc {entry['loc']} "
+                    "is missing a geoconnex:sitemap_id field"
+                )
             entries.append(entry)
     if not entries:
         raise ValueError("sitemap index contains no sitemaps")

@@ -69,7 +69,9 @@ def start_streaming_lineage(
     late arrivals within the watermark still count."""
     pages = read_pages_stream(spark, pages_dir)
     counts = (
-        pages.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        # try_parse_url like the batch path: malformed URLs become null-host
+        # lineage rows instead of failing the streaming query under ANSI mode
+        pages.withColumn("host", F.try_parse_url(F.col("url"), F.lit("HOST")))
         .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("win"), F.col("host"))
         .agg(F.count("*").alias("urls_in"))

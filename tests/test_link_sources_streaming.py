@@ -184,3 +184,17 @@ class TestStreaming:
         total = lin.agg(F.sum("urls_in")).first()[0]
         assert total is not None and 0 < total <= 50
         assert lin.select("window_start", "host", "urls_in").count() == lin.count()
+
+
+def test_sitemap_index_missing_id_raises():
+    # NewSitemapIndex errors when a <sitemap> lacks a geoconnex sitemap_id
+    # (sitemap_index.go:102-106)
+    import pytest
+
+    from nabu_spark.sources.sitemap import parse_sitemap_index
+
+    xml = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <sitemap><loc>https://x.org/a.xml</loc></sitemap>
+    </sitemapindex>"""
+    with pytest.raises(ValueError, match="sitemap_id"):
+        parse_sitemap_index(xml)

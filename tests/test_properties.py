@@ -135,3 +135,40 @@ class TestUrnProperties:
         else:
             assert err == "" and quads
             assert all(g.startswith("<urn:iow:summoned:") for _, _, _, g in quads)
+
+
+class TestCrossProcessDeterminism:
+    """Band/shingle hashes must not depend on PYTHONHASHSEED: the dictionary
+    index is built driver-side (randomized seed) while executor workers run
+    with Spark's pinned seed — builtin hash() would silently split buckets
+    (VERDICT r01 'What's wrong' #3)."""
+
+    _CODE = (
+        "from nabu_spark.operators.dedup import ("
+        "_perm_params, minhash_signature, _band_mixers, band_hashes, shingles_of);"
+        "from nabu_spark.operators.entitylink import char_shingles;"
+        "a,b=_perm_params(128);"
+        "sig=minhash_signature(shingles_of('the quick brown fox jumps over the lazy dog and runs away'),a,b);"
+        "print(band_hashes(sig,32,_band_mixers(4)).tolist());"
+        "print(sorted(char_shingles('ab')));"
+        "print(sorted(char_shingles('municipal water district')))"
+    )
+
+    def test_band_and_shingle_hashes_stable_across_hashseed(self):
+        import os
+        import subprocess
+        import sys
+
+        outs = []
+        for seed in ("1", "271828"):
+            env = dict(os.environ, PYTHONHASHSEED=seed)
+            r = subprocess.run(
+                [sys.executable, "-c", self._CODE],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd="/root/repo",
+            )
+            assert r.returncode == 0, r.stderr
+            outs.append(r.stdout)
+        assert outs[0] == outs[1]

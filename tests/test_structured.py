@@ -173,3 +173,30 @@ class TestStructuredPipeline:
         t = extract_structured_triples(html)
         bnodes = {s for s, _, _ in t if s.startswith("_:")}
         assert len(bnodes) == 2  # distinct bnodes across formats
+
+
+class TestHostileInput:
+    def test_deeply_nested_page_becomes_lineage_row(self):
+        # one hostile page with thousands of nested tags must yield a
+        # structured_parse lineage row, never a RecursionError task failure
+        depth = 4000
+        html = (
+            '<html><body><div itemscope itemtype="https://schema.org/Thing">'
+            + "<div>" * depth
+            + "x"
+            + "</div>" * depth
+            + "</div></body></html>"
+        )
+        quads, err = page_structured_quads(
+            html.encode(), "https://hostile.org/p", "sm"
+        )
+        assert quads == []
+        assert err in ("structured_parse", "no_structured_data")
+        # and a well-formed page still parses after the guard
+        ok_html = (
+            '<html><body><div itemscope itemtype="https://schema.org/Thing">'
+            '<span itemprop="name">n</span></div></body></html>'
+        )
+        quads, err = page_structured_quads(ok_html.encode(), "https://ok.org/p", "sm")
+        assert err == "" or err is None or not err
+        assert quads

@@ -42,6 +42,14 @@ class TestUrn:
         with pytest.raises(ValueError):
             make_release_nq_name("unknown/x")
 
+    def test_release_naming_dotted_prefix(self):
+        # getTextBeforeDot (helpers.go:19-25) uses the LAST dot and the
+        # joined tail keeps trailing underscores (helpers_test.go:15-24)
+        assert make_release_nq_name("summoned/a.b.c") == "a.b_release.nq"
+        assert make_release_nq_name("summoned/test.go.go") == "test.go_release.nq"
+        assert make_release_nq_name("summoned/a/b.x") == "a_b_release.nq"
+        assert make_release_nq_name("prov/x_") == "x__prov.nq"
+
 
 class TestBytesum:
     def test_simple(self):
