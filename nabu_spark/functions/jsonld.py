@@ -43,12 +43,28 @@ KEYWORDS = {
 }
 _KEYWORD_FORM_RE = re.compile(r"^@[A-Za-z]+$")
 
-# Offline context cache: context IRI -> parsed @context value. The schema.org
-# context is functionally a vocab mapping for the property/type IRIs our
-# corpora use; extend via register_context().
+def _schemaorg_context() -> Any:
+    """The real schema.org context: @vocab plus the per-term @id/Date/
+    DateTime coercions json-gold applies (e.g. ``schema:url``/``schema:sameAs``
+    values become IRIs, not string literals). Derived from the public
+    vocabulary dump by scripts/derive_schemaorg_context.py — the analogue of
+    the reference preloading assets/schemaorg-current-https.jsonld into its
+    document loader (/root/reference/internal/common/jsonld.go:21-54)."""
+    from ..assets.schemaorg_context import schemaorg_context
+
+    return schemaorg_context()
+
+
+# Offline context cache: context IRI -> parsed @context value. Never touches
+# the network (the analogue of the reference's CachingDocumentLoader with
+# PrefixToFileCache); extend via register_context()/register_context_file().
 _CONTEXT_CACHE: dict[str, Any] = {
-    "https://schema.org/": {"@vocab": "https://schema.org/"},
-    "https://schema.org": {"@vocab": "https://schema.org/"},
+    "https://schema.org/": _schemaorg_context(),
+    "https://schema.org": _schemaorg_context(),
+    "https://schema.org/docs/jsonldcontext.jsonld": _schemaorg_context(),
+    "https://schema.org/docs/jsonldcontext.json": _schemaorg_context(),
+    # http:// variants keep the http vocab so non-standardized docs keep
+    # their http IRIs (the standardization pass maps these to https first)
     "http://schema.org/": {"@vocab": "http://schema.org/"},
     "http://schema.org": {"@vocab": "http://schema.org/"},
 }
@@ -56,6 +72,21 @@ _CONTEXT_CACHE: dict[str, Any] = {
 
 def register_context(iri: str, context_value: Any) -> None:
     _CONTEXT_CACHE[iri] = context_value
+
+
+def register_context_file(iri: str, path: str) -> None:
+    """Preload a local JSON-LD document as the offline context for ``iri`` —
+    the analogue of the reference's ``--prefixes-to-file`` PrefixToFileCache
+    (cmd/nabu/main.go:70, jsonld.go:35-52). Accepts either a bare context
+    value or a full document (its ``@context`` member is used), so pointing
+    it at a vocabulary dump like schemaorg-current-https.jsonld reproduces
+    the reference's preload semantics exactly."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    value = doc.get("@context", doc) if isinstance(doc, dict) else doc
+    register_context(iri, value)
 
 
 class JsonLdError(ValueError):

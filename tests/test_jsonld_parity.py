@@ -168,3 +168,71 @@ class TestStandardize:
         out = standardize_jsonld_context(doc)["@context"]
         assert out[0] == "https://schema.org/"
         assert out[1]["hyf"] == "https://www.opengis.net/def/schema/hy_features/hyf/"
+
+
+class TestSchemaOrgContextCoercions:
+    """The registered https://schema.org context must apply the real served
+    context's term coercions (derived from the public vocabulary dump the
+    reference preloads, jsonld.go:21-54): URL-ranged properties coerce values
+    to IRIs, Date/DateTime-ranged properties type their literals."""
+
+    DOC = {
+        "@context": "https://schema.org",
+        "@id": "https://example.org/thing/1",
+        "@type": "Dataset",
+        "name": "a name",
+        "url": "https://example.org/page",
+        "sameAs": "https://wikidata.org/Q1",
+        "startDate": "2020-01-02",
+        "contentSize": "12kb",
+    }
+
+    def test_url_and_sameas_become_iris(self):
+        t = jsonld_to_triples(self.DOC)
+        objs = {p: o for _, p, o in t}
+        assert objs["<https://schema.org/url>"] == "<https://example.org/page>"
+        assert objs["<https://schema.org/sameAs>"] == "<https://wikidata.org/Q1>"
+        # Text-ranged properties stay plain literals
+        assert objs["<https://schema.org/name>"] == '"a name"'
+        assert objs["<https://schema.org/contentSize>"] == '"12kb"'
+        # Date-ranged properties get the schema:Date datatype (served context)
+        assert (
+            objs["<https://schema.org/startDate>"]
+            == '"2020-01-02"^^<https://schema.org/Date>'
+        )
+        # unprefixed terms still expand through @vocab
+        assert (
+            "<https://schema.org/Dataset>"
+            in {o for _, p, o in t if "rdf-syntax-ns#type" in p}
+        )
+
+    def test_trailing_slash_and_jsonldcontext_variants(self):
+        for ctx in (
+            "https://schema.org/",
+            "https://schema.org/docs/jsonldcontext.jsonld",
+        ):
+            doc = dict(self.DOC, **{"@context": ctx})
+            t = jsonld_to_triples(doc)
+            objs = {p: o for _, p, o in t}
+            assert objs["<https://schema.org/url>"] == "<https://example.org/page>"
+
+    def test_register_context_file_vocab_dump(self, tmp_path):
+        # PrefixToFileCache analogue: preloading a full document uses its
+        # @context member (reproduces the reference's vocab-dump preload)
+        import json as _json
+
+        from nabu_spark.functions.jsonld import register_context, register_context_file
+
+        p = tmp_path / "ctx.jsonld"
+        p.write_text(_json.dumps({"@context": {"ex": "https://ex.org/ns#"},
+                                  "@graph": []}))
+        register_context_file("https://ctx.example.org/v1", str(p))
+        doc = {
+            "@context": "https://ctx.example.org/v1",
+            "@id": "https://example.org/x",
+            "ex:p": "v",
+        }
+        t = jsonld_to_triples(doc)
+        assert t == [("<https://example.org/x>", "<https://ex.org/ns#p>", '"v"')]
+        # restore isolation for other tests
+        register_context("https://ctx.example.org/v1", None)
