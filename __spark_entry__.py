@@ -408,14 +408,27 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-# rows-only checks (numpy-backed operators; no portable SQL equivalent)
+# ANN / near-dup gate instantiations. The operators are probabilistic by
+# design; the gate instantiates them at HIGH-RECALL parameters (more bands /
+# probes / tables than the scale defaults) so their output provably equals
+# the exact all-pairs answer on the gate corpus, and the DuckDB oracle is
+# that exact answer. Scale-default recall (>=0.8 at bounded candidates)
+# stays asserted in tests/test_training_ops.py.
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import minhash_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
+    # r=2 rows/band x 64 bands: P(miss | J>=0.5) = (1-0.25)^64 ~ 1e-8, so
+    # banding recall is total on the gate corpus and the exact-Jaccard
+    # verification stage makes the output identical to the all-pairs oracle
+    out = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5, num_perm=128, bands=64
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +444,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import embedding_near_dups
 
     emb = _load(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.4, n_planes=8).orderBy("id_a", "id_b")
+    # 32 bands x 2 planes: P(miss | cos>=0.4) = (1-0.4^2)^32 ~ 1e-7 on the
+    # gate corpus -> candidate recall is total, exact-cosine verify makes
+    # the output the all-pairs answer
+    out = embedding_near_dups(emb, threshold=0.4, bands=32, planes_per_band=2)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +458,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.orderBy("vec_id").limit(5)
-    return lsh_topk(emb, queries_df, k=5).select(
+    # 8 tables x 4 planes, hamming<=1 probes: empirically exhaustive-recall
+    # on the gate corpus (scripts/tune_ann_gate.py), so DuckDB's exact
+    # top-k is the oracle
+    return lsh_topk(
+        emb, queries_df, k=5, n_planes=4, n_probes=4, n_tables=8
+    ).select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
 
@@ -449,7 +473,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.orderBy("vec_id").limit(5)
-    return ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4).select(
+    # the gate corpus is near-uniform (max pairwise cosine ~0.5, no cluster
+    # structure), so ANY partial probe drops true neighbors; the gate runs
+    # exhaustive-probe (n_probe == n_clusters) to verify the train/assign/
+    # probe/re-rank machinery exactly — partial-probe recall is asserted in
+    # tests/test_training_ops.py on clustered data
+    return ivf_topk(emb, queries_df, k=5, n_clusters=8, n_probe=8).select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
 
@@ -531,6 +560,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline": q_kg_pipeline,
         "structured_pipeline": q_structured_pipeline,
     }
+
+
+_EXACT_TOPK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.embedding) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.query_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -898,24 +949,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, CAST(mh AS BIGINT) AS fingerprint_hash
             FROM sel ORDER BY id, fingerprint_hash
         """,
-        "cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings ORDER BY vec_id LIMIT 5
-            ), scored AS (
-              SELECT q.query_id, c.vec_id AS neighbor_id,
-                     list_dot_product(q.qv, c.embedding) /
-                       (sqrt(list_dot_product(q.qv, q.qv)) *
-                        sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
-              FROM q CROSS JOIN embeddings c
-              WHERE q.query_id <> c.vec_id
-            ), ranked AS (
-              SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cos DESC, neighbor_id) AS rank
-              FROM scored
+        "minhash_dedup": """
+            -- exact all-pairs 5-token-shingle Jaccard: the gate banding
+            -- (r=2, b=64) has ~1e-8 miss probability at J>=0.5, so the
+            -- verified LSH output equals this exact answer
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), nonempty AS (
+              SELECT * FROM toks WHERE len(t) > 0
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
+                FROM nonempty, unnest(range(1, len(t) - 3)) AS u(i)
+                WHERE len(t) >= 5
+                UNION ALL
+                SELECT doc_id, array_to_string(t, ' ') AS s
+                FROM nonempty WHERE len(t) < 5
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
             )
-            SELECT query_id, neighbor_id, cosine, rank
-            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+            ORDER BY id_a, id_b
         """,
+        "embedding_near_dups": """
+            -- exact all-pairs cosine near-dups: the gate banding (2 planes x
+            -- 32 bands) has ~1e-7 miss probability at cos>=0.4
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.embedding, b.embedding) /
+                       (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                        sqrt(list_dot_product(b.embedding, b.embedding))) AS c
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 4) AS cosine
+            FROM p WHERE c >= 0.4 ORDER BY id_a, id_b
+        """,
+        "multimodal_decode": """
+            -- the synthetic media corpus is deterministic in media_id, so
+            -- the decoded header is independently recomputable: type=i%3,
+            -- width=16+(i%8)*16, height=16+(i%5)*16, frames=1|8+i%24,
+            -- payload = 4x sha256 digest = 128 bytes
+            SELECT i AS media_id,
+                   (['image','audio','video'])[(i % 3) + 1] AS media_type,
+                   CAST(16 + (i % 8) * 16 AS INTEGER) AS width,
+                   CAST(16 + (i % 5) * 16 AS INTEGER) AS height,
+                   CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + i % 24 END AS INTEGER)
+                     AS n_frames,
+                   CAST(128 AS BIGINT) AS payload_bytes,
+                   CAST(NULL AS VARCHAR) AS decode_error
+            FROM range(0, 200) AS r(i)
+            ORDER BY media_id
+        """,
+        "cosine_topk": _EXACT_TOPK_SQL,
+        # the gate instantiations of both ANN paths are exhaustive-recall on
+        # this corpus (see queries above), so the exact top-k is their oracle
+        "lsh_topk": _EXACT_TOPK_SQL,
+        "ivf_topk": _EXACT_TOPK_SQL,
     }

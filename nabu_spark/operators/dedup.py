@@ -341,36 +341,54 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    bands: int = 16,
+    planes_per_band: int = 8,
+    n_planes: int | None = None,  # legacy alias: single band of n planes
     seed: int = 42,
 ) -> DataFrame:
-    """Cosine near-dup via random-hyperplane LSH: bucket on the sign
-    signature, verify exact cosine inside buckets."""
+    """Cosine near-dup via banded random-hyperplane LSH (OR-construction):
+    ``bands`` independent sign signatures of ``planes_per_band`` hyperplanes
+    each; a pair is a candidate when ANY band bucket matches, then exact
+    cosine verifies. Recall for pairs at cosine c is
+    1 - (1 - (1 - acos(c)/pi)^planes_per_band)^bands — the two knobs trade
+    candidate volume against recall, and every stage stays an equi-join."""
+    if n_planes is not None:
+        bands, planes_per_band = 1, n_planes
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = first["d"]
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(bands * planes_per_band, dim))
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
 
     def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(vecs) == 0:
-                yield pd.DataFrame({"id": [], "bucket": []})
+                yield pd.DataFrame({"id": [], "band": [], "bucket": []})
                 continue
-            signs = (vecs @ planes.T) > 0
-            buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            signs = (vecs @ planes.T) > 0  # (n, bands*planes_per_band)
+            sig = signs.reshape(len(vecs), bands, planes_per_band)
+            buckets = (sig * weights[None, None, :]).sum(axis=2)  # (n, bands)
+            ids = np.repeat(pdf[id_col].to_numpy().astype("int64"), bands)
             yield pd.DataFrame(
-                {"id": pdf[id_col].astype("int64"), "bucket": buckets.astype("int64")}
+                {
+                    "id": ids,
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(vecs)),
+                    "bucket": buckets.ravel().astype("int64"),
+                }
             )
 
     sig = emb.select(id_col, vec_col).mapInPandas(
-        sig_batches, "id long, bucket long"
+        sig_batches, "id long, band int, bucket long"
     )
     a, b = sig.alias("a"), sig.alias("b")
     cands = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
 
     vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
