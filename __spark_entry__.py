@@ -514,6 +514,44 @@ def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# self-contained gate shapes for the SHACL contract query (the full
+# reference shape file is exercised against its own valid/invalid corpus in
+# tests/test_shacl.py — this instantiation runs the same evaluator on the
+# driver's documents-derived graphs with an SQL-predictable outcome)
+_GATE_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:DatasetShape a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ;
+                  sh:datatype xsd:string ] ;
+    sh:property [ sh:path schema:contentSize ; sh:maxCount 1 ;
+                  sh:datatype xsd:integer ] ;
+    sh:property [ sh:path schema:inLanguage ;
+                  sh:pattern "^(en|es)$" ;
+                  sh:message "gate languages only" ] .
+"""
+
+
+def q_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SHACL-lite validation (§2 #35, shacl.go:69-94 semantics) over
+    the documents-derived KG graphs: per-graph conformance + violation
+    count, evaluated distributed (groupBy prov + applyInPandas)."""
+    from nabu_spark.operators.shacl import shacl_validate_quads
+    from nabu_spark.pipeline import pages_to_quads_fused
+    from nabu_spark.sources.documents import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    quads = pages_to_quads_fused(pages, salt=False).filter(
+        F.col("error_code").isNull()
+    )
+    out = shacl_validate_quads(quads, _GATE_SHAPES_TTL)
+    return out.select("prov", "conforms", "n_violations").orderBy("prov")
+
+
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship KG pipeline over pages synthesized from the documents table."""
     from nabu_spark.pipeline import pages_to_quads_fused
@@ -557,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "winnowing": q_winnowing,
         "multimodal_decode": q_multimodal_decode,
+        "shacl": q_shacl,
         "kg_pipeline": q_kg_pipeline,
         "structured_pipeline": q_structured_pipeline,
     }
@@ -819,6 +858,22 @@ def oracle_sql() -> dict[str, str]:
             FROM points JOIN boxes
               ON px >= minx AND px <= maxx AND py >= miny AND py <= maxy
             GROUP BY n_name ORDER BY n_name
+        """,
+        "shacl": """
+            -- the gate shapes on the documents-derived graphs reduce to:
+            -- name present+string (always true here), contentSize single
+            -- integer literal (true), inLanguage matches ^(en|es)$ -> the
+            -- only discriminating constraint, recomputable from lang
+            SELECT '<urn:iow:' || replace(
+                     'summoned/corpus' || (doc_id % 10) || '_example_org/' ||
+                     to_base64(('https://corpus' || (doc_id % 10) ||
+                                '.example.org/doc/' || doc_id)::BLOB) ||
+                     '.jsonld', '/', ':') || '>' AS prov,
+                   lang IN ('en', 'es') AS conforms,
+                   CAST(CASE WHEN lang IN ('en', 'es') THEN 0 ELSE 1 END
+                        AS INTEGER) AS n_violations
+            FROM documents
+            ORDER BY prov
         """,
         "kg_pipeline": """
             -- the flagship pipeline on documents-derived pages is fully

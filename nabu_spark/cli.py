@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out", required=True)
     st.add_argument("--formats", default="microdata,rdfa")
 
+    v = sub.add_parser("validate", help="SHACL-lite validation per document graph")
+    v.add_argument("--quads", required=True)
+    v.add_argument("--shapes", required=True, help="SHACL shapes turtle file")
+    v.add_argument("--out", required=True)
+    v.add_argument(
+        "--exit-on-failure", action="store_true",
+        help="non-zero exit when any graph fails (reference --exit-on-shacl-failure)",
+    )
+
     ln = sub.add_parser("link", help="entity-link quads against a known-IRI dict")
     ln.add_argument("--quads", required=True)
     ln.add_argument("--dict", required=True, dest="dict_path")
@@ -165,6 +174,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"cmd": "structured", "quads": n}))
         return 0
+
+    if args.cmd == "validate":
+        from .operators.shacl import shacl_validate_quads
+
+        quads = spark.read.parquet(args.quads)
+        if "error_code" in quads.columns:
+            quads = quads.filter(F.col("error_code").isNull())
+        with open(args.shapes) as fh:
+            shapes_ttl = fh.read()
+        report = shacl_validate_quads(quads, shapes_ttl)
+        report.write.mode("overwrite").parquet(os.path.join(args.out, "shacl_report"))
+        report = spark.read.parquet(os.path.join(args.out, "shacl_report"))
+        fails = report.filter(~F.col("conforms")).count()
+        total = report.count()
+        print(json.dumps({"cmd": "validate", "graphs": total, "failures": fails}))
+        # failures are warnings unless --exit-on-failure (shacl.go:29-46)
+        return 1 if (args.exit_on_failure and fails) else 0
 
     if args.cmd == "link":
         from .operators.entitylink import link_and_canonicalize

@@ -1,0 +1,308 @@
+"""Native SHACL-lite validation over document graphs.
+
+Re-expresses the reference's SHACL service (goRDFlib shacl behind gRPC,
+/root/reference/shacl_validator/shacl_validator_go/shacl.go:69-94) as a
+self-contained evaluator, covering the constraint vocabulary its shipped
+shape file uses (shapes/geoconnex.ttl): sh:targetClass / sh:targetObjectsOf,
+property shapes with sh:path, sh:minCount / sh:maxCount, sh:datatype,
+sh:pattern, sh:nodeKind (sh:IRI), sh:node (nested shapes), node- and
+value-level sh:or over sh:class / sh:datatype alternatives, sh:message.
+
+Validation semantics mirror shacl.go Validate(): first the structural
+pre-check (a node typed schema:Place or schema:Dataset must exist,
+shacl.go:78-92), then shape conformance; any violation -> conforms=false.
+
+Spark shape: document graphs are independent, so distributed validation is
+one groupBy(prov) + applyInPandas — graph-local evaluation, no cross-graph
+state, and the per-graph evaluator is the same pure function the driver uses
+for single documents. The gate corpus classification
+(shacl_validator/testdata/{valid,invalid}) is asserted in
+tests/test_shacl.py, mirroring shacl_test.go:29-96.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.ntriples import unescape_literal
+from ..functions.turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, parse_turtle
+
+SH = "http://www.w3.org/ns/shacl#"
+XSD_STRING = "<http://www.w3.org/2001/XMLSchema#string>"
+SCHEMA_PLACE = "<https://schema.org/Place>"
+SCHEMA_DATASET = "<https://schema.org/Dataset>"
+
+PRECHECK_MESSAGE = "Data must be of @type schema:Place or schema:Dataset"
+
+
+def _sh(local: str) -> str:
+    return f"<{SH}{local}>"
+
+
+@dataclass
+class PropertyShape:
+    path: str
+    min_count: int | None = None
+    max_count: int | None = None
+    datatype: str | None = None
+    pattern: str | None = None
+    node_kind: str | None = None
+    node: str | None = None  # shape id (IRI or bnode) evaluated recursively
+    or_alternatives: list[dict] = field(default_factory=list)
+    message: str | None = None
+
+
+@dataclass
+class NodeShape:
+    shape_id: str
+    target_classes: list[str] = field(default_factory=list)
+    target_objects_of: list[str] = field(default_factory=list)
+    or_alternatives: list[dict] = field(default_factory=list)
+    properties: list[PropertyShape] = field(default_factory=list)
+
+
+class ShapesGraph:
+    """Compiled shapes: evaluate against any graph of N-Triples term
+    triples. Shape graphs are tiny; compilation happens once driver-side."""
+
+    def __init__(self, triples: list[tuple[str, str, str]]):
+        self._spo: dict[str, dict[str, list[str]]] = {}
+        for s, p, o in triples:
+            self._spo.setdefault(s, {}).setdefault(p, []).append(o)
+        self.shapes: dict[str, NodeShape] = {}
+        for s, po in self._spo.items():
+            if _sh("NodeShape") in po.get(RDF_TYPE, []):
+                self.shapes[s] = self._compile_node_shape(s)
+
+    # -- compilation --------------------------------------------------------
+
+    def _objs(self, s: str, p: str) -> list[str]:
+        return self._spo.get(s, {}).get(p, [])
+
+    def _list_items(self, head: str) -> list[str]:
+        items = []
+        while head != RDF_NIL:
+            first = self._objs(head, RDF_FIRST)
+            if not first:
+                break
+            items.append(first[0])
+            rest = self._objs(head, RDF_REST)
+            head = rest[0] if rest else RDF_NIL
+        return items
+
+    def _or_alts(self, shape_id: str) -> list[dict]:
+        alts = []
+        for head in self._objs(shape_id, _sh("or")):
+            for alt in self._list_items(head):
+                d = {}
+                cls = self._objs(alt, _sh("class"))
+                if cls:
+                    d["class"] = cls[0]
+                dt = self._objs(alt, _sh("datatype"))
+                if dt:
+                    d["datatype"] = dt[0]
+                if d:
+                    alts.append(d)
+        return alts
+
+    def _int(self, shape_id: str, pred: str) -> int | None:
+        vals = self._objs(shape_id, _sh(pred))
+        if not vals:
+            return None
+        return int(unescape_literal(re.sub(r'^"|"(\^\^<[^>]*>)?$', "", vals[0])))
+
+    def _compile_node_shape(self, s: str) -> NodeShape:
+        shape = NodeShape(shape_id=s)
+        shape.target_classes = self._objs(s, _sh("targetClass"))
+        shape.target_objects_of = self._objs(s, _sh("targetObjectsOf"))
+        shape.or_alternatives = self._or_alts(s)
+        for ps in self._objs(s, _sh("property")):
+            paths = self._objs(ps, _sh("path"))
+            if not paths:
+                continue
+            prop = PropertyShape(path=paths[0])
+            prop.min_count = self._int(ps, "minCount")
+            prop.max_count = self._int(ps, "maxCount")
+            dt = self._objs(ps, _sh("datatype"))
+            prop.datatype = dt[0] if dt else None
+            pat = self._objs(ps, _sh("pattern"))
+            if pat:
+                prop.pattern = unescape_literal(pat[0][1:-1])
+            nk = self._objs(ps, _sh("nodeKind"))
+            prop.node_kind = nk[0] if nk else None
+            node = self._objs(ps, _sh("node"))
+            prop.node = node[0] if node else None
+            prop.or_alternatives = self._or_alts(ps)
+            msg = self._objs(ps, _sh("message"))
+            prop.message = unescape_literal(msg[0][1:-1]) if msg else None
+            shape.properties.append(prop)
+        return shape
+
+    def node_shape(self, shape_id: str) -> NodeShape:
+        """A shape referenced by sh:node — may be an inline bnode shape that
+        is not itself declared ``a sh:NodeShape``."""
+        if shape_id not in self.shapes:
+            self.shapes[shape_id] = self._compile_node_shape(shape_id)
+        return self.shapes[shape_id]
+
+
+def parse_shapes(ttl_text: str) -> ShapesGraph:
+    return ShapesGraph(parse_turtle(ttl_text))
+
+
+# -- evaluation ---------------------------------------------------------------
+
+
+def _is_iri(term: str) -> bool:
+    return term.startswith("<")
+
+
+def _is_literal(term: str) -> bool:
+    return term.startswith('"')
+
+
+def _literal_parts(term: str) -> tuple[str, str]:
+    """(lexical form unescaped, datatype IRI term). Plain literals are
+    xsd:string per RDF 1.1; language-tagged -> rdf:langString."""
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:\^\^(<[^>]*>)|@([A-Za-z0-9\-]+))?$', term)
+    if not m:
+        return term, ""
+    lex = unescape_literal(m.group(1))
+    if m.group(2):
+        return lex, m.group(2)
+    if m.group(3):
+        return lex, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
+    return lex, XSD_STRING
+
+
+class _GraphIndex:
+    def __init__(self, triples):
+        self.po: dict[str, dict[str, list[str]]] = {}
+        self.types: dict[str, list[str]] = {}
+        self.by_pred: dict[str, list[tuple[str, str]]] = {}
+        for s, p, o in triples:
+            self.po.setdefault(s, {}).setdefault(p, []).append(o)
+            self.by_pred.setdefault(p, []).append((s, o))
+            if p == RDF_TYPE:
+                self.types.setdefault(s, []).append(o)
+
+
+def _check_alt(g: _GraphIndex, node: str, alt: dict) -> bool:
+    if "class" in alt:
+        return alt["class"] in g.types.get(node, [])
+    if "datatype" in alt:
+        return _is_literal(node) and _literal_parts(node)[1] == alt["datatype"]
+    return False
+
+
+def _validate_node(
+    sg: ShapesGraph, g: _GraphIndex, node: str, shape: NodeShape, out: list, depth: int = 0
+) -> None:
+    """Append (focus, path, component, message) violation rows."""
+    if depth > 8:  # defensive bound against cyclic sh:node references
+        return
+    if shape.or_alternatives:
+        if not any(_check_alt(g, node, alt) for alt in shape.or_alternatives):
+            out.append((node, "", "OrConstraint", f"node fails sh:or of {shape.shape_id}"))
+    for prop in shape.properties:
+        values = g.po.get(node, {}).get(prop.path, [])
+        n = len(values)
+        if prop.min_count is not None and n < prop.min_count:
+            out.append((node, prop.path, "MinCount", prop.message or f"minCount {prop.min_count}"))
+        if prop.max_count is not None and n > prop.max_count:
+            out.append((node, prop.path, "MaxCount", prop.message or f"maxCount {prop.max_count}"))
+        for v in values:
+            if prop.datatype is not None:
+                if not _is_literal(v) or _literal_parts(v)[1] != prop.datatype:
+                    out.append((node, prop.path, "Datatype", prop.message or f"datatype {prop.datatype}"))
+            if prop.node_kind == _sh("IRI") and not _is_iri(v):
+                out.append((node, prop.path, "NodeKind", prop.message or "must be an IRI"))
+            if prop.pattern is not None and _is_literal(v):
+                lex = _literal_parts(v)[0]
+                if re.search(prop.pattern, lex) is None:
+                    out.append((node, prop.path, "Pattern", prop.message or "pattern"))
+            if prop.or_alternatives and not any(
+                _check_alt(g, v, alt) for alt in prop.or_alternatives
+            ):
+                out.append((node, prop.path, "OrConstraint", prop.message or "sh:or"))
+            if prop.node is not None:
+                nested: list = []
+                _validate_node(sg, g, v, sg.node_shape(prop.node), nested, depth + 1)
+                if nested:
+                    out.append((node, prop.path, "Node", prop.message or f"value fails {prop.node}"))
+
+
+def validate_graph(
+    sg: ShapesGraph, triples: list[tuple[str, str, str]], *, precheck: bool = True
+) -> tuple[bool, list[tuple[str, str, str, str]]]:
+    """Validate one document graph. Returns (conforms, violations); each
+    violation is (focus, path, component, message). ``precheck`` applies the
+    reference's Place-or-Dataset gate before shape evaluation."""
+    g = _GraphIndex(triples)
+    if precheck:
+        typed = {o for os_ in g.types.values() for o in os_}
+        if SCHEMA_PLACE not in typed and SCHEMA_DATASET not in typed:
+            return False, [("", "", "PreCheck", PRECHECK_MESSAGE)]
+    out: list[tuple[str, str, str, str]] = []
+    for shape in list(sg.shapes.values()):
+        focus: list[str] = []
+        for cls in shape.target_classes:
+            focus.extend(s for s, ts in g.types.items() if cls in ts)
+        for pred in shape.target_objects_of:
+            focus.extend(o for _, o in g.by_pred.get(pred, []))
+        for node in dict.fromkeys(focus):
+            _validate_node(sg, g, node, shape, out)
+    return (not out), out
+
+
+VALIDATION_SCHEMA = T.StructType(
+    [
+        T.StructField("prov", T.StringType()),
+        T.StructField("conforms", T.BooleanType()),
+        T.StructField("n_violations", T.IntegerType()),
+        T.StructField("violations", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def shacl_validate_quads(
+    quads: DataFrame, shapes_ttl: str, *, precheck: bool = True, cap: int = 20
+) -> DataFrame:
+    """Distributed SHACL-lite over a quads table: one row per document graph
+    (prov) with conformance + capped violation sample. Graphs are
+    independent, so the only shuffle is the groupBy(prov); evaluation is the
+    same pure function the single-doc path uses."""
+    import pandas as pd
+
+    sg = parse_shapes(shapes_ttl)
+
+    def eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        prov = pdf["prov"].iloc[0]
+        triples = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+        conforms, violations = validate_graph(sg, triples, precheck=precheck)
+        msgs = sorted(f"{c}:{p}:{m}" for _, p, c, m in violations)[:cap]
+        return pd.DataFrame(
+            {
+                "prov": [prov],
+                "conforms": [conforms],
+                "n_violations": [len(violations)],
+                "violations": [msgs],
+            }
+        )
+
+    return (
+        quads.select("prov", "subj", "pred", "obj")
+        .groupBy("prov")
+        .applyInPandas(eval_group, VALIDATION_SCHEMA)
+    )
+
+
+def geoconnex_shapes_ttl() -> str:
+    """The reference's shipped shape file, read from the reference checkout
+    when present (tests skip otherwise)."""
+    path = "/root/reference/shacl_validator/shapes/geoconnex.ttl"
+    with open(path) as fh:
+        return fh.read()

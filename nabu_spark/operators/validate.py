@@ -5,10 +5,12 @@ are non-fatal warning rows unless --exit-on-shacl-failure
 (/root/reference/internal/crawl/shacl.go:29-46). Its cheap pre-check — the
 graph must contain a node typed schema:Place or schema:Dataset
 (shacl_validator_grpc_py/src/lib.py:13-22) — is implemented natively here as
-a relational predicate on the quads table. Full SHACL shape evaluation is
-gated behind pyshacl availability (not present in this environment), matching
-the reference's default of skipping validation when no endpoint is set
-(harvest.go:31).
+a relational predicate on the quads table.
+
+FULL shape evaluation now lives in operators/shacl.py: a native SHACL-lite
+engine (no pyshacl dependency) that classifies the reference's entire
+valid/invalid corpus correctly and runs distributed per document graph.
+``full_shacl_validate`` below remains as the optional pyshacl-backed path.
 """
 
 from __future__ import annotations

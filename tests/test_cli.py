@@ -67,3 +67,39 @@ def test_cli_lifecycle(spark, tmp_path):
     with open(os.path.join(dest, files[0])) as f:
         line = f.readline().strip()
     assert line.endswith(" .") and line.startswith("<")
+
+
+@pytest.mark.slow
+def test_cli_validate(spark, tmp_path):
+    from nabu_spark.datagen import generate_pages
+    from nabu_spark.pipeline import pages_to_quads_fused
+
+    quads_path = str(tmp_path / "quads")
+    pages_to_quads_fused(generate_pages(spark, 40), salt=False).write.parquet(
+        quads_path
+    )
+    shapes_path = str(tmp_path / "shapes.ttl")
+    with open(shapes_path, "w") as fh:
+        fh.write(
+            """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://t.org/shapes#> .
+ex:PlaceShape a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ;
+                  sh:datatype xsd:string ] .
+"""
+        )
+    out_dir = str(tmp_path / "val")
+    rc, out = run_cli(
+        ["validate", "--quads", quads_path, "--shapes", shapes_path,
+         "--out", out_dir]
+    )
+    assert rc == 0, out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["cmd"] == "validate"
+    assert summary["graphs"] > 0
+    report = spark.read.parquet(os.path.join(out_dir, "shacl_report"))
+    assert set(report.columns) == {"prov", "conforms", "n_violations", "violations"}

@@ -1,0 +1,154 @@
+"""SHACL-lite: turtle parsing, shape compilation, per-graph evaluation, the
+reference classification corpus, and the distributed quads operator.
+
+Mirrors /root/reference/shacl_validator/shacl_validator_go/shacl_test.go:29-96
+(every valid testdata doc conforms, every invalid one does not) plus the
+Place-or-Dataset pre-check of shacl.go:78-92.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from nabu_spark.functions.turtle import parse_turtle
+from nabu_spark.operators.shacl import (
+    PRECHECK_MESSAGE,
+    geoconnex_shapes_ttl,
+    parse_shapes,
+    shacl_validate_quads,
+    validate_graph,
+)
+
+from .conftest import needs_reference
+
+TESTDATA = "/root/reference/shacl_validator/testdata"
+
+
+class TestTurtleParser:
+    def test_basic_forms(self):
+        ttl = """
+        @prefix ex: <http://e.org/> .
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @base <http://b.org/> .
+        <#S> a sh:NodeShape ;
+            sh:targetClass ex:A, ex:B ;
+            sh:property [ sh:path ex:p ; sh:minCount 1 ;
+                          sh:message "m \\"q\\"" ] ;
+            sh:or ( [ sh:class ex:A ] [ sh:class ex:B ] ) .
+        """
+        t = parse_turtle(ttl)
+        tc = sorted(o for s, p, o in t if p.endswith("#targetClass>"))
+        assert tc == ["<http://e.org/A>", "<http://e.org/B>"]
+        assert ("<http://b.org/#S>",
+                "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                "<http://www.w3.org/ns/shacl#NodeShape>") in t
+        msgs = [o for s, p, o in t if p.endswith("#message>")]
+        assert msgs == ['"m \\"q\\""']
+        # collection rest-chain terminates in rdf:nil
+        assert any(o.endswith("#nil>") for s, p, o in t)
+
+    def test_integer_and_boolean_literals(self):
+        ttl = """
+        @prefix ex: <http://e.org/> .
+        ex:s ex:n 3 ; ex:b true .
+        """
+        t = dict(((s, p), o) for s, p, o in parse_turtle(ttl))
+        assert t[("<http://e.org/s>", "<http://e.org/n>")] == (
+            '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        )
+        assert t[("<http://e.org/s>", "<http://e.org/b>")] == (
+            '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+        )
+
+
+@needs_reference
+class TestGeoconnexCorpus:
+    def test_shape_compilation(self):
+        sg = parse_shapes(geoconnex_shapes_ttl())
+        ids = {s.split("#")[-1].rstrip(">") for s in sg.shapes}
+        assert {"DatasetShape", "ProviderShape", "LocationOrientedShape"} <= ids
+        ds = sg.shapes["<http://geoconnex.us/shapes#DatasetShape>"]
+        paths = {p.path for p in ds.properties}
+        assert "<https://schema.org/provider>" in paths
+        provider = next(
+            p for p in ds.properties if p.path == "<https://schema.org/provider>"
+        )
+        assert provider.min_count == 1
+        assert provider.node == "<http://geoconnex.us/shapes#ProviderShape>"
+
+    @pytest.mark.parametrize("sub,expected", [("valid", True), ("invalid", False)])
+    def test_corpus_classification(self, sub, expected):
+        from nabu_spark.functions.jsonld import jsonld_to_triples
+
+        sg = parse_shapes(geoconnex_shapes_ttl())
+        files = sorted(glob.glob(f"{TESTDATA}/{sub}/*.jsonld"))
+        assert files
+        for f in files:
+            doc = json.load(open(f))
+            conforms, violations = validate_graph(sg, jsonld_to_triples(doc))
+            assert conforms == expected, (
+                f"{os.path.basename(f)}: conforms={conforms}, {violations[:3]}"
+            )
+
+    def test_precheck_message(self):
+        sg = parse_shapes(geoconnex_shapes_ttl())
+        conforms, violations = validate_graph(
+            sg, [("<http://x>", "<http://p>", '"v"')]
+        )
+        assert not conforms
+        assert violations == [("", "", "PreCheck", PRECHECK_MESSAGE)]
+
+
+MINI_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:DatasetShape a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ;
+                  sh:datatype xsd:string ] ;
+    sh:property [ sh:path schema:inLanguage ;
+                  sh:pattern "^(en|es)$" ;
+                  sh:message "gate languages only" ] .
+"""
+
+
+class TestDistributedValidation:
+    def test_quads_operator(self, spark):
+        rows = []
+        for i, lang in enumerate(["en", "fr", "es"]):
+            prov = f"<urn:iow:summoned:s:{i}>"
+            subj = f"<https://d.org/{i}>"
+            rows += [
+                (subj, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                 "<https://schema.org/Dataset>", prov),
+                (subj, "<https://schema.org/name>", f'"doc {i}"', prov),
+                (subj, "<https://schema.org/inLanguage>", f'"{lang}"', prov),
+            ]
+        quads = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, prov string"
+        )
+        out = {
+            r["prov"]: r
+            for r in shacl_validate_quads(quads, MINI_SHAPES).collect()
+        }
+        assert out["<urn:iow:summoned:s:0>"]["conforms"] is True
+        assert out["<urn:iow:summoned:s:1>"]["conforms"] is False
+        assert out["<urn:iow:summoned:s:1>"]["n_violations"] == 1
+        assert "gate languages only" in out["<urn:iow:summoned:s:1>"]["violations"][0]
+        assert out["<urn:iow:summoned:s:2>"]["conforms"] is True
+
+    def test_precheck_in_operator(self, spark):
+        quads = spark.createDataFrame(
+            [("<https://d.org/0>", "<https://schema.org/name>", '"x"', "<urn:g>")],
+            "subj string, pred string, obj string, prov string",
+        )
+        row = shacl_validate_quads(quads, MINI_SHAPES).first()
+        assert row["conforms"] is False
+        assert "PreCheck" in row["violations"][0]
