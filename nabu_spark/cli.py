@@ -118,14 +118,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "geo":
-        from .operators.geoparquet import quads_to_geo
+        from .operators.geoparquet import quads_to_geo, write_geoparquet
 
         quads = spark.read.parquet(args.quads)
         if "error_code" in quads.columns:
             quads = quads.filter(F.col("error_code").isNull())
         geo = quads_to_geo(quads)
-        geo.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"cmd": "geo", "rows": spark.read.parquet(args.out).count()}))
+        manifest = write_geoparquet(geo, args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"cmd": "geo", "rows": n, "files": len(manifest)}))
         return 0
 
     if args.cmd == "pull":

@@ -98,6 +98,55 @@ def bbox(wkt: str) -> tuple[float, float, float, float]:
 
 
 _WKB_TYPE = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3, "MULTIPOLYGON": 6}
+_WKB_TYPE_NAMES = {1: "Point", 2: "LineString", 3: "Polygon", 6: "MultiPolygon"}
+
+
+def wkb_info(wkb: bytes) -> tuple[str, tuple[float, float, float, float]]:
+    """(geometry type name, bbox) from little-endian ISO WKB of the subset
+    this engine writes — used by the GeoParquet footer writer."""
+    if not wkb or len(wkb) < 5 or wkb[0] != 1:
+        raise ValueError("unsupported WKB")
+    (gcode,) = struct.unpack_from("<I", wkb, 1)
+    name = _WKB_TYPE_NAMES.get(gcode)
+    if name is None:
+        raise ValueError(f"unsupported WKB geometry code {gcode}")
+    # all coordinates in our WKB subset are contiguous <dd pairs after each
+    # header/count field; scan doubles by walking the structure
+    coords: list[tuple[float, float]] = []
+
+    def read_point(off):
+        coords.append(struct.unpack_from("<dd", wkb, off))
+        return off + 16
+
+    def read_ring(off):
+        (n,) = struct.unpack_from("<I", wkb, off)
+        off += 4
+        for _ in range(n):
+            off = read_point(off)
+        return off
+
+    off = 5
+    if gcode == 1:
+        read_point(off)
+    elif gcode == 2:
+        read_ring(off)
+    elif gcode == 3:
+        (nrings,) = struct.unpack_from("<I", wkb, off)
+        off += 4
+        for _ in range(nrings):
+            off = read_ring(off)
+    else:  # multipolygon
+        (npolys,) = struct.unpack_from("<I", wkb, off)
+        off += 4
+        for _ in range(npolys):
+            off += 5  # inner byte order + type
+            (nrings,) = struct.unpack_from("<I", wkb, off)
+            off += 4
+            for _ in range(nrings):
+                off = read_ring(off)
+    xs = [x for x, _ in coords]
+    ys = [y for _, y in coords]
+    return name, (min(xs), min(ys), max(xs), max(ys))
 
 
 def wkt_to_wkb(wkt: str) -> bytes:

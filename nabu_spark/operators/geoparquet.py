@@ -87,13 +87,16 @@ def geometries(quads: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, dangling
 
 
+# column names match the reference writer byte-for-byte (main.rs
+# generate_schema: geometry, id, geoconnex_sitemap, feature_name,
+# feature_description, mainstem_uri)
 GEO_SCHEMA = T.StructType(
     [
         T.StructField("geometry", T.BinaryType()),
         T.StructField("id", T.StringType()),
-        T.StructField("sitemap", T.StringType()),
-        T.StructField("name", T.StringType()),
-        T.StructField("description", T.StringType()),
+        T.StructField("geoconnex_sitemap", T.StringType()),
+        T.StructField("feature_name", T.StringType()),
+        T.StructField("feature_description", T.StringType()),
         T.StructField("mainstem_uri", T.StringType()),
     ]
 )
@@ -153,11 +156,81 @@ def quads_to_geo(quads: DataFrame) -> DataFrame:
                 {
                     "geometry": pd.Series(geoms, dtype="object"),
                     "id": pd.Series(ids, dtype="object"),
-                    "sitemap": pd.Series(sitemaps, dtype="object"),
-                    "name": pd.Series(names_, dtype="object"),
-                    "description": pd.Series(descs_, dtype="object"),
+                    "geoconnex_sitemap": pd.Series(sitemaps, dtype="object"),
+                    "feature_name": pd.Series(names_, dtype="object"),
+                    "feature_description": pd.Series(descs_, dtype="object"),
                     "mainstem_uri": pd.Series(uris, dtype="object"),
                 }
             )
 
     return rows.mapInPandas(encode, GEO_SCHEMA)
+
+
+def write_geoparquet(
+    geo: DataFrame, out_dir: str, *, geometry_col: str = "geometry"
+) -> list[dict]:
+    """Write REAL GeoParquet: parquet part-files carrying the ``geo``
+    key/value footer metadata (GeoParquet 1.1: version, primary_column,
+    per-column encoding WKB + geometry_types + bbox), matching what the
+    reference's Rust sidecar emits via GeoParquetRecordBatchEncoder
+    (/root/reference/triples_to_geoparquet/src/parquet_lib.rs:15-31).
+
+    Spark's builtin parquet sink cannot attach custom footer metadata, so
+    each partition writes its own footer-complete file with pyarrow inside a
+    mapInPandas pass — fully distributed, one file per non-empty partition,
+    deterministic partition-id names (idempotent under task retry). Returns
+    the small manifest [(file, rows, bbox)...]."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    from ..functions.wkt import wkb_info
+
+    os.makedirs(out_dir, exist_ok=True)
+    fields = geo.schema.fields
+
+    def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in it if len(pdf)]
+        if not parts:
+            yield pd.DataFrame({"file": [], "rows": [], "bbox": []})
+            return
+        pdf = pd.concat(parts)
+        gtypes: set[str] = set()
+        gbbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
+        for blob in pdf[geometry_col]:
+            if blob is None:
+                continue
+            name, (minx, miny, maxx, maxy) = wkb_info(bytes(blob))
+            gtypes.add(name)
+            gbbox = [
+                min(gbbox[0], minx), min(gbbox[1], miny),
+                max(gbbox[2], maxx), max(gbbox[3], maxy),
+            ]
+        geo_meta = {
+            "version": "1.1.0",
+            "primary_column": geometry_col,
+            "columns": {
+                geometry_col: {
+                    "encoding": "WKB",
+                    "geometry_types": sorted(gtypes),
+                    "bbox": gbbox,
+                }
+            },
+        }
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        table = table.replace_schema_metadata(
+            {**(table.schema.metadata or {}), b"geo": json.dumps(geo_meta).encode()}
+        )
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        pq.write_table(table, path)
+        yield pd.DataFrame(
+            {"file": [path], "rows": [len(pdf)], "bbox": [json.dumps(gbbox)]}
+        )
+
+    manifest_schema = "file string, rows long, bbox string"
+    manifest = geo.mapInPandas(write_part, manifest_schema).collect()
+    return [r.asDict() for r in manifest]

@@ -162,7 +162,10 @@ class TestGeoMaterialize:
         assert row is not None
         assert row["geometry"][0] == 1  # little-endian WKB
         assert row["mainstem_uri"].startswith("https://geoconnex.us/ref/mainstems/")
-        assert row["sitemap"] is not None and row["name"] is not None
+        assert (
+            row["geoconnex_sitemap"] is not None
+            and row["feature_name"] is not None
+        )
 
     def test_multihop_matches_injection(self, spark, enriched_quads):
         """The mainstem extracted back out of the quads via the 3-hop join
@@ -184,3 +187,49 @@ class TestGeoMaterialize:
         # docs that already carried a referencedPosition skip injection
         # (idempotency) and keep their own mainstem
         assert injected_uris <= from_graph
+
+
+class TestGeoParquetFooter:
+    def test_write_geoparquet_footer(self, spark, enriched_quads, tmp_path):
+        """The sink writes REAL GeoParquet: every part-file carries the
+        `geo` key/value footer (parquet_lib.rs:15-31 analogue) with WKB
+        encoding, geometry_types, and a bbox covering the file's rows."""
+        import glob
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from nabu_spark.functions.wkt import wkb_info
+        from nabu_spark.operators.geoparquet import write_geoparquet
+
+        docs, enriched, quads = enriched_quads
+        geo = quads_to_geo(quads)
+        out = str(tmp_path / "geo")
+        manifest = write_geoparquet(geo, out)
+        assert manifest and all(m["rows"] > 0 for m in manifest)
+
+        files = sorted(glob.glob(out + "/part-*.parquet"))
+        assert files
+        total = 0
+        for f in files:
+            meta = pq.read_schema(f).metadata
+            assert b"geo" in meta
+            g = _json.loads(meta[b"geo"])
+            assert g["version"] == "1.1.0"
+            assert g["primary_column"] == "geometry"
+            col = g["columns"]["geometry"]
+            assert col["encoding"] == "WKB"
+            assert col["geometry_types"]
+            table = pq.read_table(f)
+            total += table.num_rows
+            minx, miny, maxx, maxy = col["bbox"]
+            for blob in table.column("geometry").to_pylist():
+                name, (bx0, by0, bx1, by1) = wkb_info(bytes(blob))
+                assert name in col["geometry_types"]
+                assert bx0 >= minx and by0 >= miny
+                assert bx1 <= maxx and by1 <= maxy
+        # reference schema column names round-trip through the footer writer
+        cols = pq.read_schema(files[0]).names
+        assert cols == ["geometry", "id", "geoconnex_sitemap",
+                        "feature_name", "feature_description", "mainstem_uri"]
+        assert total == geo.count()
