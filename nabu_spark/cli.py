@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl = sub.add_parser("pull", help="pull releases with bytesum skip")
     pl.add_argument("--release-dir", required=True)
     pl.add_argument("--dest", required=True)
+    pl.add_argument(
+        "--concat", metavar="FILE",
+        help="also merge every non-prov release graph into one file "
+        "(PullAndConcat, s3/client.go:503-589: skips *_prov.nq, refuses .gz) "
+        "— the triplestore bulk-load path",
+    )
 
     st = sub.add_parser("structured", help="pages -> quads from microdata/RDFa")
     st.add_argument("--pages", required=True)
@@ -157,7 +163,29 @@ def main(argv: list[str] | None = None) -> int:
                         shutil.copyfileobj(fh, out)
             pulled += 1
         cur.toPandas().to_json(dest_sidecar, orient="records", lines=True)
-        print(json.dumps({"cmd": "pull", "pulled": pulled, "skipped": skipped}))
+        concatenated = 0
+        if args.concat:
+            with open(args.concat, "wb") as out:
+                for row in plan:
+                    name = row["release_name"]
+                    if name.endswith("_prov.nq"):
+                        continue  # prov graphs never enter the concat file
+                    src = os.path.join(
+                        args.release_dir, "graphs", f"release_name={name}"
+                    )
+                    gz = glob.glob(os.path.join(src, "*.gz"))
+                    if gz:
+                        raise SystemExit(
+                            f"cannot concat compressed files; found {gz[0]}"
+                        )
+                    for f in sorted(glob.glob(os.path.join(src, "*.txt"))):
+                        with open(f, "rb") as fh:
+                            shutil.copyfileobj(fh, out)
+                    concatenated += 1
+        print(json.dumps({
+            "cmd": "pull", "pulled": pulled, "skipped": skipped,
+            "concatenated": concatenated,
+        }))
         return 0
 
     if args.cmd == "structured":

@@ -57,10 +57,24 @@ def test_cli_lifecycle(spark, tmp_path):
     assert rc == 0
     p1 = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
     assert p1["pulled"] > 0 and p1["skipped"] == 0
-    # second pull skips everything via bytesum compare
-    rc, out = run_cli(["pull", "--release-dir", run_dir, "--dest", dest])
+    # second pull skips everything via bytesum compare; --concat merges the
+    # whole corpus (minus prov graphs) into one bulk-load file
+    concat_file = str(tmp_path / "all.nq")
+    rc, out = run_cli(
+        ["pull", "--release-dir", run_dir, "--dest", dest, "--concat", concat_file]
+    )
     p2 = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
     assert p2["pulled"] == 0 and p2["skipped"] == p1["pulled"]
+    assert p2["concatenated"] > 0
+    # concat file = union of all non-prov pulled release files
+    release_lines = set()
+    for f in os.listdir(dest):
+        if f.endswith(".nq") and not f.endswith("_prov.nq"):
+            with open(os.path.join(dest, f)) as fh:
+                release_lines.update(l for l in fh.read().splitlines() if l)
+    with open(concat_file) as fh:
+        concat_lines = set(l for l in fh.read().splitlines() if l)
+    assert concat_lines == release_lines and concat_lines
     # pulled release files are valid N-Quads
     files = [f for f in os.listdir(dest) if f.endswith(".nq")]
     assert files

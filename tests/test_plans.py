@@ -129,3 +129,35 @@ class TestCodegen:
         # '*(n)' marks a WholeStageCodegen span in the plan rendering
         assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBruteForceTopkShape:
+    def test_local_topk_pre_reduction_before_window(self, spark, tmp_path_factory):
+        """The exact top-k must pre-reduce per partition (MapInPandas) and
+        only shuffle the n_partitions x n_queries x k survivors into the
+        window — never the full |corpus| x |queries| scored relation
+        (VERDICT r01 'What's wrong' #5)."""
+        import numpy as np
+
+        from nabu_spark.operators.similarity import brute_force_topk
+
+        rng = np.random.RandomState(7)
+        rows = [(int(i), rng.normal(size=8).tolist()) for i in range(200)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(4)
+        queries = emb.limit(3)
+        out = brute_force_topk(emb, queries, k=5)
+        plan = plan_of(out)
+        map_pos = plan.find("MapInPandas")
+        win_pos = plan.find("Window")
+        assert map_pos != -1 and win_pos != -1
+        # executed plans print top-down: the Window consumes the MapInPandas
+        assert win_pos < map_pos, plan
+        # the only Exchange feeds the window, downstream of the local top-k
+        exchange_pos = plan.find("Exchange")
+        assert exchange_pos != -1 and win_pos < exchange_pos < map_pos, plan
+        # and no join/shuffle of the scored relation exists at all
+        assert "Join" not in plan
+        # result stays exact: 3 queries x 5 neighbors
+        assert out.count() == 15
