@@ -443,7 +443,11 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import embedding_near_dups
 
-    emb = _load(spark, sf_dir, "embeddings")
+    # bounded id slice: the high-recall gate banding (2-plane buckets) is
+    # deliberately near-all-pairs, so the gate runs it on a fixed 500-vector
+    # slice at every sf — exactness is what's under test; scale-default
+    # banding cost is covered by the recall tests
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     # 32 bands x 2 planes: P(miss | cos>=0.4) = (1-0.4^2)^32 ~ 1e-7 on the
     # gate corpus -> candidate recall is total, exact-cosine verify makes
     # the output the all-pairs answer
@@ -1043,12 +1047,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": """
             -- exact all-pairs cosine near-dups: the gate banding (2 planes x
             -- 32 bands) has ~1e-7 miss probability at cos>=0.4
-            WITH p AS (
+            WITH e AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+            ), p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      list_dot_product(a.embedding, b.embedding) /
                        (sqrt(list_dot_product(a.embedding, a.embedding)) *
                         sqrt(list_dot_product(b.embedding, b.embedding))) AS c
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 4) AS cosine
             FROM p WHERE c >= 0.4 ORDER BY id_a, id_b

@@ -84,17 +84,24 @@ def main() -> None:
     timings["kg_headline"] = round(kg_sec, 3)
     n_triples = counts["triples"]
 
-    # relational operator suite (the SURVEY §2 relational surface)
+    # relational operator suite (the SURVEY §2 relational surface).
+    # min-of-k per query as well: single-shot timings on this VM see 2-20x
+    # steal-time spikes (a 1.3s query once measured 23s) — the lineage is
+    # rebuilt per run inside fn(), so no shuffle reuse no-ops the repeats
+    q_runs = int(os.environ.get("BENCH_QUERY_RUNS", "2"))
     qs = ent.queries()
     for name, fn in qs.items():
-        t0 = time.monotonic()
+        best = float("inf")
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            for _ in range(q_runs):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
         except Exception:
             timings[name] = -1.0
             continue
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = round(best, 3)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     out = {

@@ -391,15 +391,37 @@ def embedding_near_dups(
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
 
-    vecs = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norms precomputed once per vector (O(n)), not per candidate pair
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_v"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_n", norm)
     joined = (
-        cands.join(vecs.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
-        .join(vecs.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+        cands.join(
+            vecs.select(
+                F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
+            ),
+            "id_b",
+        )
     )
-    cos = cosine_expr("v_a", "v_b")
-    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    return joined.select(
+        "id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def cosine_expr(a: str, b: str):

@@ -273,30 +273,53 @@ def shacl_validate_quads(
 ) -> DataFrame:
     """Distributed SHACL-lite over a quads table: one row per document graph
     (prov) with conformance + capped violation sample. Graphs are
-    independent, so the only shuffle is the groupBy(prov); evaluation is the
-    same pure function the single-doc path uses."""
+    independent, so the only shuffle co-locates each prov
+    (repartition + sortWithinPartitions); evaluation then streams contiguous
+    groups through ONE mapInPandas per partition — one Python call per Arrow
+    batch instead of one per graph (applyInPandas costs ~ms per group, which
+    dominates when graphs are small). The boundary group of every batch is
+    carried over until the prov changes."""
     import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811 (local for closure)
 
     sg = parse_shapes(shapes_ttl)
 
-    def eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        prov = pdf["prov"].iloc[0]
-        triples = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+    def eval_graph_rows(prov, triples):
         conforms, violations = validate_graph(sg, triples, precheck=precheck)
         msgs = sorted(f"{c}:{p}:{m}" for _, p, c, m in violations)[:cap]
-        return pd.DataFrame(
-            {
-                "prov": [prov],
-                "conforms": [conforms],
-                "n_violations": [len(violations)],
-                "violations": [msgs],
-            }
-        )
+        return {
+            "prov": prov,
+            "conforms": conforms,
+            "n_violations": len(violations),
+            "violations": msgs,
+        }
+
+    def eval_partition(it):
+        pending_prov = None
+        pending: list[tuple[str, str, str]] = []
+        out: list[dict] = []
+        for pdf in it:
+            for prov, s, p, o in zip(
+                pdf["prov"], pdf["subj"], pdf["pred"], pdf["obj"]
+            ):
+                if prov != pending_prov:
+                    if pending_prov is not None:
+                        out.append(eval_graph_rows(pending_prov, pending))
+                    pending_prov, pending = prov, []
+                pending.append((s, p, o))
+            if out:
+                yield pd.DataFrame(out)
+                out = []
+        if pending_prov is not None:
+            out.append(eval_graph_rows(pending_prov, pending))
+        if out:
+            yield pd.DataFrame(out)
 
     return (
         quads.select("prov", "subj", "pred", "obj")
-        .groupBy("prov")
-        .applyInPandas(eval_group, VALIDATION_SCHEMA)
+        .repartition(F.col("prov"))
+        .sortWithinPartitions("prov")
+        .mapInPandas(eval_partition, VALIDATION_SCHEMA)
     )
 
 
