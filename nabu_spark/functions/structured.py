@@ -12,10 +12,14 @@ web. Subsets implemented:
     object@data, else text content); nested itemscope creates a child item;
     items without ``itemid`` are fresh blank nodes (skolemized downstream
     exactly like JSON-LD blank nodes).
-  * **RDFa Lite**: ``vocab`` / ``prefix`` / ``typeof`` / ``property`` /
-    ``resource`` / ``about`` / ``href`` / ``src`` / ``content``; new subjects
-    from about/resource/typeof; property objects prefer content attr, then
-    resource/href/src, then text content; typeof emits rdf:type.
+  * **RDFa Lite** (+ two RDFa Core extras): ``vocab`` / ``prefix`` /
+    ``typeof`` / ``property`` / ``resource`` / ``about`` / ``href`` /
+    ``src`` / ``content``; new subjects from about/resource/typeof; property
+    objects prefer content attr, then resource/href/src, then text content;
+    typeof emits rdf:type. ``datatype`` types the literal (empty datatype
+    forces a plain literal); ``inlist`` collects all values of a
+    (subject, property) pair document-wide into one rdf:List in document
+    order (rdf:first/rdf:rest/rdf:nil chain, bnodes skolemized downstream).
 
 Both emit the same ``(subj, pred, obj)`` serialized-term tuples as the
 JSON-LD path, so skolemization, the strict quad gate, and URN tagging apply
@@ -27,7 +31,15 @@ from __future__ import annotations
 from urllib.parse import urljoin
 
 from .domtree import Element, parse_html_tree
-from .ntriples import RDF_TYPE, fmt_iri, fmt_literal, is_valid_iri
+from .ntriples import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    fmt_iri,
+    fmt_literal,
+    is_valid_iri,
+)
 
 
 class _BnodeGen:
@@ -166,6 +178,9 @@ def extract_rdfa(
     root = parse_html_tree(data)
     bnodes = bnodes or _BnodeGen("ra")
     triples: list[tuple[str, str, str]] = []
+    # inlist accumulation: (subject term, predicate iri) -> object terms in
+    # document order; one rdf:List per pair is emitted after the walk
+    list_acc: dict[tuple[str, str], list[str]] = {}
 
     def parse_prefix_attr(attr: str, inherited: dict) -> dict:
         out = dict(inherited)
@@ -213,20 +228,31 @@ def extract_rdfa(
 
         if prop is not None and subject is not None or (prop and new_subject and subject is None):
             holder = subject or new_subject
+            dt_iri = None
+            if attrs.get("datatype"):
+                dt_iri = _rdfa_expand(attrs["datatype"], vocab, prefixes, base, as_prop=True)
+                if dt_iri is not None and not is_valid_iri(dt_iri):
+                    dt_iri = None
+            in_list = "inlist" in attrs
+
+            def emit(p_iri: str, obj_term: str) -> None:
+                if in_list:
+                    list_acc.setdefault((_term(holder), p_iri), []).append(obj_term)
+                else:
+                    triples.append((_term(holder), fmt_iri(p_iri), obj_term))
+
             for p in prop.split():
                 p_iri = _rdfa_expand(p, vocab, prefixes, base, as_prop=True)
                 if not p_iri or not is_valid_iri(p_iri):
                     continue
                 if typeof is not None and new_subject and new_subject != holder:
-                    triples.append((_term(holder), fmt_iri(p_iri), _term(new_subject)))
+                    emit(p_iri, _term(new_subject))
                 elif "content" in attrs:
-                    triples.append((_term(holder), fmt_iri(p_iri), fmt_literal(attrs["content"])))
+                    emit(p_iri, fmt_literal(attrs["content"], dt_iri))
                 elif obj_ref and is_valid_iri(obj_ref):
-                    triples.append((_term(holder), fmt_iri(p_iri), fmt_iri(obj_ref)))
+                    emit(p_iri, fmt_iri(obj_ref))
                 else:
-                    triples.append(
-                        (_term(holder), fmt_iri(p_iri), fmt_literal(el.text_content().strip()))
-                    )
+                    emit(p_iri, fmt_literal(el.text_content().strip(), dt_iri))
 
         child_subject = new_subject or subject
         for c in el.children:
@@ -236,6 +262,23 @@ def extract_rdfa(
     for c in root.children:
         if isinstance(c, Element):
             walk(c, base or None, "", dict(_DEFAULT_PREFIXES))
+
+    # materialize one rdf:List per (subject, predicate) inlist group
+    for (subj_term, p_iri), items in list_acc.items():
+        if not items:
+            triples.append((subj_term, fmt_iri(p_iri), fmt_iri(RDF_NIL)))
+            continue
+        head = bnodes.fresh()
+        triples.append((subj_term, fmt_iri(p_iri), head))
+        cur = head
+        for i, obj_term in enumerate(items):
+            triples.append((cur, fmt_iri(RDF_FIRST), obj_term))
+            if i + 1 < len(items):
+                nxt = bnodes.fresh()
+                triples.append((cur, fmt_iri(RDF_REST), nxt))
+                cur = nxt
+            else:
+                triples.append((cur, fmt_iri(RDF_REST), fmt_iri(RDF_NIL)))
     return triples
 
 

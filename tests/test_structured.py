@@ -200,3 +200,61 @@ class TestHostileInput:
         quads, err = page_structured_quads(ok_html.encode(), "https://ok.org/p", "sm")
         assert err == "" or err is None or not err
         assert quads
+
+
+class TestRdfaDatatypeInlist:
+    def test_datatype_types_the_literal(self):
+        from nabu_spark.functions.structured import extract_rdfa
+
+        html = (
+            '<div vocab="https://schema.org/" about="https://x.org/e" '
+            'typeof="Event">'
+            '<span property="startDate" datatype="xsd:date">2020-01-02</span>'
+            '<span property="name" datatype="">Plain</span>'
+            "</div>"
+        )
+        t = extract_rdfa(html.encode(), base="https://x.org/")
+        objs = {p: o for s, p, o in t}
+        assert (
+            objs["<https://schema.org/startDate>"]
+            == '"2020-01-02"^^<http://www.w3.org/2001/XMLSchema#date>'
+        )
+        assert objs["<https://schema.org/name>"] == '"Plain"'
+
+    def test_inlist_builds_document_order_rdf_list(self):
+        from nabu_spark.functions.structured import extract_rdfa
+
+        html = (
+            '<div vocab="https://schema.org/" about="https://x.org/w" typeof="Book">'
+            '<span property="author" inlist="">A. One</span>'
+            '<span property="author" inlist="">B. Two</span>'
+            "</div>"
+        )
+        t = extract_rdfa(html.encode(), base="https://x.org/")
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        heads = [o for s, p, o in t if p == "<https://schema.org/author>"]
+        assert len(heads) == 1 and heads[0].startswith("_:")
+        firsts = {s: o for s, p, o in t if p == f"<{rdf}first>"}
+        rests = {s: o for s, p, o in t if p == f"<{rdf}rest>"}
+        cur, seen = heads[0], []
+        while cur != f"<{rdf}nil>":
+            seen.append(firsts[cur])
+            cur = rests[cur]
+        assert seen == ['"A. One"', '"B. Two"']
+
+    def test_inlist_list_skolemizes_through_pipeline(self):
+        html = (
+            '<html><body><div vocab="https://schema.org/" '
+            'about="https://x.org/w" typeof="Book">'
+            '<span property="author" inlist="">A. One</span>'
+            '<span property="author" inlist="">B. Two</span>'
+            "</div></body></html>"
+        )
+        quads, err = page_structured_quads(
+            html.encode(), "https://x.org/w", "sm", formats=("rdfa",)
+        )
+        assert not err
+        # no raw bnodes survive the gate; list nodes became nqhash IRIs
+        assert all(not s.startswith("_:") and not o.startswith("_:")
+                   for s, _, o, _ in quads)
+        assert any("rdf-syntax-ns#first" in p for _, p, _, _ in quads)
