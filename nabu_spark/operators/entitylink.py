@@ -22,7 +22,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from .dedup import _perm_params, minhash_signature
 
@@ -170,6 +170,157 @@ def link_mentions(
             )
 
     return mentions.mapInPandas(batches, LINKED_SCHEMA)
+
+
+def _shingle_bands(
+    df: DataFrame, text_col: str, key_col: str, *, num_perm: int, bands: int, seed: int
+) -> DataFrame:
+    """(key, band, band_hash) LSH bucketing rows over char-3-gram minhash —
+    the dedup.py banding relation applied to surface forms."""
+    from .dedup import _band_mixers, band_hashes
+
+    a, b = _perm_params(num_perm, seed)
+    mixers = _band_mixers(num_perm // bands)
+    band_idx = list(range(bands))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            keys, bds, hs = [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                sh = char_shingles(text or "")
+                if not sh:
+                    continue
+                sig = minhash_signature(sh, a, b)
+                keys.extend([key] * len(band_idx))
+                bds.extend(band_idx)
+                hs.extend(band_hashes(sig, len(band_idx), mixers).tolist())
+            yield pd.DataFrame(
+                {"key": pd.Series(keys, dtype="object"), "band": bds, "band_hash": hs}
+            )
+
+    return df.select(
+        F.col(key_col).alias(key_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(batches, f"key string, band int, band_hash long")
+
+
+def link_mentions_banded(
+    mentions: DataFrame,
+    known_iris: DataFrame,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_candidates_per_mention: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Fully distributed linking for dictionaries too large to broadcast —
+    the banding-equi-join alternative to the closure-index path
+    (module docstring bullet 3), same output contract as ``link_mentions``.
+
+    Shape: distinct normalized mentions (web mentions repeat massively) ->
+    exact equi-join on the normalized form -> unmatched mentions and the
+    dictionary each produce (key, band, band_hash) rows -> candidates from
+    shared buckets (capped per mention, the degenerate-dictionary guardrail)
+    -> exact char-shingle Jaccard verify -> max_by(jaccard, iri) per mention.
+    Every stage is an equi-join or agg on a bucket/mention key; no driver
+    collect, no cartesian product."""
+    norm_udf = F.pandas_udf(
+        lambda s: s.map(lambda x: normalize_mention(x or "")), "string"
+    )
+    m = mentions.select("subj", "mention").withColumn("_norm", norm_udf("mention"))
+    distinct_m = m.select("_norm", "mention").dropDuplicates(["_norm"])
+
+    d = known_iris.select("iri", "surface_form").withColumn(
+        "_norm", norm_udf("surface_form")
+    )
+    # exact pick parity with DictionaryIndex: deterministic representative
+    exact_dict = d.groupBy("_norm").agg(F.min("iri").alias("iri"))
+    exact = distinct_m.join(exact_dict, "_norm", "left").select(
+        "_norm",
+        F.col("iri").alias("_exact_iri"),
+    )
+
+    unmatched = exact.filter(F.col("_exact_iri").isNull()).join(
+        distinct_m, "_norm"
+    ).select("_norm", "mention")
+
+    m_bands = _shingle_bands(
+        unmatched, "mention", "_norm", num_perm=num_perm, bands=bands, seed=seed
+    ).withColumnRenamed("key", "_norm")
+    d_forms = d.select("iri", "surface_form").dropDuplicates(["iri", "surface_form"])
+    d_bands = _shingle_bands(
+        d_forms.withColumn(
+            "_dkey", F.concat_ws("\x1f", "iri", "surface_form")
+        ),
+        "surface_form",
+        "_dkey",
+        num_perm=num_perm,
+        bands=bands,
+        seed=seed,
+    ).withColumnRenamed("key", "_dkey")
+
+    cand = (
+        m_bands.join(d_bands, ["band", "band_hash"])
+        .select("_norm", "_dkey")
+        .distinct()
+    )
+    # guardrail: bound verify work per mention on degenerate dictionaries
+    w = Window.partitionBy("_norm").orderBy("_dkey")
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_candidates_per_mention)
+        .drop("_rn")
+    )
+
+    pairs = cand.withColumn(
+        "iri", F.split("_dkey", "\x1f").getItem(0)
+    ).withColumn("surface_form", F.split("_dkey", "\x1f").getItem(1))
+    pairs = pairs.join(unmatched, "_norm")
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            js = []
+            for mtext, form in zip(pdf["mention"], pdf["surface_form"]):
+                sa, sb = char_shingles(mtext or ""), char_shingles(form or "")
+                union = len(sa | sb)
+                js.append(len(sa & sb) / union if union else 0.0)
+            yield pd.DataFrame(
+                {"_norm": pdf["_norm"], "iri": pdf["iri"], "jaccard": js}
+            )
+
+    scored = pairs.mapInPandas(verify, "_norm string, iri string, jaccard double")
+    # best candidate per mention: jaccard desc, iri asc — the
+    # DictionaryIndex.link tie semantics. Candidates are bucket-bounded, so
+    # this window ranks at most max_candidates_per_mention rows per key.
+    wbest = Window.partitionBy("_norm").orderBy(F.desc("jaccard"), F.asc("iri"))
+    best = (
+        scored.filter(F.col("jaccard") >= threshold)
+        .withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("_norm", "iri", F.round("jaccard", 6).alias("_fuzzy_score"))
+        .withColumnRenamed("iri", "_fuzzy_iri")
+    )
+
+    resolved = (
+        m.join(exact.select("_norm", "_exact_iri").dropDuplicates(["_norm"]), "_norm", "left")
+        .join(best, "_norm", "left")
+        .select(
+            "subj",
+            "mention",
+            F.coalesce("_exact_iri", "_fuzzy_iri").alias("iri"),
+            F.when(F.col("_exact_iri").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("_fuzzy_score"))
+            .alias("score"),
+            F.when(F.col("_exact_iri").isNotNull(), F.lit("exact"))
+            .when(F.col("_fuzzy_iri").isNotNull(), F.lit("fuzzy"))
+            .otherwise(F.lit("none"))
+            .alias("method"),
+        )
+        .withColumn("score", F.coalesce("score", F.lit(0.0)))
+    )
+    return resolved
 
 
 def same_as_quads(linked: DataFrame, quads: DataFrame) -> DataFrame:

@@ -135,6 +135,72 @@ def write_release_canonical(quads: DataFrame, out_dir: str) -> None:
     )
 
 
+def write_release_deterministic_gzip(quads: DataFrame, out_dir: str) -> list[dict]:
+    """Deterministic-gzip release export — the full helpers.go:57-68
+    semantics: one ``<release>.nq.gz`` per release graph whose BYTES are
+    reproducible across runs (lines in canonical sorted order, gzip header
+    with zeroed mtime and OS=unknown, max compression). Spark's builtin gzip
+    codec stamps wall-clock mtimes, so each release is written by the task
+    that owns its sorted partition via Python's gzip with ``mtime=0`` —
+    distributed one-pass, same carry-over pattern as the SHACL evaluator.
+    Returns the manifest [(release_name, path, lines)...]."""
+    import gzip
+
+    named = with_release_name(quads).withColumn(
+        "line", F.concat_ws(" ", "subj", "pred", "obj", "prov", F.lit("."))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_groups(it):
+        out_rows: list[dict] = []
+        cur_name = None
+        cur_fh = None
+        cur_raw = None
+        cur_n = 0
+
+        def close():
+            nonlocal cur_fh, cur_raw, cur_n
+            if cur_fh is not None:
+                cur_fh.close()
+                cur_raw.close()
+                out_rows.append(
+                    {"release_name": cur_name,
+                     "path": os.path.join(out_dir, f"{cur_name}.gz"),
+                     "lines": cur_n}
+                )
+                cur_fh, cur_raw, cur_n = None, None, 0
+
+        for pdf in it:
+            for name, line in zip(pdf["release_name"], pdf["line"]):
+                if name is None:
+                    continue
+                if name != cur_name:
+                    close()
+                    cur_name = name
+                    cur_raw = open(os.path.join(out_dir, f"{name}.gz"), "wb")
+                    cur_fh = gzip.GzipFile(
+                        filename="", mode="wb", fileobj=cur_raw,
+                        compresslevel=9, mtime=0,
+                    )
+                cur_fh.write(line.encode("utf-8"))
+                cur_fh.write(b"\n")
+                cur_n += 1
+        close()
+        yield pd.DataFrame(
+            out_rows if out_rows
+            else {"release_name": [], "path": [], "lines": []}
+        )
+
+    manifest = (
+        named.select("release_name", "line")
+        .repartition(F.col("release_name"))
+        .sortWithinPartitions("release_name", "line")
+        .mapInPandas(write_groups, "release_name string, path string, lines long")
+        .collect()
+    )
+    return [r.asDict() for r in manifest]
+
+
 def pull_skip_list(
     current: DataFrame, stored: DataFrame
 ) -> DataFrame:

@@ -198,3 +198,60 @@ def test_sitemap_index_missing_id_raises():
     </sitemapindex>"""
     with pytest.raises(ValueError, match="sitemap_id"):
         parse_sitemap_index(xml)
+
+
+class TestBandedLinking:
+    """link_mentions_banded must reproduce the broadcast closure-index
+    results on an unambiguous dictionary — it is the drop-in scale path for
+    dictionaries too large to ship in a UDF closure."""
+
+    def _dict(self, spark):
+        rows = [
+            ("https://ref.org/colorado-river", "Colorado River"),
+            ("https://ref.org/colorado-river", "colorado river mainstem"),
+            ("https://ref.org/rio-grande", "Rio Grande"),
+            ("https://ref.org/yonkipin-lake", "Yonkipin Lake"),
+        ]
+        return spark.createDataFrame(rows, "iri string, surface_form string")
+
+    def _mentions(self, spark):
+        rows = [
+            ("<https://d.org/1>", "Colorado River"),        # exact
+            ("<https://d.org/2>", "the colorado river"),    # fuzzy
+            ("<https://d.org/3>", "RIO GRANDE"),             # exact (case)
+            ("<https://d.org/4>", "completely unrelated"),   # none
+        ]
+        return spark.createDataFrame(rows, "subj string, mention string")
+
+    def test_matches_closure_index_path(self, spark):
+        from nabu_spark.operators.entitylink import (
+            link_mentions,
+            link_mentions_banded,
+        )
+
+        mentions = self._mentions(spark)
+        known = self._dict(spark)
+        closure = {
+            r["subj"]: (r["iri"], r["method"], r["score"])
+            for r in link_mentions(mentions, known, threshold=0.3).collect()
+        }
+        banded = {
+            r["subj"]: (r["iri"], r["method"], r["score"])
+            for r in link_mentions_banded(mentions, known, threshold=0.3).collect()
+        }
+        assert banded == closure
+        assert banded["<https://d.org/1>"][1] == "exact"
+        assert banded["<https://d.org/2>"][1] == "fuzzy"
+        assert banded["<https://d.org/4>"] == (None, "none", 0.0)
+
+    def test_no_driver_collect_of_dictionary(self, spark):
+        # the banded path must stay a pure DataFrame program: it should work
+        # unchanged when the dictionary is only available as a DataFrame
+        # (here: verify the plan contains the banding join, not a python
+        # broadcast of dict rows)
+        from nabu_spark.operators.entitylink import link_mentions_banded
+
+        out = link_mentions_banded(self._mentions(spark), self._dict(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # banding signatures both sides
+        assert out.count() == 4

@@ -188,3 +188,42 @@ class TestValidate:
             _, docs, _ = corpus
             with pytest.raises(NotImplementedError):
                 full_shacl_validate(docs, "")
+
+
+class TestDeterministicGzip:
+    def test_bytes_reproducible_across_runs(self, spark, tmp_path):
+        """helpers.go:57-68 semantics: the gzipped release bytes are a pure
+        function of the quad set — zeroed mtime, canonical line order."""
+        import glob
+        import gzip as _gzip
+        import hashlib
+
+        from nabu_spark.operators.release import write_release_deterministic_gzip
+
+        rows = [
+            (f"<https://d.org/{i}>", "<https://schema.org/name>",
+             f'"doc {i}"', f"<urn:iow:summoned:sm{i % 3}:k{i}>")
+            for i in range(60)
+        ]
+        digests = []
+        for run in ("a", "b"):
+            out = str(tmp_path / run)
+            # reversed insertion order on the second run: canonical sort
+            # must erase any input-order dependence
+            data = rows if run == "a" else list(reversed(rows))
+            quads = spark.createDataFrame(
+                data, "subj string, pred string, obj string, prov string"
+            ).repartition(7)
+            manifest = write_release_deterministic_gzip(quads, out)
+            assert {m["release_name"] for m in manifest} == {
+                "sm0_release.nq", "sm1_release.nq", "sm2_release.nq"
+            }
+            files = sorted(glob.glob(out + "/*.gz"))
+            digests.append(
+                [hashlib.sha256(open(f, "rb").read()).hexdigest() for f in files]
+            )
+            # content round-trips to the sorted line set
+            with _gzip.open(files[0], "rt") as fh:
+                lines = fh.read().splitlines()
+            assert lines == sorted(lines) and len(lines) == 20
+        assert digests[0] == digests[1]
