@@ -37,17 +37,59 @@ def tokens_of(text: str) -> list[str]:
     return [t for t in _TOKEN_RE.split(text.lower()) if t]
 
 
-def shingles_of(text: str, k: int = 5) -> set[int]:
-    """k-token shingles hashed to 64-bit ints (md5-based, engine-portable)."""
-    toks = tokens_of(text)
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return {int.from_bytes(hashlib.md5(joined.encode()).digest()[:8], "big")} if toks else set()
-    out = set()
-    for i in range(len(toks) - k + 1):
-        sh = " ".join(toks[i : i + k])
-        out.add(int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "big"))
+# token-hash memo: web token vocabularies repeat massively across documents,
+# so each worker md5-hashes a distinct token once (bounded cache)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    out = np.empty(len(toks), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            if len(cache) < _TOKEN_HASH_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
     return out
+
+
+def _shingle_mults(k: int) -> np.ndarray:
+    rng = np.random.RandomState(7331 + k)
+    return rng.randint(1, 1 << 62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def shingles_of(text: str, k: int = 5) -> set[int]:
+    """k-token shingles as 64-bit hashes: md5 per DISTINCT token (memoized),
+    then a position-weighted vectorized combination per window — ~k x fewer
+    digest calls than hashing each joined shingle string, identical dedup
+    semantics (any injective-enough 64-bit hash yields the same shingle-set
+    Jaccard), and PYTHONHASHSEED-independent."""
+    toks = tokens_of(text)
+    if not toks:
+        return set()
+    th = _token_hashes(toks)
+    if len(toks) < k:
+        mults = _shingle_mults(len(toks))
+        with np.errstate(over="ignore"):
+            v = _mix64(np.array([(th * mults).sum(dtype=np.uint64)]))[0]
+        return {int(v)}
+    mults = _shingle_mults(k)
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    with np.errstate(over="ignore"):
+        h = (win * mults[None, :]).sum(axis=1, dtype=np.uint64)
+    return set(_mix64(h).tolist())
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

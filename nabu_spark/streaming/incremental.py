@@ -55,6 +55,98 @@ def start_incremental_quads(
     return writer.start()
 
 
+def start_streaming_dedup_quads(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: pages whose content hash was already seen
+    within the watermark window are dropped BEFORE the (expensive) extract
+    transform runs — Spark's stateful dropDuplicatesWithinWatermark keeps the
+    seen-hash state store bounded by event time, so re-crawled unchanged
+    pages (the dominant incremental case) cost one hash instead of a full
+    toRdf pass. The reference's batch analogue is the content-hash skip
+    (hash_check.go); this is its streaming-native formulation."""
+    pages = read_pages_stream(spark, pages_dir)
+    deduped = (
+        pages.withColumn("content_hash", F.md5(F.col("html").cast("binary")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("content_hash")
+    )
+    q = pages_to_quads_fused(deduped, salt=False)
+    writer = (
+        q.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_streaming_circuit_breaker(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    failure_threshold: int = 20,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful operator (applyInPandasWithState): the streaming form
+    of the batch circuit breaker (§2 #27, crawl_stats.dataset_down). Per-host
+    success/failure counters accumulate in the state store across
+    micro-batches; a host with zero successes and >= threshold failures is
+    emitted as tripped. State is per host (bounded by the host universe, the
+    same cardinality the batch groupBy shuffles on)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = read_pages_stream(spark, pages_dir)
+    ev = pages.select(
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        (F.length(F.col("html")) > 2).alias("ok"),
+    ).filter(F.col("host").isNotNull())
+
+    def update(key, pdfs, state):
+        ok, fail = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            ok += int(pdf["ok"].sum())
+            fail += int((~pdf["ok"]).sum())
+        state.update((ok, fail))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "successes": [ok],
+                "failures": [fail],
+                "dataset_down": [ok == 0 and fail >= failure_threshold],
+            }
+        )
+
+    out = ev.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, successes long, failures long, dataset_down boolean",
+        stateStructType="ok long, fail long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_streaming_lineage(
     spark: SparkSession,
     pages_dir: str,

@@ -167,6 +167,67 @@ class TestStreaming:
         n3 = spark.read.parquet(out).filter(F.col("error_code").isNull()).count()
         assert n3 > n1
 
+    def test_streaming_dedup_drops_recrawled_pages(self, spark, tmp_path):
+        from nabu_spark.streaming.incremental import start_streaming_dedup_quads
+
+        pages_dir = str(tmp_path / "pages_d")
+        out = str(tmp_path / "quads_d")
+        ckpt = str(tmp_path / "ckpt_d")
+        pages = generate_pages(spark, 30).cache()
+        pages.write.mode("append").parquet(pages_dir)
+        # a re-crawl lands the SAME pages again as new files (identical html
+        # bytes + warc_ts) -> the stateful dedup must drop all of them
+        pages.write.mode("append").parquet(pages_dir)
+        q = start_streaming_dedup_quads(spark, pages_dir, out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).filter(F.col("error_code").isNull())
+        # exactly the single-crawl quad count, not double
+        from nabu_spark.pipeline import pages_to_quads_fused
+
+        expected = (
+            pages_to_quads_fused(pages, salt=False)
+            .filter(F.col("error_code").isNull())
+            .count()
+        )
+        assert got.count() == expected
+
+    def test_streaming_circuit_breaker_state(self, spark, tmp_path):
+        from nabu_spark.streaming.incremental import start_streaming_circuit_breaker
+
+        pages_dir = str(tmp_path / "pages_cb")
+        out = str(tmp_path / "cb")
+        ckpt = str(tmp_path / "ckpt_cb")
+        # host down.example.org only ever returns empty bodies; good host ok
+        rows = []
+        for i in range(25):
+            rows.append((f"https://down.example.org/p{i}", b"", ""))
+        for i in range(5):
+            rows.append(
+                (f"https://good.example.org/p{i}", b"<html>ok body</html>", "x")
+            )
+        df = spark.createDataFrame(
+            [(u, bytearray(h), t) for u, h, t in rows],
+            "url string, html binary, text string",
+        ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))).withColumn(
+            "lang", F.lit("en")
+        ).select("url", "warc_ts", "html", "text", "lang")
+        # two micro-batch files: state must accumulate across them
+        df.filter(F.col("url").endswith("1")).write.mode("append").parquet(pages_dir)
+        df.filter(~F.col("url").endswith("1")).write.mode("append").parquet(pages_dir)
+        q = start_streaming_circuit_breaker(
+            spark, pages_dir, out, ckpt, failure_threshold=20
+        )
+        q.awaitTermination(120)
+        rows_out = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows_out:  # keep the max-count (latest) row per host
+            cur = latest.get(r["host"])
+            if cur is None or r["successes"] + r["failures"] > cur["successes"] + cur["failures"]:
+                latest[r["host"]] = r
+        assert latest["down.example.org"]["dataset_down"] is True
+        assert latest["down.example.org"]["failures"] == 25
+        assert latest["good.example.org"]["dataset_down"] is False
+
     def test_streaming_lineage_window(self, spark, tmp_path):
         from nabu_spark.streaming.incremental import start_streaming_lineage
 
