@@ -518,6 +518,41 @@ def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment detection (CCNet/Dolma paragraph-dedup shape):
+    non-overlapping 8-token segments appearing in >=2 distinct docs."""
+    from nabu_spark.operators.textstats import boilerplate_segments
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        boilerplate_segments(docs, "doc_id", "text", k=8, min_doc_freq=2)
+        .orderBy("segment")
+    )
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: per-doc reassembly without boilerplate segments
+    (clean text hashed for the value gate)."""
+    from nabu_spark.operators.textstats import strip_boilerplate
+
+    docs = _load(spark, sf_dir, "documents")
+    out = strip_boilerplate(docs, "doc_id", "text", k=8, min_doc_freq=2)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        "n_segments",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter rules as pure codegen exprs."""
+    from nabu_spark.operators.textstats import gopher_quality_flags
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text").orderBy("doc_id")
+
+
 # self-contained gate shapes for the SHACL contract query (the full
 # reference shape file is exercised against its own valid/invalid corpus in
 # tests/test_shacl.py — this instantiation runs the same evaluator on the
@@ -599,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "winnowing": q_winnowing,
         "multimodal_decode": q_multimodal_decode,
+        "boilerplate": q_boilerplate,
+        "strip_boilerplate": q_strip_boilerplate,
+        "gopher_flags": q_gopher_flags,
         "shacl": q_shacl,
         "kg_pipeline": q_kg_pipeline,
         "structured_pipeline": q_structured_pipeline,
@@ -862,6 +900,86 @@ def oracle_sql() -> dict[str, str]:
             FROM points JOIN boxes
               ON px >= minx AND px <= maxx AND py >= miny AND py <= maxy
             GROUP BY n_name ORDER BY n_name
+        """,
+        "boilerplate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), segs AS (
+              SELECT doc_id,
+                     array_to_string(t[i*8+1 : i*8+8], ' ') AS segment
+              FROM toks, unnest(range(0, len(t) // 8)) AS u(i)
+              WHERE len(t) >= 8
+            )
+            SELECT segment, count(DISTINCT doc_id) AS doc_freq
+            FROM segs GROUP BY segment
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY segment
+        """,
+        "strip_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), base AS (
+              SELECT doc_id, t, CAST(len(t) // 8 AS INTEGER) AS n_seg FROM toks
+            ), segs AS (
+              SELECT doc_id, i AS seg_pos,
+                     array_to_string(t[i*8+1 : i*8+8], ' ') AS segment
+              FROM base, unnest(range(0, n_seg)) AS u(i)
+              WHERE len(t) >= 8
+            ), bp AS (
+              SELECT segment FROM segs GROUP BY segment
+              HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT s.doc_id, s.seg_pos, s.segment FROM segs s
+              ANTI JOIN bp USING (segment)
+            ), body AS (
+              SELECT doc_id,
+                     string_agg(segment, ' ' ORDER BY seg_pos) AS _body,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   md5(trim(concat_ws(' ', coalesce(_body, ''),
+                     array_to_string(t[n_seg*8+1 : len(t)], ' ')))) AS clean_hash,
+                   n_seg AS n_segments,
+                   CAST(n_seg - coalesce(n_kept, 0) AS INTEGER) AS n_removed
+            FROM base b LEFT JOIN body USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "gopher_flags": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     CASE WHEN len(t) > 0
+                          THEN (SELECT sum(len(x)) FROM unnest(t) AS u(x)) * 1.0 / len(t)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(t) > 0
+                          THEN len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(t)
+                          ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text,
+                               '[#\\.\\{\\}\\[\\]<>\\|\\\\]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0.0 END AS symbol_ratio
+              FROM toks
+            )
+            SELECT doc_id, n_tokens,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(alpha_ratio, 4) AS alpha_ratio,
+                   round(symbol_ratio, 4) AS symbol_ratio,
+                   (n_tokens >= 50 AND n_tokens <= 100000
+                    AND mean_wl >= 3 AND mean_wl <= 10
+                    AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1) AS gopher_pass
+            FROM feats ORDER BY doc_id
         """,
         "shacl": """
             -- the gate shapes on the documents-derived graphs reduce to:

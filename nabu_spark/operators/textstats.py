@@ -146,3 +146,120 @@ def winnowing_fingerprints(
     return df.select(id_col, text_col).mapInPandas(
         batches, "id long, fingerprint_hash long"
     )
+
+
+def doc_segments(df: DataFrame, id_col: str, text_col: str, *, k: int = 8) -> DataFrame:
+    """Non-overlapping k-token segments per document with their position —
+    the 'paragraph' unit for boilerplate removal over token-stream corpora
+    (the CCNet/Dolma paragraph-dedup shape). Pure JVM column exprs: tokens ->
+    sequence of chunk indices -> slice + concat_ws."""
+    toks = tokens_col(text_col)
+    n_seg = F.floor(F.size(toks) / F.lit(k)).cast("int")
+    seg = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.alias("seg_pos"),
+            F.concat_ws(" ", F.slice(toks, i * k + 1, k)).alias("segment"),
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col), F.explode(seg).alias("s"))
+        .select(id_col, F.col("s.seg_pos"), F.col("s.segment"))
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, min_doc_freq: int = 2
+) -> DataFrame:
+    """Segments occurring in >= min_doc_freq DISTINCT documents — the
+    boilerplate set (nav bars, footers, license blurbs at web scale). One
+    shuffle on the segment key with map-side partial aggregation."""
+    segs = doc_segments(df, id_col, text_col, k=k)
+    return (
+        segs.groupBy("segment")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, min_doc_freq: int = 2
+) -> DataFrame:
+    """Rebuild each document without its boilerplate segments:
+    (id, clean_text, n_segments, n_removed). Join-shaped: doc segments
+    left-anti-join the boilerplate set (broadcastable — boilerplate is tiny
+    relative to the corpus), then per-doc reassembly in position order.
+    The tail < k tokens is preserved verbatim."""
+    segs = doc_segments(df, id_col, text_col, k=k)
+    bp = boilerplate_segments(df, id_col, text_col, k=k, min_doc_freq=min_doc_freq)
+    kept = segs.join(F.broadcast(bp.select("segment")), "segment", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_pos", "segment"))),
+                lambda s: s["segment"],
+            ),
+        ).alias("_body"),
+        F.count("*").alias("n_kept"),
+    )
+    toks = tokens_col(text_col)
+    n_seg = F.floor(F.size(toks) / F.lit(k)).cast("int")
+    tail = F.concat_ws(
+        " ", F.slice(toks, n_seg * k + 1, F.size(toks) - n_seg * k)
+    )
+    base = df.select(
+        F.col(id_col),
+        n_seg.alias("n_segments"),
+        tail.alias("_tail"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.trim(
+                F.concat_ws(" ", F.coalesce("_body", F.lit("")), "_tail")
+            ).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style filter rules (Rae et al. 2021, public) as pure codegen
+    exprs: token-count bounds, mean word length bounds, alphabetic-token
+    ratio, symbol ratio. Returns per-doc feature values + the pass flag."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    mean_wl = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    alpha_tokens = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(n_tokens > 0, alpha_tokens / n_tokens).otherwise(F.lit(0.0))
+    n_chars = F.length(F.col(text_col))
+    symbols = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[#\.\{\}\[\]<>\|\\]", "")
+    )
+    symbol_ratio = F.when(n_chars > 0, symbols / n_chars).otherwise(F.lit(0.0))
+    passed = (
+        (n_tokens >= 50)
+        & (n_tokens <= 100_000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (alpha_ratio >= 0.8)
+        & (symbol_ratio <= 0.1)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        passed.alias("gopher_pass"),
+    )

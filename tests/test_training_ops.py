@@ -253,3 +253,46 @@ class TestMultimodal:
             ratio_in = r["width"] / r["height"]
             ratio_out = r["target_width"] / r["target_height"]
             assert abs(ratio_in - ratio_out) / ratio_in < 0.2
+
+
+class TestBoilerplateAndGopher:
+    def test_shared_segment_is_detected_and_stripped(self, spark):
+        from nabu_spark.operators.textstats import (
+            boilerplate_segments,
+            strip_boilerplate,
+        )
+
+        footer = "subscribe to our newsletter for all the latest water data"  # 10 toks
+        seg8 = " ".join(footer.split()[:8])
+        docs = spark.createDataFrame(
+            [
+                (0, f"{footer} alpha beta gamma delta epsilon zeta eta theta"),
+                (1, f"{footer} one two three four five six seven eight"),
+                (2, "completely different words with no shared chunk here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        bp = {r["segment"] for r in boilerplate_segments(docs, "doc_id", "text").collect()}
+        assert seg8 in bp
+        out = {r["doc_id"]: r for r in strip_boilerplate(docs, "doc_id", "text").collect()}
+        assert out[0]["n_removed"] >= 1
+        assert seg8 not in out[0]["clean_text"]
+        # non-boilerplate content and the <k tail survive
+        assert "theta" in out[0]["clean_text"]
+        assert out[2]["n_removed"] == 0
+        assert "different" in out[2]["clean_text"]
+
+    def test_gopher_flags_rules(self, spark):
+        from nabu_spark.operators.textstats import gopher_quality_flags
+
+        good = " ".join(f"word{i}" for i in range(60))
+        short = "too few tokens"
+        symbols = " ".join(["ok#token{x}"] * 60)
+        docs = spark.createDataFrame(
+            [(0, good), (1, short), (2, symbols)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in gopher_quality_flags(docs, "doc_id", "text").collect()}
+        assert out[0]["gopher_pass"] is True
+        assert out[1]["gopher_pass"] is False  # n_tokens < 50
+        assert out[2]["gopher_pass"] is False  # symbol ratio
+        assert out[0]["alpha_ratio"] == 1.0
