@@ -226,6 +226,80 @@ def train_ivf_centroids(
     return centroids
 
 
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    n_clusters: int = 64,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Full-corpus Lloyd iterations, Spark-shaped: centroids broadcast in the
+    UDF closure; each partition emits ONE partial-sum row per cluster
+    (cluster, vec_sum, count) — so every iteration is a single corpus pass
+    whose reduction payload is n_partitions x n_clusters x dim, combined
+    driver-side (the MLlib treeAggregate shape). Use when the corpus is too
+    skewed for sample-based training to see every region; the sample-based
+    ``train_ivf_centroids`` remains the cheap default."""
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = first["d"]
+    # seeds: unbiased hash-ordered take (same rationale as the sampler)
+    seeds = [
+        r[0]
+        for r in corpus.select(vec_col, F.col(id_col).alias("_sid"))
+        .orderBy(F.xxhash64(F.col("_sid"), F.lit(seed)))
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    ]
+    centroids = np.array(seeds, dtype=np.float64)
+    n_clusters = len(centroids)
+
+    for _ in range(iters):
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((n_clusters, dim), dtype=np.float64)
+            counts = np.zeros(n_clusters, dtype=np.int64)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+                vn = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+                )
+                assign = (vn @ cn.T).argmax(axis=1)
+                np.add.at(sums, assign, vecs)
+                np.add.at(counts, assign, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype("int64"),
+                    "vec_sum": [sums[c].tolist() for c in nz],
+                    "count": counts[nz],
+                }
+            )
+
+        rows = (
+            corpus.select(vec_col)
+            .mapInPandas(partials, "cluster long, vec_sum array<double>, count long")
+            .collect()
+        )
+        sums = np.zeros((n_clusters, dim), dtype=np.float64)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.array(r["vec_sum"])
+            counts[r["cluster"]] += r["count"]
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
+    return centroids
+
+
 def _ivf_assign(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str, out_id: str, n_probe: int) -> DataFrame:
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
@@ -257,11 +331,15 @@ def ivf_topk(
     n_clusters: int = 64,
     n_probe: int = 4,
     seed: int = 42,
+    distributed_train: bool = False,
 ) -> DataFrame:
     """IVF ANN: corpus rows live in exactly one coarse cluster; each query
     probes its ``n_probe`` nearest clusters; exact cosine re-rank inside.
-    Candidates per query ~ corpus * n_probe / n_clusters."""
-    centroids = train_ivf_centroids(
+    Candidates per query ~ corpus * n_probe / n_clusters.
+    ``distributed_train`` switches the quantizer to full-corpus Lloyd passes
+    (one partial-sum reduction per iteration) for skew-hostile corpora."""
+    trainer = train_ivf_centroids_distributed if distributed_train else train_ivf_centroids
+    centroids = trainer(
         corpus, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
     )
     c_assign = _ivf_assign(corpus, centroids, id_col, vec_col, "neighbor_id", 1)

@@ -151,6 +151,13 @@ class TestSimilarity:
         approx = ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4).cache()
         rec = recall_at_k(exact, approx, k=5)
         assert rec >= 0.8, f"IVF recall@5 too low on clustered data: {rec}"
+        # distributed Lloyd trainer (full-corpus partial-sum passes) is at
+        # least as good as the sample trainer on the same data
+        approx_d = ivf_topk(
+            emb, queries, k=5, n_clusters=16, n_probe=4, distributed_train=True
+        ).cache()
+        rec_d = recall_at_k(exact, approx_d, k=5)
+        assert rec_d >= 0.8, f"distributed-train IVF recall@5 too low: {rec_d}"
 
     def test_lsh_recall_on_clustered_data(self, spark):
         """On data with real neighbor structure (planted clusters) the LSH
