@@ -74,8 +74,19 @@ class NoJsonLdError(ValueError):
     pass
 
 
+_LDJSON_MARK = "application/ld+json"
+
+
 def get_jsonld_from_html(data: bytes | str) -> str:
-    """Return the first head-level application/ld+json script body, verbatim."""
+    """Return the first head-level application/ld+json script body, verbatim.
+
+    Fast paths that preserve the parser's exact semantics: a document whose
+    bytes never contain the marker string cannot match (cheap negative), and
+    the matching script can only start at or before the FIRST marker
+    occurrence — so the parser initially consumes just through the first
+    ``</script>`` after it (HTMLParser feeding is incremental, so splitting
+    the input is behavior-identical) and the document tail is only parsed
+    when that prefix did not yield a result."""
     if isinstance(data, bytes):
         try:
             text = data.decode("utf-8")
@@ -83,9 +94,20 @@ def get_jsonld_from_html(data: bytes | str) -> str:
             text = data.decode("latin-1")
     else:
         text = data
+    mark = text.find(_LDJSON_MARK)
+    if mark == -1:
+        raise NoJsonLdError("no JSON-LD found in document")
+    cut = -1
+    stop = text.find("</script", mark)
+    if stop != -1:
+        tag_close = text.find(">", stop)
+        if tag_close != -1:
+            cut = tag_close + 1
     parser = _HeadJsonLdParser()
     try:
-        parser.feed(text)
+        parser.feed(text if cut == -1 else text[:cut])
+        if parser.result is None and cut != -1:
+            parser.feed(text[cut:])
         parser.close()
     except Exception:
         pass  # tolerant parse; keep whatever we captured
