@@ -3,18 +3,21 @@
 Re-expresses the reference's SHACL service (goRDFlib shacl behind gRPC,
 /root/reference/shacl_validator/shacl_validator_go/shacl.go:69-94) as a
 self-contained evaluator, covering the constraint vocabulary its shipped
-shape file uses (shapes/geoconnex.ttl): sh:targetClass / sh:targetObjectsOf,
-property shapes with sh:path, sh:minCount / sh:maxCount, sh:datatype,
-sh:pattern, sh:nodeKind (sh:IRI), sh:node (nested shapes), node- and
-value-level sh:or over sh:class / sh:datatype alternatives, sh:message.
+shape file uses (shapes/geoconnex.ttl) and the common SHACL Core extras:
+sh:targetClass / sh:targetObjectsOf, property shapes with sh:path,
+sh:minCount / sh:maxCount, sh:datatype, sh:pattern, sh:nodeKind (sh:IRI),
+sh:node (nested shapes), sh:class, sh:in, sh:hasValue,
+sh:minLength / sh:maxLength, node- and value-level sh:or over
+sh:class / sh:datatype alternatives, sh:message.
 
 Validation semantics mirror shacl.go Validate(): first the structural
 pre-check (a node typed schema:Place or schema:Dataset must exist,
 shacl.go:78-92), then shape conformance; any violation -> conforms=false.
 
-Spark shape: document graphs are independent, so distributed validation is
-one groupBy(prov) + applyInPandas — graph-local evaluation, no cross-graph
-state, and the per-graph evaluator is the same pure function the driver uses
+Spark shape: document graphs are independent, so the distributed form
+co-locates each prov (repartition + sortWithinPartitions) and streams
+contiguous groups through one mapInPandas per partition — graph-local
+evaluation, no cross-graph state, the same pure function the driver uses
 for single documents. The gate corpus classification
 (shacl_validator/testdata/{valid,invalid}) is asserted in
 tests/test_shacl.py, mirroring shacl_test.go:29-96.
@@ -53,6 +56,11 @@ class PropertyShape:
     node: str | None = None  # shape id (IRI or bnode) evaluated recursively
     or_alternatives: list[dict] = field(default_factory=list)
     message: str | None = None
+    cls: str | None = None          # sh:class — values must be typed C
+    in_values: list[str] | None = None  # sh:in — closed value set
+    has_value: str | None = None    # sh:hasValue — some value == V
+    min_length: int | None = None   # sh:minLength on the lexical form
+    max_length: int | None = None   # sh:maxLength
 
 
 @dataclass
@@ -136,6 +144,14 @@ class ShapesGraph:
             node = self._objs(ps, _sh("node"))
             prop.node = node[0] if node else None
             prop.or_alternatives = self._or_alts(ps)
+            cls = self._objs(ps, _sh("class"))
+            prop.cls = cls[0] if cls else None
+            in_heads = self._objs(ps, _sh("in"))
+            prop.in_values = self._list_items(in_heads[0]) if in_heads else None
+            hv = self._objs(ps, _sh("hasValue"))
+            prop.has_value = hv[0] if hv else None
+            prop.min_length = self._int(ps, "minLength")
+            prop.max_length = self._int(ps, "maxLength")
             msg = self._objs(ps, _sh("message"))
             prop.message = unescape_literal(msg[0][1:-1]) if msg else None
             shape.properties.append(prop)
@@ -214,12 +230,24 @@ def _validate_node(
             out.append((node, prop.path, "MinCount", prop.message or f"minCount {prop.min_count}"))
         if prop.max_count is not None and n > prop.max_count:
             out.append((node, prop.path, "MaxCount", prop.message or f"maxCount {prop.max_count}"))
+        if prop.has_value is not None and prop.has_value not in values:
+            out.append((node, prop.path, "HasValue", prop.message or f"hasValue {prop.has_value}"))
         for v in values:
             if prop.datatype is not None:
                 if not _is_literal(v) or _literal_parts(v)[1] != prop.datatype:
                     out.append((node, prop.path, "Datatype", prop.message or f"datatype {prop.datatype}"))
             if prop.node_kind == _sh("IRI") and not _is_iri(v):
                 out.append((node, prop.path, "NodeKind", prop.message or "must be an IRI"))
+            if prop.cls is not None and prop.cls not in g.types.get(v, []):
+                out.append((node, prop.path, "Class", prop.message or f"class {prop.cls}"))
+            if prop.in_values is not None and v not in prop.in_values:
+                out.append((node, prop.path, "In", prop.message or "not in sh:in set"))
+            if prop.min_length is not None or prop.max_length is not None:
+                lex = _literal_parts(v)[0] if _is_literal(v) else v.strip("<>")
+                if prop.min_length is not None and len(lex) < prop.min_length:
+                    out.append((node, prop.path, "MinLength", prop.message or f"minLength {prop.min_length}"))
+                if prop.max_length is not None and len(lex) > prop.max_length:
+                    out.append((node, prop.path, "MaxLength", prop.message or f"maxLength {prop.max_length}"))
             if prop.pattern is not None and _is_literal(v):
                 lex = _literal_parts(v)[0]
                 if re.search(prop.pattern, lex) is None:

@@ -152,3 +152,59 @@ class TestDistributedValidation:
         row = shacl_validate_quads(quads, MINI_SHAPES).first()
         assert row["conforms"] is False
         assert "PreCheck" in row["violations"][0]
+
+
+class TestExtraConstraints:
+    SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:S a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [ sh:path schema:license ;
+                  sh:in ( "cc-by" "cc0" ) ] ;
+    sh:property [ sh:path schema:provider ; sh:class schema:Organization ] ;
+    sh:property [ sh:path schema:version ; sh:hasValue "2" ] ;
+    sh:property [ sh:path schema:name ; sh:minLength 3 ; sh:maxLength 10 ] .
+"""
+
+    def _graph(self, **over):
+        rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        d = {
+            "license": '"cc-by"',
+            "provider_typed": True,
+            "version": '"2"',
+            "name": '"hello"',
+        }
+        d.update(over)
+        t = [
+            ("<https://d.org/1>", rdf_type, "<https://schema.org/Dataset>"),
+            ("<https://d.org/1>", "<https://schema.org/license>", d["license"]),
+            ("<https://d.org/1>", "<https://schema.org/provider>", "_:p"),
+            ("<https://d.org/1>", "<https://schema.org/version>", d["version"]),
+            ("<https://d.org/1>", "<https://schema.org/name>", d["name"]),
+        ]
+        if d["provider_typed"]:
+            t.append(("_:p", rdf_type, "<https://schema.org/Organization>"))
+        return t
+
+    def _check(self, **over):
+        sg = parse_shapes(self.SHAPES)
+        return validate_graph(sg, self._graph(**over))
+
+    def test_all_pass(self):
+        conforms, v = self._check()
+        assert conforms, v
+
+    def test_each_constraint_fires(self):
+        for over, component in (
+            ({"license": '"proprietary"'}, "In"),
+            ({"provider_typed": False}, "Class"),
+            ({"version": '"3"'}, "HasValue"),
+            ({"name": '"ab"'}, "MinLength"),
+            ({"name": '"waaaaaay too long"'}, "MaxLength"),
+        ):
+            conforms, violations = self._check(**over)
+            assert not conforms
+            assert component in {c for _, _, c, _ in violations}, (over, violations)
