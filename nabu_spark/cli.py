@@ -58,6 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out", required=True)
     st.add_argument("--formats", default="microdata,rdfa")
 
+    fu = sub.add_parser(
+        "full",
+        help="end-to-end DAG: harvest -> release -> geo [-> validate -> link] -> pull",
+    )
+    fu.add_argument("--pages", required=True)
+    fu.add_argument("--out", required=True)
+    fu.add_argument("--dest", required=True, help="pull destination dir")
+    fu.add_argument("--mainstems", help="mainstems dict parquet (enables enrichment)")
+    fu.add_argument("--shapes", help="SHACL shapes ttl (enables validation)")
+    fu.add_argument("--dict", dest="dict_path", help="known-IRI dict parquet (enables linking)")
+    fu.add_argument("--no-salt", action="store_true")
+
     v = sub.add_parser("validate", help="SHACL-lite validation per document graph")
     v.add_argument("--quads", required=True)
     v.add_argument("--shapes", required=True, help="SHACL shapes turtle file")
@@ -202,6 +214,46 @@ def main(argv: list[str] | None = None) -> int:
             .count()
         )
         print(json.dumps({"cmd": "structured", "quads": n}))
+        return 0
+
+    if args.cmd == "full":
+        # chain the individual subcommands in-process (get_spark getOrCreate
+        # reuses this session); harvest's exit 3 (some sites failed) is
+        # non-fatal for the chain, matching the reference's warn-and-continue
+        rc_harvest = main(
+            ["harvest", "--pages", args.pages, "--out", args.out]
+            + (["--no-salt"] if args.no_salt else [])
+        )
+        if rc_harvest not in (0, 3):
+            return rc_harvest
+        rel = ["release", "--docs", args.out, "--out", args.out]
+        if args.mainstems:
+            rel += ["--mainstems", args.mainstems]
+        rc = main(rel)
+        if rc:
+            return rc
+        quads_path = os.path.join(args.out, "quads")
+        rc = main(["geo", "--quads", quads_path, "--out", os.path.join(args.out, "geo")])
+        if rc:
+            return rc
+        if args.shapes:
+            rc = main(
+                ["validate", "--quads", quads_path, "--shapes", args.shapes,
+                 "--out", args.out]
+            )
+            if rc:
+                return rc
+        if args.dict_path:
+            rc = main(
+                ["link", "--quads", quads_path, "--dict", args.dict_path,
+                 "--out", os.path.join(args.out, "link")]
+            )
+            if rc:
+                return rc
+        rc = main(["pull", "--release-dir", args.out, "--dest", args.dest])
+        if rc:
+            return rc
+        print(json.dumps({"cmd": "full", "harvest_rc": rc_harvest}))
         return 0
 
     if args.cmd == "validate":

@@ -117,3 +117,26 @@ ex:PlaceShape a sh:NodeShape ;
     assert summary["graphs"] > 0
     report = spark.read.parquet(os.path.join(out_dir, "shacl_report"))
     assert set(report.columns) == {"prov", "conforms", "n_violations", "violations"}
+
+
+@pytest.mark.slow
+def test_cli_full_dag(spark, tmp_path):
+    from nabu_spark.datagen import generate_mainstems, generate_pages
+
+    pages = str(tmp_path / "pages")
+    run_dir = str(tmp_path / "run")
+    dest = str(tmp_path / "pulled")
+    generate_pages(spark, 60).write.parquet(pages)
+    generate_mainstems(spark).write.parquet(str(tmp_path / "mainstems"))
+    rc, out = run_cli(
+        ["full", "--pages", pages, "--out", run_dir, "--dest", dest,
+         "--mainstems", str(tmp_path / "mainstems"), "--no-salt"],
+        timeout=600,
+    )
+    assert rc == 0, out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    cmds = [l["cmd"] for l in lines]
+    assert cmds[:3] == ["harvest", "release", "geo"]
+    assert cmds[-1] == "full"
+    assert any(f.endswith(".nq") for f in os.listdir(dest))
+    assert os.path.exists(os.path.join(run_dir, "geo"))

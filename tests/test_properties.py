@@ -172,3 +172,75 @@ class TestCrossProcessDeterminism:
             assert r.returncode == 0, r.stderr
             outs.append(r.stdout)
         assert outs[0] == outs[1]
+
+
+class TestTurtleProperties:
+    """Property tests for the shapes-subset Turtle parser."""
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters='"\\\r'
+            ),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_string_literal_roundtrip(self, s):
+        from nabu_spark.functions.ntriples import unescape_literal
+        from nabu_spark.functions.turtle import parse_turtle
+
+        escaped = (
+            s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+            .replace("\t", "\\t")
+        )
+        ttl = f'@prefix ex: <http://e.org/> .\nex:s ex:p "{escaped}" .'
+        triples = parse_turtle(ttl)
+        assert len(triples) == 1
+        term = triples[0][2]
+        assert term.startswith('"') and term.endswith('"')
+        assert unescape_literal(term[1:-1]) == s
+
+    @given(st.integers(min_value=-10**9, max_value=10**9))
+    @settings(max_examples=50, deadline=None)
+    def test_integer_literals(self, n):
+        from nabu_spark.functions.turtle import parse_turtle
+
+        triples = parse_turtle(
+            f"@prefix ex: <http://e.org/> .\nex:s ex:p {n} ."
+        )
+        assert triples[0][2] == (
+            f'"{n}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        )
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_collection_roundtrip(self, items):
+        """(...) collections parse into a well-formed rdf:first/rest chain
+        preserving order."""
+        from nabu_spark.functions.turtle import (
+            RDF_FIRST,
+            RDF_NIL,
+            RDF_REST,
+            parse_turtle,
+        )
+
+        body = " ".join(f'"{x}"' for x in items)
+        triples = parse_turtle(
+            f"@prefix ex: <http://e.org/> .\nex:s ex:p ( {body} ) ."
+        )
+        heads = [o for s, p, o in triples if p == "<http://e.org/p>"]
+        assert len(heads) == 1
+        firsts = {s: o for s, p, o in triples if p == RDF_FIRST}
+        rests = {s: o for s, p, o in triples if p == RDF_REST}
+        cur, seen = heads[0], []
+        while cur != RDF_NIL:
+            seen.append(firsts[cur][1:-1])
+            cur = rests[cur]
+        assert seen == items
