@@ -227,3 +227,32 @@ class TestDeterministicGzip:
                 lines = fh.read().splitlines()
             assert lines == sorted(lines) and len(lines) == 20
         assert digests[0] == digests[1]
+
+
+class TestTrivialFilters:
+    """SURVEY §2 #15 (name filter) and #28 (count per prefix) — trivial
+    column expressions, pinned here so the coverage rows carry a test."""
+
+    def test_name_filter_and_prefix_count(self, spark):
+        keys = spark.createDataFrame(
+            [("summoned/a/x.jsonld",), ("summoned/a/y.jsonld",),
+             ("summoned/b/z.jsonld",), ("prov/a/x.jsonld",),
+             ("orgs/acme.jsonld",)],
+            "obj_key string",
+        )
+        # name filter: substring containment on the storage key
+        assert keys.filter(F.col("obj_key").contains("/a/")).count() == 3
+        # metadata-suffix exclusion composes with it
+        assert (
+            keys.filter(
+                F.col("obj_key").contains("/a/")
+                & ~F.col("obj_key").startswith("prov/")
+            ).count()
+            == 2
+        )
+        # count per prefix (ObjectCount semantics): startswith + count
+        counts = {
+            p: keys.filter(F.col("obj_key").startswith(p)).count()
+            for p in ("summoned/", "prov/", "orgs/")
+        }
+        assert counts == {"summoned/": 3, "prov/": 1, "orgs/": 1}
