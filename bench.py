@@ -84,6 +84,31 @@ def main() -> None:
     timings["kg_headline"] = round(kg_sec, 3)
     n_triples = counts["triples"]
 
+    # mixed-format headline: 30% of pages carry microdata/RDFa instead of
+    # JSON-LD (the long tail of the open web) — same fused path with the
+    # structured fallback enabled
+    mixed_path = f"/tmp/nabu_bench_pages_mixed_n{n_pages}"
+    if not os.path.exists(os.path.join(mixed_path, "_SUCCESS")):
+        generate_pages(
+            spark, n_pages, partitions=256, structured_fraction=0.3
+        ).write.mode("overwrite").parquet(mixed_path)
+
+    def run_mixed():
+        pages = spark.read.parquet(mixed_path)
+        quads = pages_to_quads_fused(pages, salt=False, fallback_structured=True)
+        return quads.agg(
+            F.count(F.when(F.col("error_code").isNull(), 1)).alias("triples"),
+            F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("failures"),
+        ).first()
+
+    run_mixed()  # warmup
+    mixed_sec = float("inf")
+    for _ in range(runs):
+        t0 = time.monotonic()
+        mixed_counts = run_mixed()
+        mixed_sec = min(mixed_sec, time.monotonic() - t0)
+    timings["kg_headline_mixed"] = round(mixed_sec, 3)
+
     # relational operator suite (the SURVEY §2 relational surface).
     # min-of-k per query as well: single-shot timings on this VM see 2-20x
     # steal-time spikes (a 1.3s query once measured 23s) — the lineage is
