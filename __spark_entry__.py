@@ -431,6 +431,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified MinHash
+    pairs; cluster_id = component min (the canonical survivor)."""
+    from nabu_spark.operators.dedup import dedup_clusters, minhash_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5, num_perm=128, bands=64
+    )
+    return dedup_clusters(pairs).orderBy("id")
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import simhash_near_dups
 
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dups": q_simhash_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
@@ -1161,6 +1174,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "dedup_clusters": """
+            -- connected components over the exact near-dup pair set via a
+            -- recursive CTE: cc accumulates every (node, reachable node),
+            -- min over the closure = the component minimum
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), nonempty AS (
+              SELECT * FROM toks WHERE len(t) > 0
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
+                FROM nonempty, unnest(range(1, len(t) - 3)) AS u(i)
+                WHERE len(t) >= 5
+                UNION ALL
+                SELECT doc_id, array_to_string(t, ' ') AS s
+                FROM nonempty WHERE len(t) < 5
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), cc(id, reach) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, cc.reach FROM edges e JOIN cc ON cc.id = e.b
+            )
+            SELECT id, min(reach) AS cluster_id
+            FROM cc GROUP BY id ORDER BY id
         """,
         "embedding_near_dups": """
             -- exact all-pairs cosine near-dups: the gate banding (2 planes x

@@ -296,6 +296,67 @@ def minhash_dedup_ml(
     )
 
 
+# --- near-dup clustering -------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id) with
+    cluster_id = the component's minimum id (the canonical survivor).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup components are near-cliques (the verify
+    stage emits all intra-cluster pairs), so 2-3 rounds in practice. Each
+    round is one equi-join + groupBy; lineage is cut with localCheckpoint so
+    the plan doesn't grow unboundedly."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+        )
+        labels = updated
+        if changed.isEmpty():
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the minimum id) plus all
+    unpaired documents — the materialization step of corpus dedup."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --- simhash -----------------------------------------------------------------
 
 

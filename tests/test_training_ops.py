@@ -385,3 +385,31 @@ class TestRealMediaDecode:
         assert (rs[0]["width"], rs[0]["height"]) == (12, 5)
         assert rs[0]["media"][:2] == bytearray(b"BM")
         assert rs[1]["resize_error"] == "NotImplementedError"
+
+
+class TestDedupClustering:
+    def test_components_and_survivors(self, spark):
+        from nabu_spark.operators.dedup import dedup_clusters, dedup_survivors
+
+        # components: {1,2,3} via chain, {7,9}, singletons 5 (unpaired)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+        )
+        cc = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+        )
+        kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+        assert kept == [1, 5, 7]
+
+    def test_long_chain_converges(self, spark):
+        from nabu_spark.operators.dedup import dedup_clusters
+
+        # a 12-node path exercises multi-round propagation + checkpointing
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        cc = dedup_clusters(pairs).collect()
+        assert {r["cluster_id"] for r in cc} == {0}
+        assert len(cc) == 13
