@@ -515,6 +515,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("media_id")
 
 
+def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking, exact path of the distributed banded linker: mentions
+    (cased/underscored variants) resolve against a known-IRI dictionary via
+    normalized-form equi-join — fully SQL-expressible, so the gate verifies
+    the normalize + exact-join machinery; the fuzzy path is pytest-verified
+    (tests/test_link_sources_streaming.py path-equivalence)."""
+    from nabu_spark.operators.entitylink import link_mentions_banded
+
+    docs = _load(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.col("doc_id").cast("string").alias("subj"),
+        F.upper(F.regexp_replace("source", "_", " ")).alias("mention"),
+    )
+    known = docs.select(
+        F.concat(F.lit("https://ref.example.org/src/"), F.col("source")).alias("iri"),
+        F.regexp_replace("source", "_", " ").alias("surface_form"),
+    ).distinct()
+    out = link_mentions_banded(mentions, known)
+    return out.select("subj", "mention", "iri", "score", "method").orderBy("subj")
+
+
 def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Microdata/RDFa extraction pipeline (north-star formats beyond the
     reference's JSON-LD) over microdata pages synthesized from documents."""
@@ -651,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "gopher_flags": q_gopher_flags,
         "shacl": q_shacl,
+        "entity_link_exact": q_entity_link_exact,
         "kg_pipeline": q_kg_pipeline,
         "structured_pipeline": q_structured_pipeline,
     }
@@ -1009,6 +1031,14 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_violations
             FROM documents
             ORDER BY prov
+        """,
+        "entity_link_exact": """
+            SELECT CAST(doc_id AS VARCHAR) AS subj,
+                   upper(replace(source, '_', ' ')) AS mention,
+                   'https://ref.example.org/src/' || source AS iri,
+                   CAST(1.0 AS DOUBLE) AS score,
+                   'exact' AS method
+            FROM documents ORDER BY subj
         """,
         "kg_pipeline": """
             -- the flagship pipeline on documents-derived pages is fully
