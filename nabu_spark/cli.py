@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--out", required=True)
     st.add_argument("--formats", default="microdata,rdfa")
 
+    b = sub.add_parser("bulk", help="NDJSON bulk source -> docs checkpoint")
+    b.add_argument("--ndjson", required=True, help="NDJSON file/dir of JSON-LD docs")
+    b.add_argument("--sitemap-id", required=True)
+    b.add_argument("--out", required=True)
+
     fu = sub.add_parser(
         "full",
         help="end-to-end DAG: harvest -> release -> geo [-> validate -> link] -> pull",
@@ -214,6 +219,17 @@ def main(argv: list[str] | None = None) -> int:
             .count()
         )
         print(json.dumps({"cmd": "structured", "quads": n}))
+        return 0
+
+    if args.cmd == "bulk":
+        from .sources.bulk import read_bulk_ndjson
+
+        docs = read_bulk_ndjson(spark, args.ndjson, args.sitemap_id)
+        docs.write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
+        stored = spark.read.parquet(os.path.join(args.out, "docs"))
+        n_ok = stored.filter(F.col("error_code") == "").count()
+        n_err = stored.filter(F.col("error_code") != "").count()
+        print(json.dumps({"cmd": "bulk", "docs": n_ok, "errors": n_err}))
         return 0
 
     if args.cmd == "full":

@@ -140,3 +140,32 @@ def test_cli_full_dag(spark, tmp_path):
     assert cmds[-1] == "full"
     assert any(f.endswith(".nq") for f in os.listdir(dest))
     assert os.path.exists(os.path.join(run_dir, "geo"))
+
+
+@pytest.mark.slow
+def test_cli_bulk_then_release(spark, tmp_path):
+    """Bulk NDJSON docs flow into the same release stage as crawled pages
+    (sitemap_bulk.go lifecycle)."""
+    import json as _json
+
+    from nabu_spark.datagen import make_place_doc
+
+    nd = tmp_path / "docs.ndjson"
+    with open(nd, "w") as fh:
+        for i in range(12):
+            doc = make_place_doc(i)
+            doc["@id"] = f"https://bulk.example.org/feature/{i}"
+            fh.write(_json.dumps(doc) + "\n")
+        fh.write('{"no_id": true}\n')
+    run_dir = str(tmp_path / "run")
+    rc, out = run_cli(["bulk", "--ndjson", str(nd), "--sitemap-id", "bulksrc",
+                       "--out", run_dir])
+    assert rc == 0, out
+    payload = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert payload["docs"] == 12 and payload["errors"] == 1
+    rc, out = run_cli(["release", "--docs", run_dir, "--out", run_dir])
+    assert rc == 0, out
+    payload = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert payload["quads"] > 0
+    graphs = os.listdir(os.path.join(run_dir, "graphs"))
+    assert any("bulksrc" in g for g in graphs)
