@@ -282,6 +282,56 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the n-gram heuristic variant)."""
+    from nabu_spark.operators.textstats import lang_id_ngram
+
+    docs = _load(spark, sf_dir, "documents")
+    return lang_id_ngram(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _lang_id_ngram_oracle() -> str:
+    from nabu_spark.operators.textstats import LANG_TRIGRAM_PROFILES
+
+    profiles = {
+        lang: "[" + ", ".join(f"'{t}'" for t in prof) + "]"
+        for lang, prof in LANG_TRIGRAM_PROFILES.items()
+    }
+    score_cols = ",\n".join(
+        f"            len(list_intersect(g, {p})) AS s_{lang}"
+        for lang, p in profiles.items()
+    )
+    langs = list(profiles)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n".join(
+        f"                WHEN s_{lang} = {greatest} THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), tri AS (
+          SELECT doc_id,
+                 list_distinct(flatten(list_transform(t, w ->
+                   list_transform(range(1, len(w) + 1), i ->
+                     substr(' ' || w || ' ', CAST(i AS INTEGER), 3))))) AS g
+          FROM toks
+        ), scored AS (
+          SELECT doc_id,
+{score_cols}
+          FROM tri
+        )
+        SELECT doc_id,
+               CASE WHEN {greatest} = 0 THEN 'und'
+{whens}
+                    ELSE '{langs[-1]}' END AS lang_pred_ngram
+        FROM scored ORDER BY doc_id
+    """
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword-ratio composite."""
     from nabu_spark.operators.textstats import EN_STOPWORDS
@@ -654,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline operators
         "token_count": q_token_count,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -848,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_pred
             FROM scored ORDER BY doc_id
         """,
+        "lang_id_ngram": _lang_id_ngram_oracle(),
         "quality_score": """
             WITH base AS (
               SELECT doc_id, text,

@@ -263,3 +263,52 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.round(symbol_ratio, 4).alias("symbol_ratio"),
         passed.alias("gopher_pass"),
     )
+
+
+def _word_trigrams(w: str) -> set[str]:
+    pad = f" {w} "
+    return {pad[i : i + 3] for i in range(len(pad) - 2)}
+
+
+# per-language character-trigram profiles derived from the marker lexicon
+# (word-boundary padded) — the classic n-gram language-ID heuristic; unlike
+# whole-word markers it also hits inflected/compound forms
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    lang: sorted(set().union(*(_word_trigrams(w) for w in words)))
+    for lang, words in LANG_MARKERS.items()
+}
+
+
+def doc_trigrams(text_col: str) -> Column:
+    """Distinct padded character trigrams of every token — pure codegen
+    (nested transform over sequence + substring)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda i: F.substring(
+                        F.concat(F.lit(" "), t, F.lit(" ")), i, 3
+                    ),
+                ),
+            )
+        )
+    )
+
+
+def lang_id_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-n-gram language ID: score = |doc trigrams ∩ language
+    profile|, deterministic tie order (declaration order, 'und' when all
+    zero). Same output contract as the marker-word lang_id."""
+    tri = doc_trigrams(text_col)
+    scores = {
+        lang: F.size(F.array_intersect(tri, F.lit(prof).cast("array<string>")))
+        for lang, prof in LANG_TRIGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_TRIGRAM_PROFILES:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(F.col(id_col), pred.alias("lang_pred_ngram"))

@@ -413,3 +413,26 @@ class TestDedupClustering:
         cc = dedup_clusters(pairs).collect()
         assert {r["cluster_id"] for r in cc} == {0}
         assert len(cc) == 13
+
+
+class TestNgramLangId:
+    def test_clear_cases_and_inflections(self, spark):
+        from nabu_spark.operators.textstats import lang_id_ngram
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat is on the mat with food for the winter"),
+                (1, "el agua de la montana es para los valles con nieve"),
+                (2, "12345 67890"),
+                # inflected German: 'einem'/'nichts' share trigrams with the
+                # 'ein'/'nicht' markers even though whole-word match fails
+                (3, "einem nichts dieses under aufen"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang_pred_ngram"]
+               for r in lang_id_ngram(docs, "doc_id", "text").collect()}
+        assert out[0] == "en"
+        assert out[1] == "es"
+        assert out[2] == "und"
+        assert out[3] == "de"
