@@ -96,6 +96,12 @@ def _decode_bmp(blob: bytes) -> dict:
             "only uncompressed 24/32-bit BMP decodes natively; other variants "
             "need an imaging library not available in this container"
         )
+    # hostile-input guard: absurd or negative dims must become error rows,
+    # never reshape ValueErrors / giant allocations inside the task
+    if not (0 < w <= 1 << 20 and 0 < abs(h) <= 1 << 20 and w * abs(h) <= 1 << 26):
+        raise MediaDecodeError(f"implausible BMP dimensions {w}x{h}")
+    if pixel_off < 54 or pixel_off > len(blob):
+        raise MediaDecodeError("BMP pixel offset out of range")
     return {
         "kind": "image",
         "width": int(w),

@@ -436,3 +436,34 @@ class TestNgramLangId:
         assert out[1] == "es"
         assert out[2] == "und"
         assert out[3] == "de"
+
+
+def test_hostile_bmp_headers_become_error_rows(spark):
+    """Malformed BMPs (negative width, absurd dims, bad pixel offset) must
+    produce decode/resize error rows, never task failures."""
+    import struct
+
+    from nabu_spark.operators.multimodal import decode_media, resize_media
+
+    def bmp_with(w, h, off=54, bpp=24):
+        header = b"BM" + struct.pack("<IHHI", 200, 0, 0, off)
+        info = struct.pack("<IiihHIIiiII", 40, w, h, 1, bpp, 0, 0, 0, 0, 0, 0)
+        return header + info + b"\x00" * 64
+
+    rows = [
+        (0, "image", bytearray(bmp_with(-5, 4)), ("u", "image/bmp")),
+        (1, "image", bytearray(bmp_with(1 << 30, 1 << 30)), ("u", "image/bmp")),
+        (2, "image", bytearray(bmp_with(4, 4, off=10_000)), ("u", "image/bmp")),
+        (3, "image", bytearray(bmp_with(800, 600)), ("u", "image/bmp")),  # truncated px
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, media binary, "
+        "meta struct<source_url string, mime string>",
+    )
+    dec = decode_media(media).collect()
+    # headers parse for id=3 (dims plausible) but pixel data is truncated:
+    # decode reports metadata; the pixel path (resize) must error-row it
+    assert all(r["decode_error"] == "MediaDecodeError" for r in dec if r["media_id"] != 3)
+    rs = resize_media(media, max_side=8).collect()
+    assert all(r["resize_error"] == "MediaDecodeError" for r in rs)
