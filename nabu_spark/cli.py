@@ -148,7 +148,9 @@ def main(argv: list[str] | None = None) -> int:
             quads = quads.filter(F.col("error_code").isNull())
         geo = quads_to_geo(quads)
         manifest = write_geoparquet(geo, args.out)
-        n = spark.read.parquet(args.out).count()
+        # an all-error corpus yields zero geometry rows and zero part files;
+        # reading the empty dir would raise instead of reporting rows=0
+        n = spark.read.parquet(args.out).count() if manifest else 0
         print(json.dumps({"cmd": "geo", "rows": n, "files": len(manifest)}))
         return 0
 

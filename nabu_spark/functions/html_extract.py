@@ -96,9 +96,17 @@ def get_jsonld_from_html(data: bytes | str) -> str:
         text = data
     mark = text.find(_LDJSON_MARK)
     if mark == -1:
-        raise NoJsonLdError("no JSON-LD found in document")
-    cut = -1
-    stop = text.find("</script", mark)
+        # the cheap negative keys on the PREFIX: entity-encoded '+' (e.g.
+        # type="application/ld&#43;json") decodes inside the parser but never
+        # contains the literal full marker — such documents take the full
+        # parse below instead of being rejected here
+        if "application/ld" not in text:
+            raise NoJsonLdError("no JSON-LD found in document")
+        cut = -1
+        stop = -1
+    else:
+        cut = -1
+        stop = text.find("</script", mark)
     if stop != -1:
         tag_close = text.find(">", stop)
         if tag_close != -1:

@@ -26,11 +26,15 @@ _TOKEN_RE = re.compile(
     (?P<comment>\#[^\n]*)
   | (?P<iri><[^>]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<sqstring>'(?:[^'\\]|\\.)*')
+  | (?P<dtsep>\^\^)
   | (?P<punct>\[|\]|\(|\)|;|,|\.(?=\s|$))
   | (?P<keyword>@prefix|@base|\ba\b(?=[\s\[<]))
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][\w.\-]*)?:(?P<local>[\w.\-:%#/]*)
   | (?P<bare>[A-Za-z_][\w.\-]*)
+  | (?P<ws>\s+)
+  | (?P<unknown>\S)
     """,
     re.VERBOSE,
 )
@@ -71,8 +75,15 @@ class _Parser:
     def __init__(self, text: str):
         self.tokens = []
         for m in _TOKEN_RE.finditer(text):
-            if m.lastgroup == "comment":
+            if m.lastgroup in ("comment", "ws"):
                 continue
+            if m.lastgroup == "unknown":
+                # never silently drop input — a character outside the
+                # supported grammar means the document needs a feature this
+                # subset lacks, and mis-parsing shapes corrupts validation
+                raise TurtleError(
+                    f"unsupported Turtle syntax at offset {m.start()}: {m.group(0)!r}"
+                )
             self.tokens.append(m)
         self.pos = 0
         self.prefixes: dict[str, str] = {}
@@ -112,13 +123,17 @@ class _Parser:
         text = tok.group(0)
         if kind == "iri":
             return self._resolve_iri(text)
-        if kind == "string":
+        if kind in ("string", "sqstring"):
             lex = _unescape(text[1:-1])
-            # optional ^^datatype / @lang suffix
+            term = '"' + lex.replace("\\", "\\\\").replace('"', '\\"') + '"'
             nxt = self._peek()
-            if nxt is not None and nxt.group(0).startswith("^^"):
-                raise TurtleError("datatype suffix tokenization unsupported")
-            return '"' + lex.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            if nxt is not None and nxt.lastgroup == "dtsep":
+                self._next()
+                dt = self._term(self._next())
+                if not dt.startswith("<"):
+                    raise TurtleError(f"datatype must be an IRI, got {dt!r}")
+                return term + "^^" + dt
+            return term
         if kind == "number":
             if "." in text:
                 return f'"{text}"^^<http://www.w3.org/2001/XMLSchema#decimal>'

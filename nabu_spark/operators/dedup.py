@@ -56,9 +56,18 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     return out
 
 
+_SHINGLE_MULTS_CACHE: dict[int, np.ndarray] = {}
+
+
 def _shingle_mults(k: int) -> np.ndarray:
-    rng = np.random.RandomState(7331 + k)
-    return rng.randint(1, 1 << 62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    # memoized: shingles_of runs once per document in the hot kernel and the
+    # constants are a pure function of k
+    m = _SHINGLE_MULTS_CACHE.get(k)
+    if m is None:
+        rng = np.random.RandomState(7331 + k)
+        m = rng.randint(1, 1 << 62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        _SHINGLE_MULTS_CACHE[k] = m
+    return m
 
 
 def _mix64(h: np.ndarray) -> np.ndarray:
@@ -303,12 +312,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = the component's minimum id (the canonical survivor).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in O(component
-    diameter) rounds — near-dup components are near-cliques (the verify
-    stage emits all intra-cluster pairs), so 2-3 rounds in practice. Each
-    round is one equi-join + groupBy; lineage is cut with localCheckpoint so
-    the plan doesn't grow unboundedly."""
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of its own label, its neighbors' labels, AND its
+    label's label (path compression), so convergence needs
+    O(log(component diameter)) rounds — max_iters=50 covers any realistic
+    graph. Near-dup components are near-cliques anyway (the verify stage
+    emits all intra-cluster pairs), so 2-3 rounds in practice. Each round is
+    two equi-joins + a groupBy; lineage is cut with localCheckpoint so the
+    plan doesn't grow unboundedly. Raises RuntimeError instead of silently
+    returning partial components if the cap is ever hit."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -318,18 +330,31 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
         "label", F.col("id")
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label(label), halving chain lengths
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(parent, stepped.label == parent._pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -341,7 +366,13 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
         )
         labels = updated
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} rounds — "
+            "pathological component structure; raise max_iters"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

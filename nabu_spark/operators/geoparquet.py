@@ -203,22 +203,25 @@ def write_geoparquet(
         for blob in pdf[geometry_col]:
             if blob is None:
                 continue
-            name, (minx, miny, maxx, maxy) = wkb_info(bytes(blob))
+            try:
+                name, (minx, miny, maxx, maxy) = wkb_info(bytes(blob))
+            except ValueError:
+                continue  # foreign/unparseable WKB: still written, just
+                # excluded from the summary stats (never a task failure)
             gtypes.add(name)
             gbbox = [
                 min(gbbox[0], minx), min(gbbox[1], miny),
                 max(gbbox[2], maxx), max(gbbox[3], maxy),
             ]
+        col_meta = {"encoding": "WKB", "geometry_types": sorted(gtypes)}
+        import math
+
+        if all(math.isfinite(v) for v in gbbox):
+            col_meta["bbox"] = gbbox  # bbox is optional; Infinity is not JSON
         geo_meta = {
             "version": "1.1.0",
             "primary_column": geometry_col,
-            "columns": {
-                geometry_col: {
-                    "encoding": "WKB",
-                    "geometry_types": sorted(gtypes),
-                    "bbox": gbbox,
-                }
-            },
+            "columns": {geometry_col: col_meta},
         }
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         table = table.replace_schema_metadata(
@@ -228,7 +231,11 @@ def write_geoparquet(
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         pq.write_table(table, path)
         yield pd.DataFrame(
-            {"file": [path], "rows": [len(pdf)], "bbox": [json.dumps(gbbox)]}
+            {
+                "file": [path],
+                "rows": [len(pdf)],
+                "bbox": [json.dumps(col_meta.get("bbox"))],
+            }
         )
 
     manifest_schema = "file string, rows long, bbox string"

@@ -110,3 +110,16 @@ class TestReferenceHtmlFixtures:
             out = get_jsonld_from_html(f.read())
         doc = json.loads(out)
         assert "@id" in doc or "@context" in doc
+
+
+def test_entity_encoded_type_attr_still_extracts():
+    # HTMLParser decodes charrefs in attribute values, so an entity-encoded
+    # '+' in the type attr must still match (the fast negative keys on the
+    # 'application/ld' prefix, not the full literal marker)
+    from nabu_spark.functions.html_extract import get_jsonld_from_html
+
+    html = (
+        '<html><head><script type="application/ld&#43;json">{"@id":"x"}'
+        "</script></head><body></body></html>"
+    )
+    assert get_jsonld_from_html(html.encode()) == '{"@id":"x"}'
