@@ -513,7 +513,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 bands x 2 planes: P(miss | cos>=0.4) = (1-0.4^2)^32 ~ 1e-7 on the
     # gate corpus -> candidate recall is total, exact-cosine verify makes
     # the output the all-pairs answer
-    out = embedding_near_dups(emb, threshold=0.4, bands=32, planes_per_band=2)
+    # max_bucket lifted to the slice size: 2-plane buckets hold ~n/4 members
+    # BY DESIGN here (exhaustive recall), so the scale guardrail that drops
+    # hot buckets must not bind at the gate. Scale runs keep the default cap.
+    out = embedding_near_dups(
+        emb, threshold=0.4, bands=32, planes_per_band=2, max_bucket=500
+    )
     return out.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")

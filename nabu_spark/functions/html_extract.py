@@ -96,11 +96,12 @@ def get_jsonld_from_html(data: bytes | str) -> str:
         text = data
     mark = text.find(_LDJSON_MARK)
     if mark == -1:
-        # the cheap negative keys on the PREFIX: entity-encoded '+' (e.g.
-        # type="application/ld&#43;json") decodes inside the parser but never
-        # contains the literal full marker — such documents take the full
-        # parse below instead of being rejected here
-        if "application/ld" not in text:
+        # the cheap negative keys on the PREFIX, and only when no entity
+        # reference could hide the marker: ANY char of "application/ld" can be
+        # entity-encoded (type="application&#47;ld&#43;json") and decodes
+        # inside the parser — so a document containing '&' always takes the
+        # full parse instead of being rejected here
+        if "application/ld" not in text and "&" not in text:
             raise NoJsonLdError("no JSON-LD found in document")
         cut = -1
         stop = -1

@@ -28,10 +28,10 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<sqstring>'(?:[^'\\]|\\.)*')
   | (?P<dtsep>\^\^)
-  | (?P<punct>\[|\]|\(|\)|;|,|\.(?=\s|$))
+  | (?P<punct>\[|\]|\(|\)|;|,|\.(?=[\s#]|$))
   | (?P<keyword>@prefix|@base|\ba\b(?=[\s\[<]))
   | (?P<number>[+-]?\d+(?:\.\d+)?)
-  | (?P<pname>[A-Za-z_][\w.\-]*)?:(?P<local>[\w.\-:%#/]*)
+  | (?P<pname>[A-Za-z_][\w.\-]*)?:(?P<local>(?:[\w\-:%#/]|\.(?=[\w.\-:%#/]))*)
   | (?P<bare>[A-Za-z_][\w.\-]*)
   | (?P<ws>\s+)
   | (?P<unknown>\S)

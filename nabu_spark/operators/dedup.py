@@ -21,6 +21,7 @@ standard web-dedup guardrail.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import re
 from collections.abc import Iterator
 
@@ -193,20 +194,39 @@ def minhash_bands(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(sig_batches, out_schema)
 
 
-def candidate_pairs(bands_df: DataFrame, *, max_bucket: int = 64) -> DataFrame:
+# unique suffix for named observations (Spark requires observation names to be
+# unique within a query plan; a process-local counter keeps repeated calls safe)
+_OBS_SEQ = itertools.count()
+
+_PAIR_EXPLODE = (
+    "flatten(transform({c}, (x, i) -> "
+    "transform(slice({c}, i + 2, size({c}) - i - 1), y -> struct(x as a, y as b))))"
+)
+
+
+def _observe_dropped(buckets: DataFrame, members_col: str, max_bucket: int, metric: str) -> DataFrame:
+    """Attach a named observation counting buckets (and member rows) dropped by
+    the ``max_bucket`` guardrail — in-stream, no extra job. Metrics surface via
+    the QueryExecutionListener / Observation API so reduced recall is visible."""
+    n = F.size(members_col)
+    return buckets.observe(
+        f"{metric}_dropped_{next(_OBS_SEQ)}",
+        F.sum(F.when(n > max_bucket, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(n > max_bucket, n).otherwise(0)).alias("dropped_members"),
+    )
+
+
+def candidate_pairs(bands_df: DataFrame, *, max_bucket: int = 64, metric: str = "minhash_lsh") -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from shared LSH buckets.
-    Oversized buckets (boilerplate) are dropped — the standard guardrail."""
+    Oversized buckets (boilerplate) are dropped — the standard guardrail —
+    and the drop count is reported through a named observation."""
     buckets = bands_df.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("id")).alias("ids")
     )
+    buckets = _observe_dropped(buckets, "ids", max_bucket, metric)
     ok = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     pairs = ok.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"
-            )
-        ).alias("p")
+        F.explode(F.expr(_PAIR_EXPLODE.format(c="ids"))).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     return pairs.distinct()
 
@@ -422,10 +442,17 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dups by hamming distance: pigeonhole banding on four 16-bit
-    chunks (distance <= 3 guarantees one identical chunk), verify popcount."""
+    chunks (distance <= 3 guarantees one identical chunk), verify popcount.
+
+    Like ``candidate_pairs``, oversized (chunk, chunk_val) buckets are dropped
+    and counted: web corpora concentrate mass on identical simhashes (empty or
+    templated docs all hash the same — simhash("") = 0), so one hot chunk
+    value would otherwise go quadratic at scale. Exact duplicates belong to
+    ``exact_dedup``, not the hamming pass."""
     sims = simhash_table(df, id_col, text_col)
     chunks = sims.select(
         "id",
@@ -444,20 +471,24 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("id", "simhash", F.col("c.chunk"), F.col("c.chunk_val"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # bucket members as sorted (id, simhash) structs: sort_array orders by id,
+    # so the slice-explode below emits each unordered pair once with id_a < id_b
+    buckets = chunks.groupBy("chunk", "chunk_val").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col("id"), F.col("simhash")))
+        ).alias("members")
+    )
+    buckets = _observe_dropped(buckets, "members", max_bucket, "simhash")
+    ok = buckets.filter(
+        (F.size("members") > 1) & (F.size("members") <= max_bucket)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        ok.select(F.explode(F.expr(_PAIR_EXPLODE.format(c="members"))).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.simhash").alias("sh_a"),
+            F.col("p.b.simhash").alias("sh_b"),
         )
         .distinct()
     )
@@ -479,13 +510,18 @@ def embedding_near_dups(
     planes_per_band: int = 8,
     n_planes: int | None = None,  # legacy alias: single band of n planes
     seed: int = 42,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Cosine near-dup via banded random-hyperplane LSH (OR-construction):
     ``bands`` independent sign signatures of ``planes_per_band`` hyperplanes
     each; a pair is a candidate when ANY band bucket matches, then exact
     cosine verifies. Recall for pairs at cosine c is
     1 - (1 - (1 - acos(c)/pi)^planes_per_band)^bands — the two knobs trade
-    candidate volume against recall, and every stage stays an equi-join."""
+    candidate volume against recall, and every stage stays an equi-join.
+
+    Oversized (band, bucket) buckets are dropped and counted (``max_bucket``
+    guardrail, same as ``candidate_pairs``): boilerplate pages embed
+    near-identically, so one dense cluster would otherwise go quadratic."""
     if n_planes is not None:
         bands, planes_per_band = 1, n_planes
     first = emb.select(F.size(vec_col).alias("d")).first()
@@ -517,13 +553,11 @@ def embedding_near_dups(
     sig = emb.select(id_col, vec_col).mapInPandas(
         sig_batches, "id long, band int, bucket long"
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cands = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
+    cands = candidate_pairs(
+        sig.withColumnRenamed("bucket", "band_hash"),
+        max_bucket=max_bucket,
+        metric="embedding_lsh",
+    )
 
     # norms precomputed once per vector (O(n)), not per candidate pair
     norm = F.sqrt(

@@ -263,15 +263,19 @@ def link_mentions_banded(
 
     cand = (
         m_bands.join(d_bands, ["band", "band_hash"])
-        .select("_norm", "_dkey")
-        .distinct()
+        .groupBy("_norm", "_dkey")
+        .agg(F.count("*").alias("_shared_bands"))
     )
-    # guardrail: bound verify work per mention on degenerate dictionaries
-    w = Window.partitionBy("_norm").orderBy("_dkey")
+    # guardrail: bound verify work per mention on degenerate dictionaries.
+    # Rank by shared-band count DESC (a recall-neutral proxy for estimated
+    # Jaccard — more matching bands => higher minhash agreement) before the
+    # deterministic _dkey tiebreak, so when the cap binds the likely-best
+    # entries survive rather than the lexicographically smallest IRIs.
+    w = Window.partitionBy("_norm").orderBy(F.desc("_shared_bands"), F.asc("_dkey"))
     cand = (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_candidates_per_mention)
-        .drop("_rn")
+        .drop("_rn", "_shared_bands")
     )
 
     pairs = cand.withColumn(

@@ -190,7 +190,12 @@ def write_geoparquet(
     from ..functions.wkt import wkb_info
 
     os.makedirs(out_dir, exist_ok=True)
-    fields = geo.schema.fields
+    # explicit arrow schema derived from the DataFrame schema: per-partition
+    # pandas inference would type an all-null column as null(), producing
+    # part files with inconsistent schemas that readers refuse to merge
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(geo.schema)
 
     def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [pdf for pdf in it if len(pdf)]
@@ -223,7 +228,7 @@ def write_geoparquet(
             "primary_column": geometry_col,
             "columns": {geometry_col: col_meta},
         }
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
         table = table.replace_schema_metadata(
             {**(table.schema.metadata or {}), b"geo": json.dumps(geo_meta).encode()}
         )

@@ -188,12 +188,17 @@ def strip_boilerplate(
 ) -> DataFrame:
     """Rebuild each document without its boilerplate segments:
     (id, clean_text, n_segments, n_removed). Join-shaped: doc segments
-    left-anti-join the boilerplate set (broadcastable — boilerplate is tiny
-    relative to the corpus), then per-doc reassembly in position order.
-    The tail < k tokens is preserved verbatim."""
+    left-anti-join the boilerplate set, then per-doc reassembly in position
+    order. The tail < k tokens is preserved verbatim.
+
+    No broadcast hint on the boilerplate side on purpose: at web scale with
+    ``min_doc_freq=2`` the "segments in >= 2 docs" set is itself huge, and a
+    forced broadcast would OOM the driver/executors. AQE sees the aggregated
+    side's real size at runtime and converts to a broadcast join exactly when
+    it is small enough — the right call at every scale."""
     segs = doc_segments(df, id_col, text_col, k=k)
     bp = boilerplate_segments(df, id_col, text_col, k=k, min_doc_freq=min_doc_freq)
-    kept = segs.join(F.broadcast(bp.select("segment")), "segment", "left_anti")
+    kept = segs.join(bp.select("segment"), "segment", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",

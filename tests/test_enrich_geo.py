@@ -233,3 +233,28 @@ class TestGeoParquetFooter:
         assert cols == ["geometry", "id", "geoconnex_sitemap",
                         "feature_name", "feature_description", "mainstem_uri"]
         assert total == geo.count()
+
+    def test_all_null_partition_keeps_schema(self, spark, tmp_path):
+        """A partition whose rows are all-null geometry/strings must still
+        write the declared binary/string types (not inferred null()), so
+        every part-file merges under one schema (ADVICE r02 #4)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from nabu_spark.operators.geoparquet import GEO_SCHEMA, write_geoparquet
+
+        import pyarrow as pa
+
+        rows = [(None, None, None, None, None, None)]
+        geo = spark.createDataFrame(rows, GEO_SCHEMA).coalesce(1)
+        out = str(tmp_path / "geo_nulls")
+        write_geoparquet(geo, out)
+        files = sorted(glob.glob(out + "/part-*.parquet"))
+        assert len(files) == 1
+        schema = pq.read_schema(files[0])
+        assert schema.field("geometry").type == pa.binary()
+        assert schema.field("feature_name").type == pa.string()
+        assert pa.types.is_null(schema.field("geometry").type) is False
+        # and Spark reads it back under the declared schema
+        assert spark.read.parquet(out).count() == 1

@@ -123,3 +123,16 @@ def test_entity_encoded_type_attr_still_extracts():
         "</script></head><body></body></html>"
     )
     assert get_jsonld_from_html(html.encode()) == '{"@id":"x"}'
+
+
+def test_entity_encoded_slash_in_type_attr_still_extracts():
+    # even the '/' can be entity-encoded, hiding the 'application/ld' prefix
+    # itself: a document containing '&' must fall through to the full parse
+    # instead of taking the cheap negative (ADVICE r02 #1)
+    from nabu_spark.functions.html_extract import get_jsonld_from_html
+
+    html = (
+        '<html><head><script type="application&#47;ld&#43;json">{"@id":"y"}'
+        "</script></head><body></body></html>"
+    )
+    assert get_jsonld_from_html(html.encode()) == '{"@id":"y"}'

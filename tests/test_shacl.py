@@ -64,6 +64,19 @@ class TestTurtleParser:
             '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
         )
 
+    def test_pname_with_no_space_before_statement_dot(self):
+        # PN_LOCAL cannot end in '.', so 'ex:Thing.' is a pname plus the
+        # statement terminator — valid Turtle that omits the space
+        # (ADVICE r02 #2)
+        ttl = """
+        @prefix ex: <http://e.org/> .
+        ex:s a ex:Thing.
+        ex:t a ex:Other. # comment directly after the dot
+        """
+        t = parse_turtle(ttl)
+        objs = sorted(o for s, p, o in t)
+        assert objs == ["<http://e.org/Other>", "<http://e.org/Thing>"]
+
 
 @needs_reference
 class TestGeoconnexCorpus:

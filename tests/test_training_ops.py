@@ -99,6 +99,29 @@ class TestDedup:
             {r["id_a"], r["id_b"]} == {first["vec_id"], 99999} for r in out
         )
 
+    def test_simhash_hot_bucket_guardrail(self, spark):
+        # 500 identical docs: every 16-bit chunk bucket of the hot family has
+        # 500 members (> max_bucket=64) and is dropped instead of going
+        # quadratic (124,750 pairs); the unrelated small pair survives.
+        hot = [(100 + i, "identical boilerplate page " * 20) for i in range(500)]
+        pair = [(0, BASE), (1, BASE)]
+        docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+        out = simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+        assert "CollectMetrics" in out._jdf.queryExecution().optimizedPlan().toString()
+        found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert found == {(0, 1)}
+
+    def test_embedding_hot_bucket_guardrail(self, spark):
+        # 300 identical vectors bucket together in every band (> max_bucket)
+        # and are dropped; the opposite-direction duplicate pair survives.
+        hot_v = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+        cold_v = [-x for x in hot_v]
+        rows = [(i, hot_v) for i in range(300)] + [(1000, cold_v), (1001, cold_v)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_near_dups(emb, threshold=0.999).collect()
+        found = {(r["id_a"], r["id_b"]) for r in out}
+        assert found == {(1000, 1001)}
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
