@@ -156,11 +156,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "pull":
         import glob
-        import shutil
 
-        from .operators.release import pull_skip_list
+        from .operators.release import (
+            concat_release_file,
+            pull_release_graphs,
+            pull_skip_list,
+        )
 
-        # read current bytesums and stored sidecars; copy only changed graphs
+        # read current bytesums and stored sidecars; pull only changed graphs.
+        # The skip plan is manifest-scale (one row per graph) — the only
+        # driver-side collect; the byte movement itself is a Spark job
+        # (parallel binaryFile reads, per-graph ordered writes), not a
+        # per-file driver copy loop.
         cur = spark.read.json(os.path.join(args.release_dir, "bytesums"))
         dest_sidecar = os.path.join(args.dest, "bytesums.json")
         os.makedirs(args.dest, exist_ok=True)
@@ -169,38 +176,27 @@ def main(argv: list[str] | None = None) -> int:
         else:
             stored = spark.createDataFrame([], "release_name string, bytesum decimal(20,0)")
         plan = pull_skip_list(cur, stored).collect()
-        pulled, skipped = 0, 0
-        for row in plan:
-            if row["skip"]:
-                skipped += 1
-                continue
-            src = os.path.join(args.release_dir, "graphs", f"release_name={row['release_name']}")
-            dst = os.path.join(args.dest, row["release_name"])
-            with open(dst, "wb") as out:
-                for f in sorted(glob.glob(os.path.join(src, "*.txt"))):
-                    with open(f, "rb") as fh:
-                        shutil.copyfileobj(fh, out)
-            pulled += 1
+        to_pull = [row["release_name"] for row in plan if not row["skip"]]
+        skipped = len(plan) - len(to_pull)
+        pulled = pull_release_graphs(spark, args.release_dir, to_pull, args.dest)
         cur.toPandas().to_json(dest_sidecar, orient="records", lines=True)
         concatenated = 0
         if args.concat:
-            with open(args.concat, "wb") as out:
-                for row in plan:
-                    name = row["release_name"]
-                    if name.endswith("_prov.nq"):
-                        continue  # prov graphs never enter the concat file
-                    src = os.path.join(
-                        args.release_dir, "graphs", f"release_name={name}"
+            non_prov = [
+                row["release_name"] for row in plan
+                if not row["release_name"].endswith("_prov.nq")
+            ]
+            for name in non_prov:
+                src = os.path.join(
+                    args.release_dir, "graphs", f"release_name={name}"
+                )
+                gz = glob.glob(os.path.join(src, "*.gz"))
+                if gz:
+                    raise SystemExit(
+                        f"cannot concat compressed files; found {gz[0]}"
                     )
-                    gz = glob.glob(os.path.join(src, "*.gz"))
-                    if gz:
-                        raise SystemExit(
-                            f"cannot concat compressed files; found {gz[0]}"
-                        )
-                    for f in sorted(glob.glob(os.path.join(src, "*.txt"))):
-                        with open(f, "rb") as fh:
-                            shutil.copyfileobj(fh, out)
-                    concatenated += 1
+            concat_release_file(spark, args.release_dir, non_prov, args.concat)
+            concatenated = len(non_prov)
         print(json.dumps({
             "cmd": "pull", "pulled": pulled, "skipped": skipped,
             "concatenated": concatenated,
@@ -285,10 +281,21 @@ def main(argv: list[str] | None = None) -> int:
         report = shacl_validate_quads(quads, shapes_ttl)
         report.write.mode("overwrite").parquet(os.path.join(args.out, "shacl_report"))
         report = spark.read.parquet(os.path.join(args.out, "shacl_report"))
-        fails = report.filter(~F.col("conforms")).count()
-        total = report.count()
-        print(json.dumps({"cmd": "validate", "graphs": total, "failures": fails}))
-        # failures are warnings unless --exit-on-failure (shacl.go:29-46)
+        agg = report.agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("n_violations") > 0).cast("int")).alias("fails"),
+            F.sum(
+                ((F.col("n_violations") == 0) & (F.col("n_warnings") > 0)).cast("int")
+            ).alias("warn_only"),
+        ).first()
+        total, fails = agg["total"], int(agg["fails"] or 0)
+        print(json.dumps({
+            "cmd": "validate", "graphs": total, "failures": fails,
+            "warning_only": int(agg["warn_only"] or 0),
+        }))
+        # only Violation-severity results fail the run (pyshacl
+        # allow-warnings semantics); sh:severity sh:Warning/sh:Info graphs
+        # are reported but never flip the exit code (shacl.go:29-46)
         return 1 if (args.exit_on_failure and fails) else 0
 
     if args.cmd == "link":

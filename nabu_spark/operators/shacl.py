@@ -8,7 +8,9 @@ sh:targetClass / sh:targetObjectsOf, property shapes with sh:path,
 sh:minCount / sh:maxCount, sh:datatype, sh:pattern, sh:nodeKind (sh:IRI),
 sh:node (nested shapes), sh:class, sh:in, sh:hasValue,
 sh:minLength / sh:maxLength, node- and value-level sh:or over
-sh:class / sh:datatype alternatives, sh:message.
+sh:class / sh:datatype alternatives, sh:not / sh:and (logical constraints via
+nested conformance checks), sh:severity (Violation/Warning/Info reporting,
+pyshacl-style: only Violation-severity results fail a graph), sh:message.
 
 Validation semantics mirror shacl.go Validate(): first the structural
 pre-check (a node typed schema:Place or schema:Dataset must exist,
@@ -40,6 +42,10 @@ SCHEMA_DATASET = "<https://schema.org/Dataset>"
 
 PRECHECK_MESSAGE = "Data must be of @type schema:Place or schema:Dataset"
 
+SEVERITY_VIOLATION = "Violation"
+SEVERITY_WARNING = "Warning"
+SEVERITY_INFO = "Info"
+
 
 def _sh(local: str) -> str:
     return f"<{SH}{local}>"
@@ -61,6 +67,9 @@ class PropertyShape:
     has_value: str | None = None    # sh:hasValue — some value == V
     min_length: int | None = None   # sh:minLength on the lexical form
     max_length: int | None = None   # sh:maxLength
+    not_shapes: list[str] = field(default_factory=list)  # sh:not shape refs
+    and_shapes: list[str] = field(default_factory=list)  # sh:and member refs
+    severity: str = SEVERITY_VIOLATION  # sh:severity, default sh:Violation
 
 
 @dataclass
@@ -70,6 +79,9 @@ class NodeShape:
     target_objects_of: list[str] = field(default_factory=list)
     or_alternatives: list[dict] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
+    not_shapes: list[str] = field(default_factory=list)
+    and_shapes: list[str] = field(default_factory=list)
+    severity: str = SEVERITY_VIOLATION
 
 
 class ShapesGraph:
@@ -122,11 +134,24 @@ class ShapesGraph:
             return None
         return int(unescape_literal(re.sub(r'^"|"(\^\^<[^>]*>)?$', "", vals[0])))
 
+    def _severity(self, shape_id: str) -> str:
+        vals = self._objs(shape_id, _sh("severity"))
+        if not vals:
+            return SEVERITY_VIOLATION
+        local = vals[0].rsplit("#", 1)[-1].rstrip(">")
+        return local if local in (
+            SEVERITY_VIOLATION, SEVERITY_WARNING, SEVERITY_INFO
+        ) else SEVERITY_VIOLATION
+
     def _compile_node_shape(self, s: str) -> NodeShape:
         shape = NodeShape(shape_id=s)
         shape.target_classes = self._objs(s, _sh("targetClass"))
         shape.target_objects_of = self._objs(s, _sh("targetObjectsOf"))
         shape.or_alternatives = self._or_alts(s)
+        shape.not_shapes = self._objs(s, _sh("not"))
+        for head in self._objs(s, _sh("and")):
+            shape.and_shapes.extend(self._list_items(head))
+        shape.severity = self._severity(s)
         for ps in self._objs(s, _sh("property")):
             paths = self._objs(ps, _sh("path"))
             if not paths:
@@ -152,6 +177,10 @@ class ShapesGraph:
             prop.has_value = hv[0] if hv else None
             prop.min_length = self._int(ps, "minLength")
             prop.max_length = self._int(ps, "maxLength")
+            prop.not_shapes = self._objs(ps, _sh("not"))
+            for head in self._objs(ps, _sh("and")):
+                prop.and_shapes.extend(self._list_items(head))
+            prop.severity = self._severity(ps)
             msg = self._objs(ps, _sh("message"))
             prop.message = unescape_literal(msg[0][1:-1]) if msg else None
             shape.properties.append(prop)
@@ -214,67 +243,91 @@ def _check_alt(g: _GraphIndex, node: str, alt: dict) -> bool:
     return False
 
 
+def _conforms(sg: ShapesGraph, g: _GraphIndex, node: str, shape_id: str, depth: int) -> bool:
+    """Nested conformance check for logical constraints (sh:not / sh:and /
+    sh:node): severity is IGNORED — any result of any severity means the node
+    does not conform to the referenced shape (SHACL §4.1 conformance)."""
+    nested: list = []
+    _validate_node(sg, g, node, sg.node_shape(shape_id), nested, depth + 1)
+    return not nested
+
+
 def _validate_node(
     sg: ShapesGraph, g: _GraphIndex, node: str, shape: NodeShape, out: list, depth: int = 0
 ) -> None:
-    """Append (focus, path, component, message) violation rows."""
+    """Append (focus, path, component, message, severity) result rows."""
     if depth > 8:  # defensive bound against cyclic sh:node references
         return
+    sev = shape.severity
     if shape.or_alternatives:
         if not any(_check_alt(g, node, alt) for alt in shape.or_alternatives):
-            out.append((node, "", "OrConstraint", f"node fails sh:or of {shape.shape_id}"))
+            out.append((node, "", "OrConstraint", f"node fails sh:or of {shape.shape_id}", sev))
+    for ns in shape.not_shapes:
+        if _conforms(sg, g, node, ns, depth):
+            out.append((node, "", "Not", f"node must not conform to {ns}", sev))
+    for member in shape.and_shapes:
+        if not _conforms(sg, g, node, member, depth):
+            out.append((node, "", "And", f"node fails sh:and member {member}", sev))
     for prop in shape.properties:
+        psev = prop.severity
         values = g.po.get(node, {}).get(prop.path, [])
         n = len(values)
         if prop.min_count is not None and n < prop.min_count:
-            out.append((node, prop.path, "MinCount", prop.message or f"minCount {prop.min_count}"))
+            out.append((node, prop.path, "MinCount", prop.message or f"minCount {prop.min_count}", psev))
         if prop.max_count is not None and n > prop.max_count:
-            out.append((node, prop.path, "MaxCount", prop.message or f"maxCount {prop.max_count}"))
+            out.append((node, prop.path, "MaxCount", prop.message or f"maxCount {prop.max_count}", psev))
         if prop.has_value is not None and prop.has_value not in values:
-            out.append((node, prop.path, "HasValue", prop.message or f"hasValue {prop.has_value}"))
+            out.append((node, prop.path, "HasValue", prop.message or f"hasValue {prop.has_value}", psev))
         for v in values:
             if prop.datatype is not None:
                 if not _is_literal(v) or _literal_parts(v)[1] != prop.datatype:
-                    out.append((node, prop.path, "Datatype", prop.message or f"datatype {prop.datatype}"))
+                    out.append((node, prop.path, "Datatype", prop.message or f"datatype {prop.datatype}", psev))
             if prop.node_kind == _sh("IRI") and not _is_iri(v):
-                out.append((node, prop.path, "NodeKind", prop.message or "must be an IRI"))
+                out.append((node, prop.path, "NodeKind", prop.message or "must be an IRI", psev))
             if prop.cls is not None and prop.cls not in g.types.get(v, []):
-                out.append((node, prop.path, "Class", prop.message or f"class {prop.cls}"))
+                out.append((node, prop.path, "Class", prop.message or f"class {prop.cls}", psev))
             if prop.in_values is not None and v not in prop.in_values:
-                out.append((node, prop.path, "In", prop.message or "not in sh:in set"))
+                out.append((node, prop.path, "In", prop.message or "not in sh:in set", psev))
             if prop.min_length is not None or prop.max_length is not None:
                 lex = _literal_parts(v)[0] if _is_literal(v) else v.strip("<>")
                 if prop.min_length is not None and len(lex) < prop.min_length:
-                    out.append((node, prop.path, "MinLength", prop.message or f"minLength {prop.min_length}"))
+                    out.append((node, prop.path, "MinLength", prop.message or f"minLength {prop.min_length}", psev))
                 if prop.max_length is not None and len(lex) > prop.max_length:
-                    out.append((node, prop.path, "MaxLength", prop.message or f"maxLength {prop.max_length}"))
+                    out.append((node, prop.path, "MaxLength", prop.message or f"maxLength {prop.max_length}", psev))
             if prop.pattern is not None and _is_literal(v):
                 lex = _literal_parts(v)[0]
                 if re.search(prop.pattern, lex) is None:
-                    out.append((node, prop.path, "Pattern", prop.message or "pattern"))
+                    out.append((node, prop.path, "Pattern", prop.message or "pattern", psev))
             if prop.or_alternatives and not any(
                 _check_alt(g, v, alt) for alt in prop.or_alternatives
             ):
-                out.append((node, prop.path, "OrConstraint", prop.message or "sh:or"))
+                out.append((node, prop.path, "OrConstraint", prop.message or "sh:or", psev))
+            for ns in prop.not_shapes:
+                if _conforms(sg, g, v, ns, depth):
+                    out.append((node, prop.path, "Not", prop.message or f"value must not conform to {ns}", psev))
+            for member in prop.and_shapes:
+                if not _conforms(sg, g, v, member, depth):
+                    out.append((node, prop.path, "And", prop.message or f"value fails sh:and member {member}", psev))
             if prop.node is not None:
-                nested: list = []
-                _validate_node(sg, g, v, sg.node_shape(prop.node), nested, depth + 1)
-                if nested:
-                    out.append((node, prop.path, "Node", prop.message or f"value fails {prop.node}"))
+                if not _conforms(sg, g, v, prop.node, depth):
+                    out.append((node, prop.path, "Node", prop.message or f"value fails {prop.node}", psev))
 
 
 def validate_graph(
     sg: ShapesGraph, triples: list[tuple[str, str, str]], *, precheck: bool = True
-) -> tuple[bool, list[tuple[str, str, str, str]]]:
-    """Validate one document graph. Returns (conforms, violations); each
-    violation is (focus, path, component, message). ``precheck`` applies the
-    reference's Place-or-Dataset gate before shape evaluation."""
+) -> tuple[bool, list[tuple[str, str, str, str, str]]]:
+    """Validate one document graph. Returns (conforms, results); each result
+    is (focus, path, component, message, severity) with severity one of
+    Violation/Warning/Info. ``conforms`` is true iff the report is empty
+    (SHACL §3.4.1 — severity does not affect conformance; callers that want
+    pyshacl's allow-warnings behavior filter on severity). ``precheck``
+    applies the reference's Place-or-Dataset gate before shape evaluation."""
     g = _GraphIndex(triples)
     if precheck:
         typed = {o for os_ in g.types.values() for o in os_}
         if SCHEMA_PLACE not in typed and SCHEMA_DATASET not in typed:
-            return False, [("", "", "PreCheck", PRECHECK_MESSAGE)]
-    out: list[tuple[str, str, str, str]] = []
+            return False, [("", "", "PreCheck", PRECHECK_MESSAGE, SEVERITY_VIOLATION)]
+    out: list[tuple[str, str, str, str, str]] = []
     for shape in list(sg.shapes.values()):
         focus: list[str] = []
         for cls in shape.target_classes:
@@ -291,6 +344,7 @@ VALIDATION_SCHEMA = T.StructType(
         T.StructField("prov", T.StringType()),
         T.StructField("conforms", T.BooleanType()),
         T.StructField("n_violations", T.IntegerType()),
+        T.StructField("n_warnings", T.IntegerType()),
         T.StructField("violations", T.ArrayType(T.StringType())),
     ]
 )
@@ -313,12 +367,14 @@ def shacl_validate_quads(
     sg = parse_shapes(shapes_ttl)
 
     def eval_graph_rows(prov, triples):
-        conforms, violations = validate_graph(sg, triples, precheck=precheck)
-        msgs = sorted(f"{c}:{p}:{m}" for _, p, c, m in violations)[:cap]
+        conforms, results = validate_graph(sg, triples, precheck=precheck)
+        n_viol = sum(1 for r in results if r[4] == SEVERITY_VIOLATION)
+        msgs = sorted(f"{c}:{p}:{m}" for _, p, c, m, _sev in results)[:cap]
         return {
             "prov": prov,
             "conforms": conforms,
-            "n_violations": len(violations),
+            "n_violations": n_viol,
+            "n_warnings": len(results) - n_viol,
             "violations": msgs,
         }
 

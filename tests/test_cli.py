@@ -116,7 +116,9 @@ ex:PlaceShape a sh:NodeShape ;
     assert summary["cmd"] == "validate"
     assert summary["graphs"] > 0
     report = spark.read.parquet(os.path.join(out_dir, "shacl_report"))
-    assert set(report.columns) == {"prov", "conforms", "n_violations", "violations"}
+    assert set(report.columns) == {
+        "prov", "conforms", "n_violations", "n_warnings", "violations"
+    }
 
 
 @pytest.mark.slow

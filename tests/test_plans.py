@@ -138,6 +138,33 @@ class TestBoilerplateJoinShape:
         assert "LeftAnti" in optimized_of(out)
 
 
+class TestLshTopkScanCount:
+    def test_single_signature_pass_per_side(self, spark, tmp_path_factory):
+        """lsh_topk must compute ALL n_tables signatures in one mapInPandas
+        per side (stacked plane matmul), so the corpus parquet is scanned
+        once however many tables are configured (VERDICT r02 #4)."""
+        import numpy as np
+
+        from nabu_spark.operators.similarity import lsh_topk
+
+        rng = np.random.RandomState(11)
+        p = str(tmp_path_factory.mktemp("lsh") / "emb")
+        spark.createDataFrame(
+            [(int(i), rng.normal(size=8).tolist()) for i in range(300)],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(p)
+        corpus = spark.read.parquet(p)
+        queries = corpus.limit(3)
+        out = lsh_topk(corpus, queries, k=5, n_tables=4)
+        plan = plan_of(out)
+        # one signature pass per side (corpus + queries); never n_tables passes
+        assert plan.count("MapInPandas") == 2, plan
+        # scan count is a CONSTANT (sig + cosine-verify fetch per side),
+        # independent of the table count
+        plan8 = plan_of(lsh_topk(corpus, queries, k=5, n_tables=8))
+        assert plan8.count("Scan parquet") == plan.count("Scan parquet") == 4, plan8
+
+
 class TestCodegen:
     def test_jvm_expressions_stay_in_codegen(self, spark, pages_path):
         # URN derivation is pure column exprs -> must appear inside a

@@ -113,7 +113,7 @@ class TestGeoconnexCorpus:
             sg, [("<http://x>", "<http://p>", '"v"')]
         )
         assert not conforms
-        assert violations == [("", "", "PreCheck", PRECHECK_MESSAGE)]
+        assert violations == [("", "", "PreCheck", PRECHECK_MESSAGE, "Violation")]
 
 
 MINI_SHAPES = """
@@ -165,6 +165,86 @@ class TestDistributedValidation:
         row = shacl_validate_quads(quads, MINI_SHAPES).first()
         assert row["conforms"] is False
         assert "PreCheck" in row["violations"][0]
+
+
+class TestSeverityAndLogic:
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:Main a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [ sh:path schema:keywords ; sh:minCount 1 ;
+                  sh:severity sh:Warning ;
+                  sh:message "keywords recommended" ] ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ] ;
+    sh:not [ sh:property [ sh:path schema:deprecated ; sh:minCount 1 ] ] ;
+    sh:and ( [ sh:property [ sh:path schema:license ; sh:minCount 1 ] ]
+             [ sh:property [ sh:path schema:provider ; sh:minCount 1 ] ] ) .
+"""
+
+    def _graph(self, *preds):
+        base = [("<https://d.org/1>", self.RDF_TYPE, "<https://schema.org/Dataset>")]
+        base += [
+            ("<https://d.org/1>", f"<https://schema.org/{p}>", f'"{p}-v"')
+            for p in preds
+        ]
+        return base
+
+    def _check(self, *preds):
+        sg = parse_shapes(self.SHAPES)
+        return validate_graph(sg, self._graph(*preds))
+
+    def test_warning_severity_reported_not_violation(self):
+        # name+license+provider present, keywords missing -> one Warning row
+        conforms, results = self._check("name", "license", "provider")
+        assert not conforms  # SHACL conformance: any result -> false
+        assert [r[4] for r in results] == ["Warning"]
+        assert results[0][2] == "MinCount"
+        assert "keywords recommended" in results[0][3]
+
+    def test_violation_severity_default(self):
+        conforms, results = self._check("keywords", "license", "provider")
+        sevs = {r[2]: r[4] for r in results}
+        assert sevs.get("MinCount") == "Violation"  # missing name
+
+    def test_sh_not(self):
+        # deprecated present -> node conforms to the negated shape -> Not
+        conforms, results = self._check(
+            "name", "keywords", "license", "provider", "deprecated"
+        )
+        assert not conforms
+        assert {r[2] for r in results} == {"Not"}
+        assert all(r[4] == "Violation" for r in results)
+
+    def test_sh_and(self):
+        # license missing -> first sh:and member fails
+        conforms, results = self._check("name", "keywords", "provider")
+        assert not conforms
+        assert {r[2] for r in results} == {"And"}
+
+    def test_all_satisfied(self):
+        conforms, results = self._check("name", "keywords", "license", "provider")
+        assert conforms, results
+
+    def test_distributed_counts_split_by_severity(self, spark):
+        rows = [
+            ("<https://d.org/1>", self.RDF_TYPE,
+             "<https://schema.org/Dataset>", "<urn:g:1>"),
+            ("<https://d.org/1>", "<https://schema.org/name>", '"n"', "<urn:g:1>"),
+            ("<https://d.org/1>", "<https://schema.org/license>", '"l"', "<urn:g:1>"),
+            ("<https://d.org/1>", "<https://schema.org/provider>", '"p"', "<urn:g:1>"),
+        ]
+        quads = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, prov string"
+        )
+        row = shacl_validate_quads(quads, self.SHAPES, precheck=False).first()
+        assert row["conforms"] is False
+        assert row["n_violations"] == 0  # keywords missing is a Warning
+        assert row["n_warnings"] == 1
 
 
 class TestExtraConstraints:
@@ -220,4 +300,4 @@ ex:S a sh:NodeShape ;
         ):
             conforms, violations = self._check(**over)
             assert not conforms
-            assert component in {c for _, _, c, _ in violations}, (over, violations)
+            assert component in {c for _, _, c, _, _ in violations}, (over, violations)
