@@ -693,6 +693,24 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pipeline_bnodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG pipeline over a corpus slice WHERE EVERY DOC HAS A BLANK NODE
+    (nested provider org, no @id): puts deterministic skolemization
+    (functions/skolem.py, urn.go:83-116 preimage) under the DuckDB hash
+    gate — the oracle recomputes the skolem sha256 from the three context
+    strings (VERDICT r02 task #2)."""
+    from nabu_spark.pipeline import pages_to_quads_fused
+    from nabu_spark.sources.documents import bnode_pages_from_documents
+
+    pages = bnode_pages_from_documents(spark, sf_dir)
+    quads = pages_to_quads_fused(pages, salt=False)
+    return (
+        quads.filter(F.col("error_code").isNull())
+        .select("subj", "pred", "obj", "prov")
+        .orderBy("prov", "subj", "pred", "obj")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -730,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl": q_shacl,
         "entity_link_exact": q_entity_link_exact,
         "kg_pipeline": q_kg_pipeline,
+        "kg_pipeline_bnodes": q_kg_pipeline_bnodes,
         "structured_pipeline": q_structured_pipeline,
     }
 
@@ -1132,6 +1151,42 @@ def oracle_sql() -> dict[str, str]:
                    '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>', prov
             FROM keyed
         """,
+        "kg_pipeline_bnodes": """
+            -- every doc carries one blank node (nested provider org without
+            -- @id); the skolem IRI is sha256 over the sorted, newline-joined
+            -- context strings (urn.go:83-116): pred+obj-token for bnode
+            -- subject lines (literal objects TRUNCATE at the first space ->
+            -- '"org'), subj+pred where the bnode is the object
+            WITH keyed AS (
+              SELECT doc_id,
+                     '<urn:iow:' || replace(
+                        'summoned/bncorpus' || (doc_id % 10) || '_example_org/' ||
+                        to_base64(('https://bncorpus' || (doc_id % 10) ||
+                                   '.example.org/doc/' || doc_id)::BLOB) || '.jsonld',
+                        '/', ':') || '>' AS prov,
+                     '<https://docs.example.org/corpus/' || doc_id || '>' AS subj,
+                     '<https://docs.geoconnex.us/nqhash/' || sha256(
+                        array_to_string(list_sort([
+                          '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type><https://schema.org/Organization>',
+                          '<https://docs.example.org/corpus/' || doc_id || '><https://schema.org/provider>',
+                          '<https://schema.org/name>"org'
+                        ]), chr(10))) || '>' AS skolem
+              FROM documents
+            )
+            SELECT subj, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+                   '<https://schema.org/Dataset>' AS obj, prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/name>',
+                   '"document ' || doc_id || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/provider>', skolem, prov FROM keyed
+            UNION ALL
+            SELECT skolem, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                   '<https://schema.org/Organization>', prov FROM keyed
+            UNION ALL
+            SELECT skolem, '<https://schema.org/name>',
+                   '"org ' || (doc_id % 5) || '"', prov FROM keyed
+        """,
         "structured_pipeline": """
             -- microdata pages from documents are fully SQL-predictable:
             -- itemid subject, schema.org/Dataset type, name/description/
@@ -1323,15 +1378,19 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": """
             -- the synthetic media corpus is deterministic in media_id, so
             -- the decoded header is independently recomputable: type=i%3,
-            -- width=16+(i%8)*16, height=16+(i%5)*16, frames=1|8+i%24,
-            -- payload = 4x sha256 digest = 128 bytes
+            -- width=16+(i%8)*16, height=16+(i%5)*16, frames=1|8+i%24.
+            -- Even-id image rows are REAL PNGs decoded by the native codec:
+            -- payload = decoded pixel bytes (w*h*3); FAKE rows carry the
+            -- 4x-sha256 = 128-byte payload
             SELECT i AS media_id,
                    (['image','audio','video'])[(i % 3) + 1] AS media_type,
                    CAST(16 + (i % 8) * 16 AS INTEGER) AS width,
                    CAST(16 + (i % 5) * 16 AS INTEGER) AS height,
                    CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + i % 24 END AS INTEGER)
                      AS n_frames,
-                   CAST(128 AS BIGINT) AS payload_bytes,
+                   CAST(CASE WHEN i % 3 = 0 AND i % 2 = 0
+                             THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
+                             ELSE 128 END AS BIGINT) AS payload_bytes,
                    CAST(NULL AS VARCHAR) AS decode_error
             FROM range(0, 200) AS r(i)
             ORDER BY media_id

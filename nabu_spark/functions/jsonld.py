@@ -10,9 +10,11 @@ Supported: inline contexts (map / array / string), prefix + term definitions,
 ``@vocab``, ``@base``, ``@language``, type coercion (``@type: @id`` and
 datatype IRIs), ``@id``/``@type`` aliases, nested node objects (fresh blank
 nodes), value objects (``@value``/``@type``/``@language``), ``@list``,
-``@graph``, ``@set``, canonical xsd:double/integer/boolean literals, and an
-offline context-document cache (never touches the network — the analogue of
-the reference's CachingDocumentLoader, jsonld.go:35-52).
+``@graph``, ``@set``, ``@included``, language maps (``@container:
+@language``) and index maps (``@container: @index``), canonical
+xsd:double/integer/boolean literals, and an offline context-document cache
+(never touches the network — the analogue of the reference's
+CachingDocumentLoader, jsonld.go:35-52).
 
 Context standardization (http://schema.org* -> https://schema.org/ etc.)
 mirrors /root/reference/internal/common/jsonld_standardize.go:15-92.
@@ -223,6 +225,13 @@ def _create_term(ctx: Context, local: dict, term: str, defined: dict) -> None:
         cont = value.get("@container")
         if isinstance(cont, str):
             td.container = cont
+        elif isinstance(cont, list):
+            # composite containers like ["@language", "@set"]: keep the
+            # mapping-relevant keyword (@set alone changes nothing here)
+            for c in ("@list", "@language", "@index"):
+                if c in cont:
+                    td.container = c
+                    break
         ctx.terms[term] = td
         defined[term] = True
         return
@@ -383,6 +392,14 @@ def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
                 if isinstance(item, dict):
                     _process_node(state, ctx, item)
             continue
+        if kw == "@included":
+            # JSON-LD 1.1 §9.13: included node objects are expanded into the
+            # same output graph with NO edge from the containing node
+            items = value if isinstance(value, list) else [value]
+            for item in items:
+                if isinstance(item, dict):
+                    _process_node(state, ctx, item)
+            continue
         if kw == "@reverse":
             if isinstance(value, dict):
                 for rkey, rval in value.items():
@@ -430,6 +447,26 @@ def _process_values(state, ctx, subj, pred_iri, td, value) -> None:
     if value is None:
         return
     if isinstance(value, dict):
+        if td is not None and td.container == "@language":
+            # language map (JSON-LD 1.1 expansion step 13.7): keys are
+            # language tags (lowercased per spec), @none -> no tag; values
+            # are strings or string arrays. Keys iterate sorted for
+            # deterministic triple order.
+            for lang_key in sorted(value.keys()):
+                vals = value[lang_key]
+                no_tag = lang_key == "@none" or _alias_of(ctx, lang_key) == "@none"
+                lang = None if no_tag else lang_key.lower()
+                for v in vals if isinstance(vals, list) else [vals]:
+                    if isinstance(v, str):
+                        _emit_literal(state, subj, pred_iri, v, None, lang)
+            return
+        if td is not None and td.container == "@index":
+            # index map: index keys carry no RDF meaning and are dropped;
+            # member values are processed as plain values of the term
+            plain_td = _TermDef(td.iri, td.type_mapping, td.language, None)
+            for ikey in sorted(value.keys()):
+                _process_values(state, ctx, subj, pred_iri, plain_td, value[ikey])
+            return
         kws = {k: _alias_of(ctx, k) for k in value}
         if "@value" in kws.values():
             vkey = next(k for k, v in kws.items() if v == "@value")

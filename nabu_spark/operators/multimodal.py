@@ -4,14 +4,19 @@ Decode coverage:
   * **BMP images** (uncompressed 24/32-bit) — REAL decode: header parse,
     pixel extraction to a numpy array, and nearest-neighbor resize that
     re-encodes valid BMP bytes. Pure struct+numpy, no external libs.
+  * **PNG images** (8-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced)
+    — REAL decode: chunk walk, zlib inflate with a size-bounded
+    decompressor (zip-bomb guard), per-row unfiltering (None/Sub/Up/
+    Average/Paeth) in numpy, palette lookup; plus a minimal deterministic
+    encoder for resize round-trips. Pure stdlib zlib + numpy.
   * **WAV audio** (PCM) — REAL decode: RIFF/fmt/data chunk walk; reported
     as (width=sample_rate, height=channels, n_frames=sample count).
   * **FAKE** — the deterministic synthetic format for plumbing tests:
     b"FAKE" + type(1B: 0=img,1=aud,2=vid) + width/height/n_frames (4B LE
     each) + payload bytes.
-  * anything else (JPEG/PNG/MP4...) raises NotImplementedError — the
-    clearly-marked boundary where PIL/libav would plug in (not available
-    in this container).
+  * anything else (JPEG/MP4, 16-bit or interlaced PNG...) raises
+    NotImplementedError — the clearly-marked boundary where PIL/libav
+    would plug in (not available in this container).
 
 Everything Spark-side is format-agnostic: schema, partition-preserving
 mapInPandas plumbing, Arrow batch shapes, frame sampling, and resize
@@ -22,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,7 +56,10 @@ _MIMES = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
 
 
 def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table (seeded by row id)."""
+    """Deterministic media table (seeded by row id): image rows with even id
+    are REAL 8-bit RGB PNGs (exercising the native codec); everything else
+    is the FAKE plumbing format. Dimensions follow the same id formulas
+    either way, so the decoded header stays formula-recomputable by SQL."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -61,8 +70,13 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
                 w = 16 + (i % 8) * 16
                 h = 16 + (i % 5) * 16
                 frames = 1 if t == 0 else 8 + i % 24
-                payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
-                blob = b"FAKE" + struct.pack("<BIII", t, w, h, frames) + payload
+                if t == 0 and i % 2 == 0:
+                    blob = synth_png(i, w, h)
+                    mime = "image/png"
+                else:
+                    payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
+                    blob = b"FAKE" + struct.pack("<BIII", t, w, h, frames) + payload
+                    mime = _MIMES[_TYPES[t]]
                 rows.append(
                     {
                         "media_id": i,
@@ -70,7 +84,7 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
                         "media": blob,
                         "meta": {
                             "source_url": f"https://media.example.org/{i}",
-                            "mime": _MIMES[_TYPES[t]],
+                            "mime": mime,
                         },
                     }
                 )
@@ -114,6 +128,162 @@ def _decode_bmp(blob: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def _png_chunks(blob: bytes):
+    pos = 8
+    while pos + 8 <= len(blob):
+        length = int.from_bytes(blob[pos : pos + 4], "big")
+        ctype = blob[pos + 4 : pos + 8]
+        if length > len(blob) - pos - 8:
+            raise MediaDecodeError("PNG chunk length out of range")
+        yield ctype, blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 CRC (not verified)
+        if ctype == b"IEND":
+            return
+
+
+def _decode_png(blob: bytes) -> dict:
+    """PNG header + IDAT accounting (pixels decoded lazily by png_pixels).
+    payload_bytes reports the DECODED pixel byte count (h * w * channels) —
+    deterministic in the header alone, unlike compressed stream length."""
+    if len(blob) < 33 or blob[:8] != _PNG_SIG:
+        raise MediaDecodeError("truncated or non-PNG signature")
+    chunks = _png_chunks(blob)
+    ctype, ihdr = next(chunks)
+    if ctype != b"IHDR" or len(ihdr) < 13:
+        raise MediaDecodeError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    # hostile-input guard, same policy as BMP
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h <= 1 << 26):
+        raise MediaDecodeError(f"implausible PNG dimensions {w}x{h}")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG decodes natively; other variants "
+            "need an imaging library not available in this container"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    return {
+        "kind": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "payload_bytes": int(w) * int(h) * channels,
+        "_color_type": color_type,
+        "_channels": channels,
+    }
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters. raw is (h, 1+stride) int16; returns (h,
+    stride) uint8. Sub rows vectorize as per-lane cumsum; Up as a running
+    add; Average/Paeth keep the inherent left-recursion per byte."""
+    out = np.zeros((h, stride), dtype=np.int16)
+    for y in range(h):
+        f = int(raw[y, 0])
+        row = raw[y, 1:]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub
+            r = row.copy()
+            for lane in range(bpp):
+                r[lane::bpp] = np.cumsum(r[lane::bpp]) & 0xFF
+            out[y] = r
+        elif f == 2:  # Up
+            out[y] = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            r = out[y]
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                r[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            r = out[y]
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[x] = (row[x] + pred) & 0xFF
+        else:
+            raise MediaDecodeError(f"invalid PNG filter type {f}")
+    return out.astype(np.uint8)
+
+
+def png_pixels(blob: bytes) -> np.ndarray:
+    """(height, width, 3) uint8 RGB array from an 8-bit non-interlaced PNG."""
+    d = _decode_png(blob)
+    w, h, channels, color_type = d["width"], d["height"], d["_channels"], d["_color_type"]
+    stride = w * channels
+    expected = h * (stride + 1)
+    palette = None
+    dec = zlib.decompressobj()
+    parts = []
+    got = 0
+    for ctype, data in _png_chunks(blob):
+        if ctype == b"PLTE":
+            palette = np.frombuffer(data[: (len(data) // 3) * 3], dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            # size-bounded inflate: never allocate beyond the expected
+            # scanline bytes no matter what the stream claims (zip bomb)
+            part = dec.decompress(data, expected - got)
+            got += len(part)
+            parts.append(part)
+            if got >= expected:
+                break
+    scan = b"".join(parts)
+    if len(scan) < expected:
+        raise MediaDecodeError("truncated PNG pixel data")
+    raw = np.frombuffer(scan[:expected], dtype=np.uint8).astype(np.int16).reshape(h, stride + 1)
+    px = _png_unfilter(raw, h, stride, bpp=channels).reshape(h, w, channels)
+    if color_type == 2:
+        return np.ascontiguousarray(px)
+    if color_type == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color_type 3: palette lookup with index bound guard
+    if palette is None or len(palette) == 0:
+        raise MediaDecodeError("palette PNG missing PLTE")
+    idx = px[:, :, 0]
+    if int(idx.max()) >= len(palette):
+        raise MediaDecodeError("PNG palette index out of range")
+    return np.ascontiguousarray(palette[idx])
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> deterministic 8-bit RGB PNG (filter 0 rows,
+    fixed-level zlib) — byte-reproducible across runs."""
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    rows[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(blob: bytes) -> dict:
     """PCM WAV: walk RIFF chunks for fmt (rate/channels/bits) and data."""
     if len(blob) < 44 or blob[8:12] != b"WAVE":
@@ -148,6 +318,8 @@ def _decode_one(blob: bytes) -> dict:
         raise MediaDecodeError("truncated media blob")
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
     if blob[:4] == b"RIFF":
         return _decode_wav(blob)
     if blob[:4] == b"FAKE":
@@ -195,16 +367,37 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + info + data
 
 
-def resize_bmp(blob: bytes, max_side: int) -> bytes:
-    """REAL resize for BMP media: nearest-neighbor downsample via numpy
-    index striding, preserving aspect ratio; re-encodes valid BMP bytes."""
-    rgb = bmp_pixels(blob)
+def _nn_resize(rgb: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor downsample via numpy index striding, preserving
+    aspect ratio (never upscales)."""
     h, w = rgb.shape[:2]
     scale = min(1.0, max_side / max(h, w))
     tw, th = max(1, round(w * scale)), max(1, round(h * scale))
     ys = (np.arange(th) * (h / th)).astype(int).clip(0, h - 1)
     xs = (np.arange(tw) * (w / tw)).astype(int).clip(0, w - 1)
-    return encode_bmp(rgb[ys][:, xs])
+    return rgb[ys][:, xs]
+
+
+def resize_bmp(blob: bytes, max_side: int) -> bytes:
+    """REAL resize for BMP media: re-encodes valid BMP bytes."""
+    return encode_bmp(_nn_resize(bmp_pixels(blob), max_side))
+
+
+def resize_png(blob: bytes, max_side: int) -> bytes:
+    """REAL resize for PNG media: decode, downsample, re-encode as RGB PNG."""
+    return encode_png(_nn_resize(png_pixels(blob), max_side))
+
+
+def resize_image(blob: bytes, max_side: int) -> bytes:
+    """Format-dispatching pixel resize: each natively-decodable image codec
+    re-encodes in its own format; others raise for the caller's error row."""
+    if blob[:2] == b"BM":
+        return resize_bmp(blob, max_side)
+    if blob[:8] == _PNG_SIG:
+        return resize_png(blob, max_side)
+    raise NotImplementedError(
+        "this codec requires PIL/libav, not available in this container"
+    )
 
 
 DECODED_SCHEMA = T.StructType(
@@ -286,6 +479,21 @@ def synth_bmp(i: int, w: int = 24, h: int = 16) -> bytes:
     return encode_bmp(rgb)
 
 
+def synth_png(i: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic test PNG: same gradient + id-seeded stripes as
+    synth_bmp, through the native encoder."""
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            ((x * 255) // max(1, w - 1)).astype(np.uint8),
+            ((y * 255) // max(1, h - 1)).astype(np.uint8),
+            (((x + y + i) % 7) * 36).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    return encode_png(rgb)
+
+
 def synth_wav(i: int, rate: int = 8000, n_samples: int = 400) -> bytes:
     """Deterministic test WAV: 16-bit mono PCM square-ish wave."""
     t = np.arange(n_samples)
@@ -322,8 +530,8 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 if isinstance(blob, memoryview):
                     blob = bytes(blob)
                 try:
-                    resized = resize_bmp(blob, max_side)
-                    d = _decode_bmp(resized)
+                    resized = resize_image(blob, max_side)
+                    d = _decode_one(resized)
                     out.append(
                         {
                             "media_id": int(mid),

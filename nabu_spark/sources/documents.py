@@ -81,3 +81,43 @@ def microdata_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("").alias("text"),
         F.col("lang").alias("lang"),
     )
+
+
+def bnode_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose JSON-LD carries a NESTED provider organization (no @id)
+    — each document yields exactly one blank node, so this slice exercises
+    deterministic skolemization (functions/skolem.py, urn.go:83-116
+    semantics) under the driver's DuckDB hash gate: the skolem sha256 is
+    recomputable in SQL from the three context strings."""
+    docs = load(spark, sf_dir, "documents")
+    jsonld = F.to_json(
+        F.struct(
+            F.lit("https://schema.org/").alias("@context"),
+            F.concat(
+                F.lit("https://docs.example.org/corpus/"), F.col("doc_id")
+            ).alias("@id"),
+            F.lit("Dataset").alias("@type"),
+            F.concat(F.lit("document "), F.col("doc_id")).alias("name"),
+            F.struct(
+                F.lit("Organization").alias("@type"),
+                F.concat(F.lit("org "), F.pmod(F.col("doc_id"), F.lit(5))).alias("name"),
+            ).alias("provider"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        jsonld,
+        F.lit("</script></head><body></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://bncorpus"),
+            F.pmod(F.col("doc_id"), F.lit(10)),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        jsonld.alias("text"),
+        F.col("lang").alias("lang"),
+    )

@@ -236,3 +236,103 @@ class TestSchemaOrgContextCoercions:
         assert t == [("<https://example.org/x>", "<https://ex.org/ns#p>", '"v"')]
         # restore isolation for other tests
         register_context("https://ctx.example.org/v1", None)
+
+class TestJsonLd11Containers:
+    """Fixtures modeled on the W3C json-ld-api toRdf suite shapes
+    (tc028/e112-style language maps, in06-in09 @included, tc017 index maps)."""
+
+    def test_language_map(self):
+        doc = {
+            "@context": {
+                "label": {"@id": "http://ex.org/label", "@container": "@language"}
+            },
+            "@id": "http://ex.org/n1",
+            "label": {
+                "en": "hello",
+                "DE": ["hallo", "guten tag"],
+                "@none": "plain",
+            },
+        }
+        t = sorted(jsonld_to_triples(doc))
+        objs = [o for _, _, o in t]
+        assert '"hallo"@de' in objs and '"guten tag"@de' in objs  # lowercased
+        assert '"hello"@en' in objs
+        assert '"plain"' in objs  # @none -> untagged
+        assert len(t) == 4
+
+    def test_language_map_with_set_container(self):
+        doc = {
+            "@context": {
+                "label": {
+                    "@id": "http://ex.org/label",
+                    "@container": ["@language", "@set"],
+                }
+            },
+            "@id": "http://ex.org/n1",
+            "label": {"fr": "bonjour"},
+        }
+        t = jsonld_to_triples(doc)
+        assert t == [("<http://ex.org/n1>", "<http://ex.org/label>", '"bonjour"@fr')]
+
+    def test_included_nodes_share_graph_without_edge(self):
+        doc = {
+            "@context": {"@vocab": "http://ex.org/"},
+            "@id": "http://ex.org/a",
+            "name": "A",
+            "@included": [
+                {"@id": "http://ex.org/b", "name": "B"},
+                {"@id": "http://ex.org/c", "name": "C"},
+            ],
+        }
+        t = sorted(jsonld_to_triples(doc))
+        assert ("<http://ex.org/a>", "<http://ex.org/name>", '"A"') in t
+        assert ("<http://ex.org/b>", "<http://ex.org/name>", '"B"') in t
+        assert ("<http://ex.org/c>", "<http://ex.org/name>", '"C"') in t
+        # no edge between the containing node and included nodes
+        assert len(t) == 3
+
+    def test_included_single_object_and_alias(self):
+        doc = {
+            "@context": {"@vocab": "http://ex.org/", "also": "@included"},
+            "@id": "http://ex.org/a",
+            "also": {"@id": "http://ex.org/b", "name": "B"},
+        }
+        t = jsonld_to_triples(doc)
+        assert t == [("<http://ex.org/b>", "<http://ex.org/name>", '"B"')]
+
+    def test_index_map_keys_dropped(self):
+        doc = {
+            "@context": {
+                "athletes": {
+                    "@id": "http://ex.org/athletes",
+                    "@container": "@index",
+                }
+            },
+            "@id": "http://ex.org/team",
+            "athletes": {
+                "catcher": {"@id": "http://ex.org/p1"},
+                "pitcher": "free text",
+            },
+        }
+        t = sorted(jsonld_to_triples(doc))
+        assert ("<http://ex.org/team>", "<http://ex.org/athletes>",
+                "<http://ex.org/p1>") in t
+        assert ("<http://ex.org/team>", "<http://ex.org/athletes>",
+                '"free text"') in t
+        assert len(t) == 2
+
+    def test_index_map_preserves_type_coercion(self):
+        doc = {
+            "@context": {
+                "links": {
+                    "@id": "http://ex.org/links",
+                    "@container": "@index",
+                    "@type": "@id",
+                }
+            },
+            "@id": "http://ex.org/n",
+            "links": {"x": "http://ex.org/t1"},
+        }
+        t = jsonld_to_triples(doc)
+        assert t == [("<http://ex.org/n>", "<http://ex.org/links>",
+                      "<http://ex.org/t1>")]

@@ -117,13 +117,12 @@ class TestAggregation:
         assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
-class TestBoilerplateJoinShape:
-    def test_no_forced_broadcast_on_boilerplate_side(self, spark):
-        """strip_boilerplate must NOT hint-broadcast the boilerplate set: at
-        min_doc_freq=2 over a web corpus that side is huge, and a forced
-        broadcast OOMs at 100x. AQE may still convert at runtime when the
-        aggregated side turns out small — the hint is what must be absent
-        (VERDICT r02 'What's wrong' #3)."""
+class TestBoilerplateShape:
+    def test_single_tokenization_no_boilerplate_join(self, spark):
+        """strip_boilerplate must tokenize the corpus ONCE and compute
+        per-segment doc frequency with windows over one segment shuffle —
+        no second scan, no join against (and no broadcast of) a separately
+        aggregated boilerplate set (VERDICT r02 'What's wrong' #3)."""
         from nabu_spark.operators.textstats import strip_boilerplate
 
         docs = spark.createDataFrame(
@@ -134,8 +133,12 @@ class TestBoilerplateJoinShape:
         out = strip_boilerplate(docs, "doc_id", "text", k=4)
         logical = out._jdf.queryExecution().logical().toString()
         assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
-        # anti-join shape is preserved
-        assert "LeftAnti" in optimized_of(out)
+        plan = plan_of(out)
+        # one explode of the segment sequence (the old anti-join form had 2)
+        assert plan.count("Generate explode") == 1, plan
+        assert "Window" in plan
+        # the only join left is the final per-doc reassembly join on the id
+        assert "LeftAnti" not in plan
 
 
 class TestLshTopkScanCount:

@@ -377,9 +377,12 @@ class TestRealMediaDecode:
     def test_unknown_codec_still_gated(self):
         import pytest as _pytest
 
-        from nabu_spark.operators.multimodal import _decode_one
+        from nabu_spark.operators.multimodal import MediaDecodeError, _decode_one
 
         with _pytest.raises(NotImplementedError):
+            _decode_one(b"\xff\xd8\xff\xe0" + b"0" * 64)  # JPEG needs PIL
+        # garbage behind a real PNG signature is a decode ERROR, not a stub
+        with _pytest.raises(MediaDecodeError):
             _decode_one(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
 
     def test_dataframe_ops_mixed_corpus(self, spark):
@@ -408,6 +411,183 @@ class TestRealMediaDecode:
         assert (rs[0]["width"], rs[0]["height"]) == (12, 5)
         assert rs[0]["media"][:2] == bytearray(b"BM")
         assert rs[1]["resize_error"] == "NotImplementedError"
+
+
+class TestPngCodec:
+    """Native PNG decode (stdlib zlib + numpy unfiltering) — VERDICT r02
+    task #6. The encoder emits filter-0 RGB; the decoder additionally covers
+    Sub/Up/Average/Paeth rows, grayscale, alpha, and palette images."""
+
+    def _filtered_png(self, w, h, rows_with_filters, color_type=2, extra=b""):
+        import struct
+        import zlib
+
+        from nabu_spark.operators.multimodal import _png_chunk
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        scan = b"".join(bytes([f]) + bytes(r) for f, r in rows_with_filters)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_roundtrip(self):
+        from nabu_spark.operators.multimodal import (
+            _decode_one,
+            png_pixels,
+            synth_png,
+        )
+
+        blob = synth_png(3, w=24, h=16)
+        d = _decode_one(blob)
+        assert (d["kind"], d["width"], d["height"], d["n_frames"]) == ("image", 24, 16, 1)
+        assert d["payload_bytes"] == 24 * 16 * 3
+        px = png_pixels(blob)
+        assert px.shape == (16, 24, 3)
+        assert px[0, 0, 0] == 0 and px[0, 23, 0] == 255
+        assert px[0, 5, 1] == 0 and px[15, 5, 1] == 255
+        # deterministic bytes across calls
+        assert blob == synth_png(3, w=24, h=16)
+
+    def test_png_matches_bmp_pixels(self):
+        import numpy as np
+
+        from nabu_spark.operators.multimodal import bmp_pixels, png_pixels, synth_bmp, synth_png
+
+        assert np.array_equal(
+            png_pixels(synth_png(5, w=20, h=12)), bmp_pixels(synth_bmp(5, w=20, h=12))
+        )
+
+    def test_all_filter_types_unfilter(self):
+        from nabu_spark.operators.multimodal import png_pixels
+
+        # 2x2 RGB, reference pixels chosen so every filter row exercises its
+        # predictor. Row 1 (filter 1, Sub): raw deltas. Row 2 (filter 2..4
+        # variants below).
+        # Sub: [10,20,30, +5,+5,+5] -> px (10,20,30), (15,25,35)
+        sub = self._filtered_png(2, 1, [(1, [10, 20, 30, 5, 5, 5])])
+        px = png_pixels(sub)
+        assert px[0, 0].tolist() == [10, 20, 30] and px[0, 1].tolist() == [15, 25, 35]
+        # Up: row0 none = (1,2,3),(4,5,6); row1 up-deltas +10
+        up = self._filtered_png(
+            2, 2, [(0, [1, 2, 3, 4, 5, 6]), (2, [10, 10, 10, 10, 10, 10])]
+        )
+        px = png_pixels(up)
+        assert px[1, 0].tolist() == [11, 12, 13] and px[1, 1].tolist() == [14, 15, 16]
+        # Average: row0 = (100,)*6; row1 filt=4 -> recon[0]=4+((0+100)//2)=54,
+        # recon[3]=4+((54+100)//2)=81
+        avg = self._filtered_png(
+            2, 2, [(0, [100] * 6), (3, [4, 4, 4, 4, 4, 4])]
+        )
+        px = png_pixels(avg)
+        assert px[1, 0].tolist() == [54, 54, 54] and px[1, 1].tolist() == [81, 81, 81]
+        # Paeth: row0=(100,)*6; row1 filt=2 -> a=0,b=100,c=0 -> pred=b ->
+        # 102; next pixel a=102,b=100,c=100 -> p=102, pa=0 -> pred=a -> 104
+        paeth = self._filtered_png(
+            2, 2, [(0, [100] * 6), (4, [2, 2, 2, 2, 2, 2])]
+        )
+        px = png_pixels(paeth)
+        assert px[1, 0].tolist() == [102, 102, 102]
+        assert px[1, 1].tolist() == [104, 104, 104]
+
+    def test_gray_alpha_palette_variants(self):
+        from nabu_spark.operators.multimodal import _png_chunk, png_pixels
+
+        gray = self._filtered_png(3, 1, [(0, [0, 128, 255])], color_type=0)
+        assert png_pixels(gray)[0, 1].tolist() == [128, 128, 128]
+        ga = self._filtered_png(2, 1, [(0, [7, 255, 9, 255])], color_type=4)
+        assert png_pixels(ga)[0].tolist() == [[7, 7, 7], [9, 9, 9]]
+        rgba = self._filtered_png(
+            1, 1, [(0, [1, 2, 3, 200])], color_type=6
+        )
+        assert png_pixels(rgba)[0, 0].tolist() == [1, 2, 3]
+        plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+        pal = self._filtered_png(2, 1, [(0, [0, 1])], color_type=3, extra=plte)
+        assert png_pixels(pal)[0].tolist() == [[255, 0, 0], [0, 255, 0]]
+
+    def test_hostile_inputs_are_errors(self):
+        import struct
+
+        import pytest as _pytest
+
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            _decode_one,
+            _png_chunk,
+            png_pixels,
+        )
+
+        # absurd dims
+        ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0)
+        huge = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        with _pytest.raises(MediaDecodeError):
+            _decode_one(huge)
+        # 16-bit / interlaced stay an honest stub boundary
+        ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        with _pytest.raises(NotImplementedError):
+            _decode_one(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16))
+        # truncated pixel stream
+        trunc = self._filtered_png(8, 8, [(0, [0] * 24)])  # 1 row of 8 promised
+        with _pytest.raises(MediaDecodeError):
+            png_pixels(trunc)
+        # palette index out of range
+        from nabu_spark.operators.multimodal import _png_chunk as chunk
+
+        plte = chunk(b"PLTE", bytes([1, 2, 3]))
+        bad = self._filtered_png(1, 1, [(0, [9])], color_type=3, extra=plte)
+        with _pytest.raises(MediaDecodeError):
+            png_pixels(bad)
+
+    def test_zip_bomb_bounded(self):
+        import struct
+        import zlib
+
+        from nabu_spark.operators.multimodal import _png_chunk, png_pixels
+
+        # a tiny IDAT that inflates to 64 MB must never allocate past the
+        # expected scanline bytes — decode succeeds on the prefix
+        w = h = 4
+        expected = h * (w * 3 + 1)
+        bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb)
+            + _png_chunk(b"IEND", b"")
+        )
+        px = png_pixels(blob)
+        assert px.shape == (h, w, 3)
+        assert expected < 1 << 12  # sanity: bound really is tiny
+
+    def test_resize_png_real_pixels(self):
+        from nabu_spark.operators.multimodal import png_pixels, resize_png, synth_png
+
+        small = resize_png(synth_png(1, w=64, h=32), 16)
+        px = png_pixels(small)
+        assert px.shape == (8, 16, 3)
+        assert px[0, 0, 0] < px[0, -1, 0]
+        assert px[0, 0, 1] < px[-1, 0, 1]
+
+    def test_synth_media_png_rows_decode_in_dataframe(self, spark):
+        from nabu_spark.operators.multimodal import decode_media, resize_media, synth_media
+
+        media = synth_media(spark, 24)
+        dec = {r["media_id"]: r for r in decode_media(media).collect()}
+        # even image ids are real PNGs: payload = decoded pixel bytes
+        assert dec[0]["payload_bytes"] == (16 * (16 + 0)) * 3 or dec[0]["payload_bytes"] > 128
+        for i in range(0, 24, 6):  # i%3==0 and even
+            w, h = 16 + (i % 8) * 16, 16 + (i % 5) * 16
+            assert dec[i]["payload_bytes"] == w * h * 3
+            assert dec[i]["decode_error"] is None
+        # odd image ids stay FAKE with the 128-byte payload
+        assert dec[3]["payload_bytes"] == 128
+        rs = {r["media_id"]: r for r in resize_media(media, max_side=12).collect()}
+        assert bytes(rs[0]["media"][:8]) == b"\x89PNG\r\n\x1a\n"
+        assert rs[0]["resize_error"] is None
 
 
 class TestDedupClustering:
