@@ -519,9 +519,10 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """REAL pixel resize for natively-decodable media (BMP): one mapInPandas
-    pass emitting re-encoded blobs + new dims; rows whose codec needs an
-    external library carry a resize_error instead of failing the task."""
+    """REAL pixel resize for natively-decodable media (BMP, PNG — each
+    re-encoded in its own format): one mapInPandas pass emitting resized
+    blobs + new dims; rows whose codec needs an external library carry a
+    resize_error instead of failing the task."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -8,9 +8,11 @@ sh:targetClass / sh:targetObjectsOf, property shapes with sh:path,
 sh:minCount / sh:maxCount, sh:datatype, sh:pattern, sh:nodeKind (sh:IRI),
 sh:node (nested shapes), sh:class, sh:in, sh:hasValue,
 sh:minLength / sh:maxLength, node- and value-level sh:or over
-sh:class / sh:datatype alternatives, sh:not / sh:and (logical constraints via
-nested conformance checks), sh:severity (Violation/Warning/Info reporting,
-pyshacl-style: only Violation-severity results fail a graph), sh:message.
+sh:class / sh:datatype alternatives, sh:not / sh:and / sh:xone (logical
+constraints via nested conformance checks), inverse property paths
+(``sh:path [ sh:inversePath p ]``), sh:severity (Violation/Warning/Info
+reporting, pyshacl-style: only Violation-severity results fail a graph),
+sh:message.
 
 Validation semantics mirror shacl.go Validate(): first the structural
 pre-check (a node typed schema:Place or schema:Dataset must exist,
@@ -69,7 +71,9 @@ class PropertyShape:
     max_length: int | None = None   # sh:maxLength
     not_shapes: list[str] = field(default_factory=list)  # sh:not shape refs
     and_shapes: list[str] = field(default_factory=list)  # sh:and member refs
+    xone_shapes: list[str] = field(default_factory=list)  # sh:xone members
     severity: str = SEVERITY_VIOLATION  # sh:severity, default sh:Violation
+    inverse: bool = False  # sh:path [ sh:inversePath p ]
 
 
 @dataclass
@@ -81,6 +85,7 @@ class NodeShape:
     properties: list[PropertyShape] = field(default_factory=list)
     not_shapes: list[str] = field(default_factory=list)
     and_shapes: list[str] = field(default_factory=list)
+    xone_shapes: list[str] = field(default_factory=list)
     severity: str = SEVERITY_VIOLATION
 
 
@@ -151,12 +156,19 @@ class ShapesGraph:
         shape.not_shapes = self._objs(s, _sh("not"))
         for head in self._objs(s, _sh("and")):
             shape.and_shapes.extend(self._list_items(head))
+        for head in self._objs(s, _sh("xone")):
+            shape.xone_shapes.extend(self._list_items(head))
         shape.severity = self._severity(s)
         for ps in self._objs(s, _sh("property")):
             paths = self._objs(ps, _sh("path"))
             if not paths:
                 continue
-            prop = PropertyShape(path=paths[0])
+            path = paths[0]
+            inverse = False
+            inv = self._objs(path, _sh("inversePath"))
+            if inv:  # blank-node path object: [ sh:inversePath p ]
+                path, inverse = inv[0], True
+            prop = PropertyShape(path=path, inverse=inverse)
             prop.min_count = self._int(ps, "minCount")
             prop.max_count = self._int(ps, "maxCount")
             dt = self._objs(ps, _sh("datatype"))
@@ -180,6 +192,8 @@ class ShapesGraph:
             prop.not_shapes = self._objs(ps, _sh("not"))
             for head in self._objs(ps, _sh("and")):
                 prop.and_shapes.extend(self._list_items(head))
+            for head in self._objs(ps, _sh("xone")):
+                prop.xone_shapes.extend(self._list_items(head))
             prop.severity = self._severity(ps)
             msg = self._objs(ps, _sh("message"))
             prop.message = unescape_literal(msg[0][1:-1]) if msg else None
@@ -268,9 +282,19 @@ def _validate_node(
     for member in shape.and_shapes:
         if not _conforms(sg, g, node, member, depth):
             out.append((node, "", "And", f"node fails sh:and member {member}", sev))
+    if shape.xone_shapes:
+        n_ok = sum(1 for m in shape.xone_shapes if _conforms(sg, g, node, m, depth))
+        if n_ok != 1:
+            out.append((node, "", "Xone",
+                        f"node conforms to {n_ok} sh:xone members of {shape.shape_id}, not exactly 1",
+                        sev))
     for prop in shape.properties:
         psev = prop.severity
-        values = g.po.get(node, {}).get(prop.path, [])
+        if prop.inverse:
+            # inverse path: values are the SUBJECTS pointing at this node
+            values = [s for s, o in g.by_pred.get(prop.path, []) if o == node]
+        else:
+            values = g.po.get(node, {}).get(prop.path, [])
         n = len(values)
         if prop.min_count is not None and n < prop.min_count:
             out.append((node, prop.path, "MinCount", prop.message or f"minCount {prop.min_count}", psev))
@@ -308,6 +332,12 @@ def _validate_node(
             for member in prop.and_shapes:
                 if not _conforms(sg, g, v, member, depth):
                     out.append((node, prop.path, "And", prop.message or f"value fails sh:and member {member}", psev))
+            if prop.xone_shapes:
+                n_ok = sum(1 for m in prop.xone_shapes if _conforms(sg, g, v, m, depth))
+                if n_ok != 1:
+                    out.append((node, prop.path, "Xone",
+                                prop.message or f"value conforms to {n_ok} sh:xone members, not exactly 1",
+                                psev))
             if prop.node is not None:
                 if not _conforms(sg, g, v, prop.node, depth):
                     out.append((node, prop.path, "Node", prop.message or f"value fails {prop.node}", psev))

@@ -230,6 +230,58 @@ ex:Main a sh:NodeShape ;
         conforms, results = self._check("name", "keywords", "license", "provider")
         assert conforms, results
 
+    XONE_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:X a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:xone ( [ sh:property [ sh:path schema:doi ; sh:minCount 1 ] ]
+              [ sh:property [ sh:path schema:isbn ; sh:minCount 1 ] ] ) .
+
+ex:Inv a sh:NodeShape ;
+    sh:targetClass schema:Organization ;
+    sh:property [ sh:path [ sh:inversePath schema:provider ] ;
+                  sh:minCount 1 ;
+                  sh:message "org must provide something" ] .
+"""
+
+    def _xone_graph(self, *preds):
+        base = [("<https://d.org/1>", self.RDF_TYPE, "<https://schema.org/Dataset>")]
+        base += [
+            ("<https://d.org/1>", f"<https://schema.org/{p}>", f'"{p}-v"')
+            for p in preds
+        ]
+        return base
+
+    def test_sh_xone(self):
+        sg = parse_shapes(self.XONE_SHAPES)
+        # exactly one of doi/isbn -> conforms
+        assert validate_graph(sg, self._xone_graph("doi"), precheck=False)[0]
+        assert validate_graph(sg, self._xone_graph("isbn"), precheck=False)[0]
+        # zero or both -> Xone violation
+        for preds in ((), ("doi", "isbn")):
+            conforms, results = validate_graph(
+                sg, self._xone_graph(*preds), precheck=False
+            )
+            assert not conforms
+            assert {r[2] for r in results} == {"Xone"}
+
+    def test_inverse_path(self):
+        sg = parse_shapes(self.XONE_SHAPES)
+        org = "<https://d.org/org>"
+        linked = [
+            (org, self.RDF_TYPE, "<https://schema.org/Organization>"),
+            ("<https://d.org/1>", "<https://schema.org/provider>", org),
+        ]
+        assert validate_graph(sg, linked, precheck=False)[0]
+        orphan = [(org, self.RDF_TYPE, "<https://schema.org/Organization>")]
+        conforms, results = validate_graph(sg, orphan, precheck=False)
+        assert not conforms
+        assert results[0][2] == "MinCount"
+        assert "org must provide" in results[0][3]
+
     def test_distributed_counts_split_by_severity(self, spark):
         rows = [
             ("<https://d.org/1>", self.RDF_TYPE,
