@@ -21,6 +21,7 @@ start tag (or </head>/<body>) ends the head.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 _HEAD_OK = {
@@ -76,6 +77,115 @@ class NoJsonLdError(ValueError):
 
 _LDJSON_MARK = "application/ld+json"
 
+# ---------------------------------------------------------------------------
+# Fast scanner: a strict-subset HTML walk that is behavior-identical to
+# _HeadJsonLdParser on the grammar it accepts, and BAILS to the full parser on
+# anything outside that subset (comments, marked sections, entity refs in
+# attribute values, tolerant-only tag shapes, unterminated CDATA, ...).
+#
+# Equivalence rests on pinned stdlib html.parser semantics (py3.11):
+#   * CDATA content (script/style) ends only at re(r'</\s*NAME\s*>', re.I);
+#     content is NOT entity-decoded (convert_charrefs skips cdata_elem).
+#   * attribute values are html.unescape()d -> the subset forbids '&' in
+#     values, making unescape the identity.
+#   * '<!doctype ...' skips to the next '>' (parse_html_declaration).
+#   * '<x' where x is not [a-zA-Z!/?] is literal text data.
+#   * a self-closing '<script ... />' fires handle_startendtag (start+end,
+#     NO cdata): a matching head script of that shape yields result "".
+# Data between tags never affects tag detection under convert_charrefs, so
+# the scanner skips it without inspection.
+# ---------------------------------------------------------------------------
+
+_BAIL = object()
+
+_SIMPLE_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][\w\-]*"
+    r"(?:\s*=\s*(?:\"[^\"<&]*\"|'[^'<&]*'|[\w\-./+:;,]*))?)*)"
+    r"\s*(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z][\w\-]*)(?:\s*=\s*(\"[^\"<&]*\"|'[^'<&]*'|[\w\-./+:;,]*))?"
+)
+_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_END = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+_MAX_SCAN_TAGS = 256
+
+
+def _scan_fast(text: str):
+    """Return the first head-level ld+json script body (str), or _BAIL when
+    the document leaves the provably-equivalent subset. Never raises."""
+    in_head = True
+    i = 0
+    n = len(text)
+    for _ in range(_MAX_SCAN_TAGS):
+        lt = text.find("<", i)
+        if lt == -1:
+            return _BAIL  # clean EOF without a match -> let the parser decide
+        nxt = text[lt + 1 : lt + 2]
+        if nxt == "/":
+            m = _END_TAG_RE.match(text, lt)
+            if m is None:
+                return _BAIL  # bogus-comment territory
+            if m.group(1).lower() == "head":
+                in_head = False
+            i = m.end()
+            continue
+        if nxt == "!":
+            if text[lt : lt + 9].lower() == "<!doctype":
+                gt = text.find(">", lt + 9)
+                if gt == -1:
+                    return _BAIL
+                i = gt + 1
+                continue
+            return _BAIL  # comment / marked section
+        if not nxt.isascii() or not nxt.isalpha():
+            i = lt + 1  # literal '<' text data (incl. '<?': bail below)
+            if nxt == "?":
+                return _BAIL  # processing instruction
+            continue
+        m = _SIMPLE_TAG_RE.match(text, lt)
+        if m is None:
+            return _BAIL  # outside the subset grammar
+        tag = m.group(2).lower()
+        self_closing = m.group(4) == "/"
+        if tag == "head":
+            in_head = True
+            i = m.end()
+            continue
+        if tag == "body" or (in_head and tag not in _HEAD_OK):
+            in_head = False
+        if tag == "script" and in_head:
+            type_attr = None
+            for am in _ATTR_RE.finditer(m.group(3)):
+                if am.group(1).lower() == "type":
+                    v = am.group(2)
+                    if v is None:
+                        type_attr = None
+                    elif v[:1] in ("'", '"'):
+                        type_attr = v[1:-1]
+                    else:
+                        type_attr = v
+                    break
+            if type_attr and _LDJSON_MARK in type_attr:
+                if self_closing:
+                    return ""  # startendtag: start+end with empty content
+                em = _CDATA_END[tag].search(text, m.end())
+                if em is None:
+                    return _BAIL  # unterminated cdata -> EOF flush semantics
+                return text[m.end() : em.start()]
+        if tag in _CDATA_END and not self_closing:
+            em = _CDATA_END[tag].search(text, m.end())
+            if em is None:
+                return _BAIL
+            i = em.end()
+            continue
+        i = m.end()
+    return _BAIL  # tag budget exhausted
+
 
 def get_jsonld_from_html(data: bytes | str) -> str:
     """Return the first head-level application/ld+json script body, verbatim.
@@ -106,6 +216,11 @@ def get_jsonld_from_html(data: bytes | str) -> str:
         cut = -1
         stop = -1
     else:
+        # strict-subset scanner: behavior-identical on the grammar it
+        # accepts (positive results only), bails to the parser otherwise
+        res = _scan_fast(text)
+        if res is not _BAIL:
+            return res
         cut = -1
         stop = text.find("</script", mark)
     if stop != -1:

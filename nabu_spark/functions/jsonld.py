@@ -26,11 +26,13 @@ import re
 from typing import Any
 
 from .ntriples import (
+    _ESCAPE_RE,
     RDF_FIRST,
     RDF_NIL,
     RDF_REST,
     RDF_TYPE,
     XSD_BOOLEAN,
+    XSD_STRING,
     canonical_number,
     fmt_iri,
     fmt_literal,
@@ -303,6 +305,13 @@ def _fmt_subject(term: str) -> str:
     return term if term.startswith("_:") else fmt_iri(term)
 
 
+# pre-formatted constant terms for the rdf: vocabulary used in hot loops
+_RDF_TYPE_T = fmt_iri(RDF_TYPE)
+_RDF_FIRST_T = fmt_iri(RDF_FIRST)
+_RDF_REST_T = fmt_iri(RDF_REST)
+_RDF_NIL_T = fmt_iri(RDF_NIL)
+
+
 def _emit_literal(state, subj, pred_iri, value, datatype, language):
     if isinstance(value, bool):
         lex = "true" if value else "false"
@@ -316,10 +325,44 @@ def _emit_literal(state, subj, pred_iri, value, datatype, language):
     state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), obj))
 
 
+def _emit_literal_t(state, subj_t, pred_t, value, datatype, language):
+    """Hot-path twin of ``_emit_literal`` taking PRE-FORMATTED subject and
+    predicate terms (computed once per node/value instead of per triple).
+    The plain-string case — no escaping, no datatype, no language, by far the
+    dominant shape in web JSON-LD — skips fmt_literal entirely."""
+    if isinstance(value, bool):
+        lex = "true" if value else "false"
+        dt = datatype or XSD_BOOLEAN
+        obj = fmt_literal(lex, dt if dt != XSD_BOOLEAN else XSD_BOOLEAN)
+    elif isinstance(value, (int, float)):
+        lex, dt = canonical_number(value, datatype)
+        obj = fmt_literal(lex, dt)
+    else:
+        lex = value if type(value) is str else str(value)
+        if (
+            language is None
+            and (datatype is None or datatype == XSD_STRING)
+            and _ESCAPE_RE.search(lex) is None
+        ):
+            obj = f'"{lex}"'
+        else:
+            obj = fmt_literal(lex, datatype, language)
+    state.triples.append((subj_t, pred_t, obj))
+
+
 def _node_subject(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
-    id_keys = [k for k in node if _alias_of(ctx, k) == "@id"]
-    if id_keys:
-        raw = node[id_keys[0]]
+    # first key aliasing @id wins (early break == the first match of the
+    # equivalent list comprehension); alias cache inlined — this runs per node
+    raw = _MISS
+    ac = ctx.alias_cache
+    for k in node:
+        kw = ac.get(k, _MISS)
+        if kw is _MISS:
+            kw = _alias_of(ctx, k)
+        if kw == "@id":
+            raw = node[k]
+            break
+    if raw is not _MISS:
         if isinstance(raw, str):
             if raw.startswith("_:"):
                 return state.relabel(raw)
@@ -371,9 +414,26 @@ def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
     subj = _node_subject(state, ctx, node)
     if subj is None:
         return None
+    subj_t = subj if subj.startswith("_:") else f"<{subj}>"
+    ac = ctx.alias_cache
+    ec = ctx.expand_cache
 
     for key, value in node.items():
-        kw = _alias_of(ctx, key)
+        kw = ac.get(key, _MISS)
+        if kw is _MISS:
+            kw = _alias_of(ctx, key)
+        if kw is None:
+            # ordinary predicate key — the dominant case, dispatched first
+            pred_iri = ec.get((key, True), _MISS)
+            if pred_iri is _MISS:
+                pred_iri = _expand_iri(ctx, key, vocab=True)
+            if not pred_iri or pred_iri[0] == "@":
+                continue  # key does not expand to an IRI -> dropped entirely
+            if pred_iri[:2] == "_:":
+                continue  # bnode predicates are generalized RDF; dropped
+            td = ctx.terms.get(key)
+            _process_values(state, ctx, subj, pred_iri, td, value, subj_t, f"<{pred_iri}>")
+            continue
         if kw == "@context" or kw == "@id" or kw in ("@index", "@nest"):
             continue
         if kw == "@type":
@@ -384,7 +444,7 @@ def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
                 t_iri = _expand_iri(ctx, t, vocab=True)
                 if t_iri and not t_iri.startswith("@"):
                     obj = state.relabel(t_iri) if t_iri.startswith("_:") else fmt_iri(t_iri)
-                    state.triples.append((_fmt_subject(subj), fmt_iri(RDF_TYPE), obj))
+                    state.triples.append((subj_t, _RDF_TYPE_T, obj))
             continue
         if kw == "@graph":
             items = value if isinstance(value, list) else [value]
@@ -414,16 +474,7 @@ def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
                                     (_fmt_subject(child), fmt_iri(pred_iri), _obj_term(subj))
                                 )
             continue
-        if kw is not None:
-            continue  # other keywords ignored at node position
-
-        pred_iri = _expand_iri(ctx, key, vocab=True)
-        if not pred_iri or pred_iri.startswith("@"):
-            continue  # key does not expand to an IRI -> dropped entirely
-        if not _pred_ok(pred_iri):
-            continue
-        td = ctx.terms.get(key)
-        _process_values(state, ctx, subj, pred_iri, td, value)
+        # any other keyword is ignored at node position
     return subj
 
 
@@ -436,13 +487,19 @@ def _obj_term(subj_or_iri: str) -> str:
     return subj_or_iri if subj_or_iri.startswith("_:") else fmt_iri(subj_or_iri)
 
 
-def _process_values(state, ctx, subj, pred_iri, td, value) -> None:
+def _process_values(state, ctx, subj, pred_iri, td, value, subj_t=None, pred_t=None) -> None:
+    # subj_t/pred_t: pre-formatted terms, computed once per (node, predicate)
+    # by the caller instead of per emitted triple
+    if subj_t is None:
+        subj_t = subj if subj.startswith("_:") else f"<{subj}>"
+    if pred_t is None:
+        pred_t = f"<{pred_iri}>"
     if isinstance(value, list):
         if td is not None and td.container == "@list":
-            _emit_list(state, ctx, subj, pred_iri, td, value)
+            _emit_list(state, ctx, subj, pred_iri, td, value, subj_t, pred_t)
             return
         for item in value:
-            _process_values(state, ctx, subj, pred_iri, td, item)
+            _process_values(state, ctx, subj, pred_iri, td, item, subj_t, pred_t)
         return
     if value is None:
         return
@@ -458,24 +515,43 @@ def _process_values(state, ctx, subj, pred_iri, td, value) -> None:
                 lang = None if no_tag else lang_key.lower()
                 for v in vals if isinstance(vals, list) else [vals]:
                     if isinstance(v, str):
-                        _emit_literal(state, subj, pred_iri, v, None, lang)
+                        _emit_literal_t(state, subj_t, pred_t, v, None, lang)
             return
         if td is not None and td.container == "@index":
             # index map: index keys carry no RDF meaning and are dropped;
             # member values are processed as plain values of the term
             plain_td = _TermDef(td.iri, td.type_mapping, td.language, None)
             for ikey in sorted(value.keys()):
-                _process_values(state, ctx, subj, pred_iri, plain_td, value[ikey])
+                _process_values(state, ctx, subj, pred_iri, plain_td, value[ikey], subj_t, pred_t)
             return
-        kws = {k: _alias_of(ctx, k) for k in value}
-        if "@value" in kws.values():
-            vkey = next(k for k, v in kws.items() if v == "@value")
+        # one-pass keyword scan (first key aliasing each keyword wins, and
+        # @value > @list > @set priority — both exactly as the equivalent
+        # {key: alias} dict construction behaved); alias cache inlined
+        ac = ctx.alias_cache
+        vkey = lkey = skey = None
+        for k in value:
+            kw = ac.get(k, _MISS)
+            if kw is _MISS:
+                kw = _alias_of(ctx, k)
+            if kw == "@value":
+                if vkey is None:
+                    vkey = k
+            elif kw == "@list":
+                if lkey is None:
+                    lkey = k
+            elif kw == "@set":
+                if skey is None:
+                    skey = k
+        if vkey is not None:
             v = value[vkey]
             if v is None:
                 return
             dtype = None
             lang = None
-            for k, kwname in kws.items():
+            for k in value:
+                kwname = ac.get(k, _MISS)
+                if kwname is _MISS:
+                    kwname = _alias_of(ctx, k)
                 if kwname == "@type" and isinstance(value[k], str):
                     dtype = _expand_iri(ctx, value[k], vocab=True)
                 elif kwname == "@language" and isinstance(value[k], str):
@@ -487,34 +563,35 @@ def _process_values(state, ctx, subj, pred_iri, td, value) -> None:
                     lang = td.language or None
             if dtype is not None and not is_valid_iri(dtype):
                 return  # invalid datatype IRI -> literal dropped
-            _emit_literal(state, subj, pred_iri, v, dtype, lang)
+            _emit_literal_t(state, subj_t, pred_t, v, dtype, lang)
             return
-        if "@list" in kws.values():
-            lkey = next(k for k, v in kws.items() if v == "@list")
+        if lkey is not None:
             items = value[lkey]
-            _emit_list(state, ctx, subj, pred_iri, td, items if isinstance(items, list) else [items])
+            _emit_list(
+                state, ctx, subj, pred_iri, td,
+                items if isinstance(items, list) else [items], subj_t, pred_t,
+            )
             return
-        if "@set" in kws.values():
-            skey = next(k for k, v in kws.items() if v == "@set")
-            _process_values(state, ctx, subj, pred_iri, td, value[skey])
+        if skey is not None:
+            _process_values(state, ctx, subj, pred_iri, td, value[skey], subj_t, pred_t)
             return
         child = _process_node(state, ctx, value)
         if child is not None:
-            state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), _obj_term(child)))
+            state.triples.append((subj_t, pred_t, _obj_term(child)))
         return
     if isinstance(value, str):
         if td is not None and td.type_mapping == "@id":
             iri = _expand_iri(ctx, value, vocab=False)
             if iri:
                 if iri.startswith("_:"):
-                    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), state.relabel(iri)))
+                    state.triples.append((subj_t, pred_t, state.relabel(iri)))
                 elif is_valid_iri(iri):
-                    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), fmt_iri(iri)))
+                    state.triples.append((subj_t, pred_t, f"<{iri}>"))
             return
         if td is not None and td.type_mapping == "@vocab":
             iri = _expand_iri(ctx, value, vocab=True)
             if iri and is_valid_iri(iri):
-                state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), fmt_iri(iri)))
+                state.triples.append((subj_t, pred_t, f"<{iri}>"))
             return
         dtype = None
         lang = None
@@ -526,29 +603,33 @@ def _process_values(state, ctx, subj, pred_iri, td, value) -> None:
             lang = td.language or None
         elif ctx.language:
             lang = ctx.language
-        _emit_literal(state, subj, pred_iri, value, dtype, lang)
+        _emit_literal_t(state, subj_t, pred_t, value, dtype, lang)
         return
     # number / bool
     dtype = None
     if td is not None and td.type_mapping and td.type_mapping not in ("@id", "@vocab", "@json"):
         dtype = td.type_mapping
-    _emit_literal(state, subj, pred_iri, value, dtype, None)
+    _emit_literal_t(state, subj_t, pred_t, value, dtype, None)
 
 
-def _emit_list(state, ctx, subj, pred_iri, td, items) -> None:
+def _emit_list(state, ctx, subj, pred_iri, td, items, subj_t=None, pred_t=None) -> None:
+    if subj_t is None:
+        subj_t = _fmt_subject(subj)
+    if pred_t is None:
+        pred_t = f"<{pred_iri}>"
     if not items:
-        state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), fmt_iri(RDF_NIL)))
+        state.triples.append((subj_t, pred_t, _RDF_NIL_T))
         return
     head = state.fresh_bnode()
-    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), head))
+    state.triples.append((subj_t, pred_t, head))
     current = head
     # strip the @list container so item values are processed plainly
     plain_td = _TermDef(td.iri, td.type_mapping, td.language, None) if td else None
     for i, item in enumerate(items):
-        _process_values(state, ctx, current, RDF_FIRST, plain_td, item)
+        _process_values(state, ctx, current, RDF_FIRST, plain_td, item, current, _RDF_FIRST_T)
         nxt = state.fresh_bnode() if i + 1 < len(items) else None
         state.triples.append(
-            (current, fmt_iri(RDF_REST), nxt if nxt else fmt_iri(RDF_NIL))
+            (current, _RDF_REST_T, nxt if nxt else _RDF_NIL_T)
         )
         if nxt:
             current = nxt

@@ -158,6 +158,10 @@ def _term_is_valid_cached(term: str, as_subject: bool, as_predicate: bool) -> bo
     if term.startswith('"'):
         if as_subject or as_predicate:
             return False
+        # fast path: plain '"lex"' with no escapes and no interior quote —
+        # exactly the strings matched by ^"[^"\\]*"$ (the dominant shape)
+        if len(term) >= 2 and term[-1] == '"' and "\\" not in term and term.count('"') == 2:
+            return True
         # "lex"(@lang | ^^<iri>)?
         m = re.match(r'^"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9\-]*|\^\^<([^\x00-\x20<>"{}|^`\\]*)>)?$', term)
         if not m:

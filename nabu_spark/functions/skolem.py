@@ -65,12 +65,18 @@ def skolemize_terms(
     lines (tests lock equality with skolem_map_from_lines).
     """
     contexts: dict[str, list[str]] = {}
-    for s, p, o in triples:
-        if s.startswith("_:"):
+    touched: list[int] = []  # indices of triples containing a blank node
+    for i, (s, p, o) in enumerate(triples):
+        hit = False
+        if s[:2] == "_:":
             obj_token = o.split(" ", 1)[0]
             contexts.setdefault(s, []).append(p + obj_token)
-        if o.startswith("_:"):
+            hit = True
+        if o[:2] == "_:":
             contexts.setdefault(o, []).append(s + p)
+            hit = True
+        if hit:
+            touched.append(i)
     if not contexts:
         return triples
     mapping: dict[str, str] = {}
@@ -78,7 +84,12 @@ def skolemize_terms(
         ctxs.sort()
         digest = hashlib.sha256("\n".join(ctxs).encode("utf-8")).hexdigest()
         mapping[bnode] = f"<{SKOLEM_PREFIX}{digest}>"
-    return [(mapping.get(s, s), p, mapping.get(o, o)) for s, p, o in triples]
+    # patch only the touched triples — the list is doc-local and fresh
+    out = list(triples)
+    for i in touched:
+        s, p, o = out[i]
+        out[i] = (mapping.get(s, s), p, mapping.get(o, o))
+    return out
 
 
 def skolemize_nt(nt: str) -> str:

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.jsonld import JsonLdError, jsonld_to_triples, standardize_jsonld_context
-from ..functions.ntriples import term_is_valid
+from ..functions.ntriples import _term_is_valid_cached, term_is_valid
 from ..functions.skolem import skolemize_terms
 from ..functions.urn import make_urn
 
@@ -61,12 +61,9 @@ def finish_quads(
         return [], ERR_INVALID_KEY, 0
     quads = []
     dropped = 0
+    valid = _term_is_valid_cached  # bypass the keyword-arg wrapper in the hot loop
     for s, p, o in triples:
-        if (
-            term_is_valid(s, as_subject=True)
-            and term_is_valid(p, as_predicate=True)
-            and term_is_valid(o)
-        ):
+        if valid(s, True, False) and valid(p, False, True) and valid(o, False, False):
             quads.append((s, p, o, prov))
         else:
             dropped += 1

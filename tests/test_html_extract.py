@@ -136,3 +136,68 @@ def test_entity_encoded_slash_in_type_attr_still_extracts():
         "</script></head><body></body></html>"
     )
     assert get_jsonld_from_html(html.encode()) == '{"@id":"y"}'
+
+
+class TestFastScannerEquivalence:
+    """The strict-subset scanner (_scan_fast) must be behavior-identical to
+    the full _HeadJsonLdParser wherever it returns a result — and must bail
+    (not guess) outside its subset. Differential battery over the adversarial
+    shapes that distinguish the two, plus a sweep of synthetic pages."""
+
+    @staticmethod
+    def _pure_parser(data):
+        import nabu_spark.functions.html_extract as hx
+
+        text = data.decode("utf-8") if isinstance(data, bytes) else data
+        p = hx._HeadJsonLdParser()
+        try:
+            p.feed(text)
+            p.close()
+        except Exception:
+            pass
+        return p.result
+
+    @staticmethod
+    def _with_fast(data):
+        import nabu_spark.functions.html_extract as hx
+
+        try:
+            return hx.get_jsonld_from_html(data)
+        except hx.NoJsonLdError:
+            return None
+
+    BATTERY = [
+        '<html><head><script type="application&#47;ld&#43;json">{"x":1}</script></head></html>',
+        '<html><head><script type="application/ld&#43;json">{"y":2}</script></head></html>',
+        '<html><head></head><body><script type="application/ld+json">{"z":3}</script></body></html>',
+        '<html><div>x</div><script type="application/ld+json">{"a":1}</script></html>',
+        '<html><head><style>b{content:"</style"}</style><script type="application/ld+json">{"b":1}</script></head></html>',
+        '<html><head><script type="application/ld+json"/><title>t</title></head></html>',
+        '<html><head><script type="application/ld+json">{"d":4}</ script ></html>',
+        '<html><head><script type=application/ld+json>{"e":5}</script></html>',
+        '<html><head><script type="text/plain" type="application/ld+json">{"f":6}</script></html>',
+        '<HTML><HEAD><SCRIPT TYPE="application/ld+json">{"g":7}</SCRIPT></HEAD></HTML>',
+        '<html><head><!-- c --><script type="application/ld+json">{"h":8}</script></head></html>',
+        '<html><head><script type="application/ld+json">{"i":"</scriptx"}</script></html>',
+        '<html><head><script type="application/ld+json">{"j":1}</script foo></script></html>',
+        '<html><body></body><head><script type="application/ld+json">{"k":1}</script></head></html>',
+        '<html><head><script type="text/javascript">var s="application/ld+json";</script>'
+        '<script type="application/ld+json">{"l":1}</script></head></html>',
+        '<html><head><meta content="a>b"><script type="application/ld+json">{"m":1}</script></head></html>',
+        '<html><head><script type="application/ld+json">{"n":1}',
+        '<html><head><title>a < b</title><script type="application/ld+json">{"o":1}</script></head></html>',
+        '<html><head><my-el></my-el><script type="application/ld+json">{"p":1}</script></head></html>',
+        '<html><head></head><script type="application/ld+json">{"q":1}</script></html>',
+        '<html><template><div>x</div></template><script type="application/ld+json">{"r":1}</script></html>',
+    ]
+
+    def test_adversarial_battery(self):
+        for t in self.BATTERY:
+            assert self._with_fast(t.encode()) == self._pure_parser(t), t
+
+    def test_synthetic_corpus_sweep(self):
+        from nabu_spark.datagen import page_for
+
+        for i in range(0, 4000):
+            b = page_for(i)["html"]
+            assert self._with_fast(b) == self._pure_parser(b), i
