@@ -10,8 +10,8 @@ Supported: inline contexts (map / array / string), prefix + term definitions,
 ``@vocab``, ``@base``, ``@language``, type coercion (``@type: @id`` and
 datatype IRIs), ``@id``/``@type`` aliases, nested node objects (fresh blank
 nodes), value objects (``@value``/``@type``/``@language``), ``@list``,
-``@graph``, ``@set``, ``@included``, language maps (``@container:
-@language``) and index maps (``@container: @index``), canonical
+``@graph``, ``@set``, ``@included``, ``@nest``, language maps
+(``@container: @language``) and index maps (``@container: @index``), canonical
 xsd:double/integer/boolean literals, and an offline context-document cache
 (never touches the network — the analogue of the reference's
 CachingDocumentLoader, jsonld.go:35-52).
@@ -434,7 +434,10 @@ def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
             td = ctx.terms.get(key)
             _process_values(state, ctx, subj, pred_iri, td, value, subj_t, f"<{pred_iri}>")
             continue
-        if kw == "@context" or kw == "@id" or kw in ("@index", "@nest"):
+        if kw == "@context" or kw == "@id" or kw == "@index":
+            continue
+        if kw == "@nest":
+            _process_nest(state, ctx, subj, subj_t, value)
             continue
         if kw == "@type":
             types = value if isinstance(value, list) else [value]
@@ -476,6 +479,56 @@ def _process_node(state: _ToRdfState, ctx: Context, node: dict) -> str | None:
             continue
         # any other keyword is ignored at node position
     return subj
+
+
+def _process_nest(state, ctx, subj, subj_t, value, depth: int = 0) -> None:
+    """JSON-LD 1.1 ``@nest`` (expansion §13.14 subset): each nested value must
+    be a map containing no key that expands to ``@value``; its entries are
+    processed as properties of the ENCLOSING node. ``@type`` inside a nest
+    types the enclosing node; nested ``@nest`` recurses (bounded); ``@id``
+    inside a nest is ignored (the subject is already fixed — the strict-mode
+    'invalid @nest value' error is relaxed to a drop, matching this engine's
+    tolerant handling elsewhere)."""
+    if depth > 32:
+        raise JsonLdError("@nest nesting too deep")
+    ac = ctx.alias_cache
+    ec = ctx.expand_cache
+    for nv in value if isinstance(value, list) else [value]:
+        if not isinstance(nv, dict):
+            raise JsonLdError("invalid @nest value: not a map")
+        for k in nv:
+            kw = ac.get(k, _MISS)
+            if kw is _MISS:
+                kw = _alias_of(ctx, k)
+            if kw == "@value":
+                raise JsonLdError("invalid @nest value: contains @value")
+        for key, v in nv.items():
+            kw = ac.get(key, _MISS)
+            if kw is _MISS:
+                kw = _alias_of(ctx, key)
+            if kw is None:
+                pred_iri = ec.get((key, True), _MISS)
+                if pred_iri is _MISS:
+                    pred_iri = _expand_iri(ctx, key, vocab=True)
+                if not pred_iri or pred_iri[0] == "@" or pred_iri[:2] == "_:":
+                    continue
+                td = ctx.terms.get(key)
+                _process_values(state, ctx, subj, pred_iri, td, v, subj_t, f"<{pred_iri}>")
+                continue
+            if kw == "@nest":
+                _process_nest(state, ctx, subj, subj_t, v, depth + 1)
+                continue
+            if kw == "@type":
+                types = v if isinstance(v, list) else [v]
+                for t in types:
+                    if not isinstance(t, str):
+                        continue
+                    t_iri = _expand_iri(ctx, t, vocab=True)
+                    if t_iri and not t_iri.startswith("@"):
+                        obj = state.relabel(t_iri) if t_iri.startswith("_:") else fmt_iri(t_iri)
+                        state.triples.append((subj_t, _RDF_TYPE_T, obj))
+                continue
+            # other keywords ignored inside a nest
 
 
 def _pred_ok(pred_iri: str) -> bool:

@@ -10,7 +10,8 @@ sh:node (nested shapes), sh:class, sh:in, sh:hasValue,
 sh:minLength / sh:maxLength, node- and value-level sh:or over
 sh:class / sh:datatype alternatives, sh:not / sh:and / sh:xone (logical
 constraints via nested conformance checks), inverse property paths
-(``sh:path [ sh:inversePath p ]``), sh:severity (Violation/Warning/Info
+(``sh:path [ sh:inversePath p ]``), sequence paths (``sh:path ( p1 p2 )``,
+elements may themselves be inverse), sh:severity (Violation/Warning/Info
 reporting, pyshacl-style: only Violation-severity results fail a graph),
 sh:message.
 
@@ -74,6 +75,9 @@ class PropertyShape:
     xone_shapes: list[str] = field(default_factory=list)  # sh:xone members
     severity: str = SEVERITY_VIOLATION  # sh:severity, default sh:Violation
     inverse: bool = False  # sh:path [ sh:inversePath p ]
+    # sh:path ( p1 p2 ... ): sequence of (predicate, inverse) steps; when set,
+    # `path` holds the SPARQL-style display form (^-prefixed inverse steps)
+    steps: list[tuple[str, bool]] | None = None
 
 
 @dataclass
@@ -165,10 +169,20 @@ class ShapesGraph:
                 continue
             path = paths[0]
             inverse = False
-            inv = self._objs(path, _sh("inversePath"))
-            if inv:  # blank-node path object: [ sh:inversePath p ]
-                path, inverse = inv[0], True
-            prop = PropertyShape(path=path, inverse=inverse)
+            steps = None
+            if self._objs(path, RDF_FIRST):
+                # sequence path: sh:path ( p1 p2 ... ); each element may
+                # itself be [ sh:inversePath p ]
+                steps = []
+                for el in self._list_items(path):
+                    inv_el = self._objs(el, _sh("inversePath"))
+                    steps.append((inv_el[0], True) if inv_el else (el, False))
+                path = "/".join(("^" + p) if i else p for p, i in steps)
+            else:
+                inv = self._objs(path, _sh("inversePath"))
+                if inv:  # blank-node path object: [ sh:inversePath p ]
+                    path, inverse = inv[0], True
+            prop = PropertyShape(path=path, inverse=inverse, steps=steps)
             prop.min_count = self._int(ps, "minCount")
             prop.max_count = self._int(ps, "maxCount")
             dt = self._objs(ps, _sh("datatype"))
@@ -290,7 +304,20 @@ def _validate_node(
                         sev))
     for prop in shape.properties:
         psev = prop.severity
-        if prop.inverse:
+        if prop.steps is not None:
+            # sequence path: compose steps left-to-right; value nodes form a
+            # set (dedupe, first-seen order kept for deterministic reports)
+            values = [node]
+            for p, inv in prop.steps:
+                nxt: list[str] = []
+                for v in values:
+                    if inv:
+                        nxt.extend(s for s, o in g.by_pred.get(p, []) if o == v)
+                    else:
+                        nxt.extend(g.po.get(v, {}).get(p, []))
+                values = nxt
+            values = list(dict.fromkeys(values))
+        elif prop.inverse:
             # inverse path: values are the SUBJECTS pointing at this node
             values = [s for s, o in g.by_pred.get(prop.path, []) if o == node]
         else:

@@ -336,3 +336,83 @@ class TestJsonLd11Containers:
         t = jsonld_to_triples(doc)
         assert t == [("<http://ex.org/n>", "<http://ex.org/links>",
                       "<http://ex.org/t1>")]
+
+
+class TestJsonLdNest:
+    """@nest fixtures modeled on the W3C json-ld-api toRdf suite n001-n008
+    shapes: nested maps' entries are properties of the enclosing node."""
+
+    def test_nest_properties_attach_to_enclosing_node(self):
+        doc = {
+            "@context": {"@vocab": "http://ex.org/"},
+            "@id": "http://ex.org/n1",
+            "name": "outer",
+            "@nest": {"label": "nested", "count": 3},
+        }
+        t = sorted(jsonld_to_triples(doc))
+        assert t == sorted([
+            ("<http://ex.org/n1>", "<http://ex.org/name>", '"outer"'),
+            ("<http://ex.org/n1>", "<http://ex.org/label>", '"nested"'),
+            ("<http://ex.org/n1>", "<http://ex.org/count>",
+             '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ])
+
+    def test_nest_alias_and_array(self):
+        doc = {
+            "@context": {"@vocab": "http://ex.org/", "meta": "@nest"},
+            "@id": "http://ex.org/n2",
+            "meta": [{"a": "1"}, {"b": "2"}],
+        }
+        t = sorted(jsonld_to_triples(doc))
+        preds = [p for _, p, _ in t]
+        assert "<http://ex.org/a>" in preds and "<http://ex.org/b>" in preds
+        assert all(s == "<http://ex.org/n2>" for s, _, _ in t)
+
+    def test_nested_nest_and_type(self):
+        doc = {
+            "@context": {"@vocab": "http://ex.org/"},
+            "@id": "http://ex.org/n3",
+            "@nest": {"@type": "Widget", "@nest": {"deep": "yes"}},
+        }
+        t = sorted(jsonld_to_triples(doc))
+        assert ("<http://ex.org/n3>",
+                "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                "<http://ex.org/Widget>") in t
+        assert ("<http://ex.org/n3>", "<http://ex.org/deep>", '"yes"') in t
+
+    def test_nest_value_object_is_invalid(self):
+        import pytest as _pytest
+
+        from nabu_spark.functions.jsonld import JsonLdError
+
+        doc = {
+            "@context": {"@vocab": "http://ex.org/"},
+            "@id": "http://ex.org/n4",
+            "@nest": {"@value": "nope"},
+        }
+        with _pytest.raises(JsonLdError):
+            jsonld_to_triples(doc)
+
+    def test_nest_non_map_is_invalid(self):
+        import pytest as _pytest
+
+        from nabu_spark.functions.jsonld import JsonLdError
+
+        doc = {
+            "@context": {"@vocab": "http://ex.org/"},
+            "@id": "http://ex.org/n5",
+            "@nest": "just a string",
+        }
+        with _pytest.raises(JsonLdError):
+            jsonld_to_triples(doc)
+
+    def test_nest_with_node_object_value(self):
+        # a nested entry whose value is a node object -> edge from enclosing
+        doc = {
+            "@context": {"@vocab": "http://ex.org/"},
+            "@id": "http://ex.org/n6",
+            "@nest": {"child": {"@id": "http://ex.org/c1", "name": "kid"}},
+        }
+        t = sorted(jsonld_to_triples(doc))
+        assert ("<http://ex.org/n6>", "<http://ex.org/child>", "<http://ex.org/c1>") in t
+        assert ("<http://ex.org/c1>", "<http://ex.org/name>", '"kid"') in t

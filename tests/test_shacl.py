@@ -353,3 +353,69 @@ ex:S a sh:NodeShape ;
             conforms, violations = self._check(**over)
             assert not conforms
             assert component in {c for _, _, c, _, _ in violations}, (over, violations)
+
+
+class TestSequencePaths:
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:Seq a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [ sh:path ( schema:provider schema:name ) ;
+                  sh:minCount 1 ;
+                  sh:message "provider must be named" ] .
+
+ex:SeqInv a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:property [ sh:path ( [ sh:inversePath schema:about ] schema:headline ) ;
+                  sh:minCount 1 ] .
+"""
+
+    def test_sequence_path_composes(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        sg = parse_shapes(self.SHAPES)
+        ds, org = "<https://d.org/ds>", "<https://d.org/org>"
+        named = [
+            (ds, self.RDF_TYPE, "<https://schema.org/Dataset>"),
+            (ds, "<https://schema.org/provider>", org),
+            (org, "<https://schema.org/name>", '"Acme"'),
+        ]
+        assert validate_graph(sg, named, precheck=False)[0]
+        unnamed = named[:2]
+        conforms, results = validate_graph(sg, unnamed, precheck=False)
+        assert not conforms
+        assert results[0][2] == "MinCount"
+        assert "provider must be named" in results[0][3]
+        # the report's path column carries the SPARQL-style sequence form
+        assert "/" in results[0][1]
+
+    def test_sequence_with_inverse_step(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        sg = parse_shapes(self.SHAPES)
+        place, art = "<https://d.org/p>", "<https://d.org/article>"
+        linked = [
+            (place, self.RDF_TYPE, "<https://schema.org/Place>"),
+            (art, "<https://schema.org/about>", place),
+            (art, "<https://schema.org/headline>", '"story"'),
+        ]
+        assert validate_graph(sg, linked, precheck=False)[0]
+        orphan = [(place, self.RDF_TYPE, "<https://schema.org/Place>")]
+        assert not validate_graph(sg, orphan, precheck=False)[0]
+
+    def test_sequence_path_display_form(self):
+        from nabu_spark.operators.shacl import parse_shapes
+
+        sg = parse_shapes(self.SHAPES)
+        seq = next(s for s in sg.shapes.values() if s.shape_id.endswith("Seq>"))
+        p = seq.properties[0]
+        assert p.steps == [
+            ("<https://schema.org/provider>", False),
+            ("<https://schema.org/name>", False),
+        ]
+        assert p.path == "<https://schema.org/provider>/<https://schema.org/name>"
