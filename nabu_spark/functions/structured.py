@@ -108,9 +108,10 @@ def _md_props(item_el: Element):
 
 
 def extract_microdata(
-    data: bytes | str, base: str = "", *, bnodes: _BnodeGen | None = None
+    data: bytes | str, base: str = "", *, bnodes: _BnodeGen | None = None,
+    tree: "Element | None" = None,
 ) -> list[tuple[str, str, str]]:
-    root = parse_html_tree(data)
+    root = tree if tree is not None else parse_html_tree(data)
     bnodes = bnodes or _BnodeGen("md")
     triples: list[tuple[str, str, str]] = []
 
@@ -173,9 +174,10 @@ def _rdfa_expand(value: str, vocab: str, prefixes: dict, base: str, *, as_prop: 
 
 
 def extract_rdfa(
-    data: bytes | str, base: str = "", *, bnodes: _BnodeGen | None = None
+    data: bytes | str, base: str = "", *, bnodes: _BnodeGen | None = None,
+    tree: "Element | None" = None,
 ) -> list[tuple[str, str, str]]:
-    root = parse_html_tree(data)
+    root = tree if tree is not None else parse_html_tree(data)
     bnodes = bnodes or _BnodeGen("ra")
     triples: list[tuple[str, str, str]] = []
     # inlist accumulation: (subject term, predicate iri) -> object terms in

@@ -32,10 +32,14 @@ def page_structured_quads(
     # extract walks are recursive, so one hostile deeply-nested page would
     # otherwise RecursionError the whole task (ADVICE r01, medium)
     try:
+        # one DOM parse shared by both extractors (it dominates the kernel)
+        from ..functions.domtree import parse_html_tree
+
+        tree = parse_html_tree(body)
         if "microdata" in formats:
-            triples.extend(extract_microdata(body, base=url, bnodes=bnodes))
+            triples.extend(extract_microdata(body, base=url, bnodes=bnodes, tree=tree))
         if "rdfa" in formats:
-            triples.extend(extract_rdfa(body, base=url, bnodes=bnodes))
+            triples.extend(extract_rdfa(body, base=url, bnodes=bnodes, tree=tree))
     except Exception:
         return [], "structured_parse"
     if not triples:

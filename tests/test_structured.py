@@ -258,3 +258,71 @@ class TestRdfaDatatypeInlist:
         assert all(not s.startswith("_:") and not o.startswith("_:")
                    for s, _, o, _ in quads)
         assert any("rdf-syntax-ns#first" in p for _, p, _, _ in quads)
+
+
+class TestFastTreeEquivalence:
+    """_fast_tree must build the IDENTICAL Element tree as the stdlib
+    _TreeBuilder on the subset grammar it accepts, and bail (None) outside
+    it — differential battery + synthetic-corpus sweep."""
+
+    @staticmethod
+    def _stdlib_tree(text):
+        import nabu_spark.functions.domtree as dt
+
+        b = dt._TreeBuilder()
+        try:
+            b.feed(text)
+            b.close()
+        except Exception:
+            pass
+        return b.root
+
+    @classmethod
+    def _eq(cls, a, b):
+        if isinstance(a, str) or isinstance(b, str):
+            return a == b
+        if a.tag != b.tag or a.attrs != b.attrs or len(a.children) != len(b.children):
+            return False
+        return all(cls._eq(x, y) for x, y in zip(a.children, b.children))
+
+    BATTERY = [
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">A &amp; B</span></div>',
+        '<html><body><p>a < b</p><br/><img src=x.png><div>t &lt; u &#65;</div></body></html>',
+        "<ul><li>one<li>two</ul>",
+        "<div><span>x</div></span>",
+        '<script>var a = "<div>";</script><p>after</p>',
+        '<style>p{content:"</p>"}</style><p>real</p>',
+        "<table><tr><td>1</td></tr></table>",
+        '<div data-x="1" DATA-Y="2" dup="a" dup="b">z</div>',
+        '<meta charset="utf-8"><base href="/"><div>v</div>',
+        "<script>unterminated",  # stdlib DISCARDS unterminated cdata content
+        "<script>half</scr",
+        "leading text<div>x</div>trailing",
+        "<div>&amp</div>",
+        "<div>&notanentity;</div>",
+        '<DIV CLASS="Upper">m</DIV>',
+    ]
+
+    def test_adversarial_battery(self):
+        import nabu_spark.functions.domtree as dt
+
+        for t in self.BATTERY:
+            f = dt._fast_tree(t)
+            if f is not None:
+                assert self._eq(f, self._stdlib_tree(t)), t
+
+    def test_synthetic_corpus_sweep(self):
+        import nabu_spark.functions.domtree as dt
+        from nabu_spark.datagen import page_for
+
+        bailed = 0
+        for i in range(3000):
+            t = page_for(i, structured_fraction=0.5)["html"].decode("utf-8", "replace")
+            f = dt._fast_tree(t)
+            if f is None:
+                bailed += 1
+                continue
+            assert self._eq(f, self._stdlib_tree(t)), i
+        # the fast path must actually cover the corpus, not bail everywhere
+        assert bailed < 300
