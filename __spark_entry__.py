@@ -711,6 +711,39 @@ def q_kg_pipeline_bnodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic PII augmentation shared (textually) with the oracle SQL: the
+# synthetic word-salad corpus carries no natural PII, so each doc gets one
+# email, one IPv4, and one phone number derived from its id — the redaction
+# kernel is then fully exercised and SQL-recomputable
+_PII_AUG_EXPR = (
+    "text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.org from 10.'"
+    " || (doc_id % 200) || '.0.' || (doc_id % 250) || ' call +1 (555) '"
+    " || (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000)"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as pure codegen (emails/IPv4/phones -> typed tokens)."""
+    from nabu_spark.operators.pii import redact_pii
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_AUG_EXPR).alias("text")
+    )
+    return redact_pii(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram-overlap decontamination: docs sharing an 8-word
+    shingle with the benchmark slice (doc_id % 41 == 0 stands in for the
+    fixed eval suite a real pipeline would broadcast)."""
+    from nabu_spark.operators.pii import contamination_check
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    out = contamination_check(docs, bench, "doc_id", "text", n=8)
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -731,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
         "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
@@ -990,6 +1025,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "pii_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
+                          || '.org from 10.' || (doc_id % 200) || '.0.'
+                          || (doc_id % 250) || ' call +1 (555) '
+                          || (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000)
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+\\d{1,3}[ .\\-]?\\(?\\d{1,4}\\)?(?:[ .\\-]?\\d{2,4}){2,3}',
+                     '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips,
+                   len(regexp_extract_all(text,
+                     '\\+\\d{1,3}[ .\\-]?\\(?\\d{1,4}\\)?(?:[ .\\-]?\\d{2,4}){2,3}')) AS n_phones
+            FROM aug ORDER BY doc_id
+        """,
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+              FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+              WHERE len(t) >= 8
+            ), bench AS (
+              SELECT DISTINCT shingle FROM grams WHERE doc_id % 41 = 0
+            ), hits AS (
+              SELECT g.doc_id,
+                     count(*) AS n_hits,
+                     count(DISTINCT g.shingle) AS n_unique
+              FROM grams g JOIN bench b USING (shingle)
+              GROUP BY g.doc_id
+            ), totals AS (
+              SELECT doc_id, greatest(len(t) - 7, 0) AS n_shingles FROM toks
+            )
+            SELECT h.doc_id, h.n_hits, h.n_unique, tt.n_shingles,
+                   round(h.n_unique * 1.0 / tt.n_shingles, 4) AS contamination_frac
+            FROM hits h JOIN totals tt ON h.doc_id = tt.doc_id
+            ORDER BY h.doc_id
         """,
         "bbox_join": """
             WITH points AS (

@@ -670,3 +670,61 @@ def test_hostile_bmp_headers_become_error_rows(spark):
     assert all(r["decode_error"] == "MediaDecodeError" for r in dec if r["media_id"] != 3)
     rs = resize_media(media, max_side=8).collect()
     assert all(r["resize_error"] == "MediaDecodeError" for r in rs)
+
+
+class TestPiiAndContamination:
+    def test_redact_pii_patterns(self, spark):
+        from nabu_spark.operators.pii import redact_pii
+
+        rows = [
+            (1, "mail bob.smith+x@sub.example.co.uk now"),
+            (2, "server at 192.168.001.4 and 8.8.8.8"),
+            (3, "call +1 (555) 867-5309 or +44 20 7946 0958"),
+            (4, "clean text no pii here"),
+            (5, "mixed a@b.io 10.0.0.1 +33 1 42 68 53 00"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+        assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+        assert "bob" not in out[1]["clean_text"]
+        assert out[2]["n_ips"] == 2 and out[2]["clean_text"].count("<IP>") == 2
+        assert out[3]["n_phones"] == 2
+        assert out[4]["clean_text"] == "clean text no pii here"
+        assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0
+        assert out[5]["n_emails"] == 1 and out[5]["n_ips"] == 1 and out[5]["n_phones"] == 1
+
+    def test_redact_pii_is_pure_codegen(self, spark):
+        # no Python UDF in the plan: the whole stage is JVM expressions
+        from nabu_spark.operators.pii import redact_pii
+
+        docs = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+        plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_contamination_finds_overlap(self, spark):
+        from nabu_spark.operators.pii import contamination_check
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, bench_text),                                   # benchmark itself
+            (2, "xx " + bench_text + " yy"),                   # contains it
+            (3, "totally different words in this document here now ok"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = docs.filter(F.col("doc_id") == 1)
+        out = {r["doc_id"]: r for r in
+               contamination_check(docs, bench, "doc_id", "text", n=8).collect()}
+        assert set(out) == {1, 2}  # doc 3 clean
+        assert out[1]["contamination_frac"] == 1.0
+        assert out[2]["n_unique"] == 3  # all 3 benchmark 8-grams appear
+        assert out[2]["n_shingles"] == 5  # 12 tokens -> 12 - 8 + 1
+
+    def test_contamination_broadcasts_benchmark_side(self, spark):
+        from nabu_spark.operators.pii import contamination_check
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} " * 20) for i in range(10)], "doc_id long, text string"
+        )
+        out = contamination_check(docs, docs.limit(2), "doc_id", "text", n=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
