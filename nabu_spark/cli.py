@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--out", required=True)
     h.add_argument("--no-salt", action="store_true")
     h.add_argument("--no-resume", action="store_true")
+    h.add_argument(
+        "--format", choices=("parquet", "warc"), default="parquet",
+        help="pages input format: parquet table or WARC archive dir",
+    )
 
     r = sub.add_parser("release", help="docs -> quads + release graphs + bytesums")
     r.add_argument(
@@ -109,7 +113,12 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.stats import crawl_stats
         from .pipeline import run_extract_stage
 
-        pages = spark.read.parquet(args.pages)
+        if getattr(args, "format", "parquet") == "warc":
+            from .sources.warc import read_warc
+
+            pages = read_warc(spark, args.pages).drop("warc_file")
+        else:
+            pages = spark.read.parquet(args.pages)
         docs = run_extract_stage(
             spark, pages, args.out, resume=not args.no_resume, salt=not args.no_salt
         )
