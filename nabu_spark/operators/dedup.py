@@ -357,10 +357,13 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the pre-round label through so the convergence check is a
+        # filter on the checkpointed result, not another shuffle join + job
         stepped = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
@@ -373,19 +376,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
             stepped.join(parent, stepped.label == parent._pid, "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.label") != F.col("l.label"))
-        )
-        labels = updated
-        if changed.isEmpty():
+        labels = updated.select("id", "label")
+        if updated.filter(F.col("label") != F.col("_old")).isEmpty():
             converged = True
             break
     if not converged:

@@ -244,3 +244,72 @@ class TestTurtleProperties:
             seen.append(firsts[cur][1:-1])
             cur = rests[cur]
         assert seen == items
+
+
+# --- fast-path parser equivalence fuzzing ------------------------------------
+
+# alphabet biased toward markup metachars + the letters of script/style/head/
+# body/div/meta so random fragments frequently form (near-)tags
+_html_fragment = st.text(
+    alphabet="abAB <>&/=\"'!-;\n\tscriptlehdbodyvm",
+    min_size=0,
+    max_size=120,
+)
+_tag_soup = st.lists(
+    st.sampled_from(
+        [
+            "<head>", "</head>", "<body>", "<div>", "</div>", "<meta x=1>",
+            '<script type="application/ld+json">', "<script>", "</script>",
+            "<style>", "</style>", "<title>", "</title>", "<!doctype html>",
+            "<!-- c -->", "text &amp; more", '{"a":1}', "a < b", "&#65;",
+            '<script type="application/ld+json"/>', "< notag", "</ script >",
+        ]
+    ),
+    min_size=0,
+    max_size=14,
+).map("".join)
+
+
+class TestFastPathFuzz:
+    @given(doc=st.one_of(_tag_soup, _html_fragment))
+    @settings(max_examples=300, deadline=None)
+    def test_scanner_positive_results_match_parser(self, doc):
+        import nabu_spark.functions.html_extract as hx
+
+        res = hx._scan_fast(doc)
+        if res is hx._BAIL:
+            return  # bail is always allowed
+        p = hx._HeadJsonLdParser()
+        try:
+            p.feed(doc)
+            p.close()
+        except Exception:
+            pass
+        assert res == p.result or (res is None and p.result is None), doc
+
+    @given(doc=st.one_of(_tag_soup, _html_fragment))
+    @settings(max_examples=300, deadline=None)
+    def test_fast_tree_matches_stdlib_tree(self, doc):
+        import nabu_spark.functions.domtree as dt
+
+        fast = dt._fast_tree(doc)
+        if fast is None:
+            return
+        b = dt._TreeBuilder()
+        try:
+            b.feed(doc)
+            b.close()
+        except Exception:
+            pass
+
+        def eq(x, y):
+            if isinstance(x, str) or isinstance(y, str):
+                return x == y
+            return (
+                x.tag == y.tag
+                and x.attrs == y.attrs
+                and len(x.children) == len(y.children)
+                and all(eq(a, c) for a, c in zip(x.children, y.children))
+            )
+
+        assert eq(fast, b.root), doc
