@@ -318,13 +318,18 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Character-n-gram language ID: score = |doc trigrams ∩ language
     profile|, deterministic tie order (declaration order, 'und' when all
     zero). Same output contract as the marker-word lang_id."""
-    tri = doc_trigrams(text_col)
+    # materialize the trigram array in its own projection: every per-language
+    # score embeds the column REFERENCE, so the heavy nested transform is
+    # evaluated once per row instead of once per (language x use site)
+    d = df.select(F.col(id_col), doc_trigrams(text_col).alias("_tri"))
     scores = {
-        lang: F.size(F.array_intersect(tri, F.lit(prof).cast("array<string>")))
+        lang: F.size(
+            F.array_intersect(F.col("_tri"), F.lit(prof).cast("array<string>"))
+        )
         for lang, prof in LANG_TRIGRAM_PROFILES.items()
     }
     best = F.greatest(*scores.values())
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_TRIGRAM_PROFILES:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.select(F.col(id_col), pred.alias("lang_pred_ngram"))
+    return d.select(F.col(id_col), pred.alias("lang_pred_ngram"))
