@@ -9,11 +9,12 @@ sh:minCount / sh:maxCount, sh:datatype, sh:pattern, sh:nodeKind (sh:IRI),
 sh:node (nested shapes), sh:class, sh:in, sh:hasValue,
 sh:minLength / sh:maxLength, node- and value-level sh:or over
 sh:class / sh:datatype alternatives, sh:not / sh:and / sh:xone (logical
-constraints via nested conformance checks), inverse property paths
-(``sh:path [ sh:inversePath p ]``), sequence paths (``sh:path ( p1 p2 )``,
-elements may themselves be inverse), sh:severity (Violation/Warning/Info
-reporting, pyshacl-style: only Violation-severity results fail a graph),
-sh:message.
+constraints via nested conformance checks), the full SHACL path algebra
+(predicates, ``sh:inversePath``, sequences ``( p1 p2 )``,
+``sh:alternativePath``, ``sh:zeroOrMorePath`` / ``sh:oneOrMorePath`` /
+``sh:zeroOrOnePath``, arbitrarily nested — compiled to an AST with inverses
+pushed to predicate leaves), sh:severity (Violation/Warning/Info reporting,
+pyshacl-style: only Violation-severity results fail a graph), sh:message.
 
 Validation semantics mirror shacl.go Validate(): first the structural
 pre-check (a node typed schema:Place or schema:Dataset must exist,
@@ -78,6 +79,10 @@ class PropertyShape:
     # sh:path ( p1 p2 ... ): sequence of (predicate, inverse) steps; when set,
     # `path` holds the SPARQL-style display form (^-prefixed inverse steps)
     steps: list[tuple[str, bool]] | None = None
+    # normalized path AST covering the full SHACL path algebra (predicate,
+    # inverse, sequence, alternative, zeroOrMore/oneOrMore/zeroOrOne);
+    # inverses are pushed down to predicate leaves at compile time
+    pexpr: tuple | None = None
 
 
 @dataclass
@@ -121,6 +126,28 @@ class ShapesGraph:
             rest = self._objs(head, RDF_REST)
             head = rest[0] if rest else RDF_NIL
         return items
+
+    def _compile_path(self, obj: str) -> tuple:
+        """SHACL path object -> AST: ("p", iri) | ("inv", sub) |
+        ("seq", [subs]) | ("alt", [subs]) | ("star"|"plus"|"opt", sub)."""
+        inv = self._objs(obj, _sh("inversePath"))
+        if inv:
+            return ("inv", self._compile_path(inv[0]))
+        alt = self._objs(obj, _sh("alternativePath"))
+        if alt:
+            return ("alt", [self._compile_path(x) for x in self._list_items(alt[0])])
+        star = self._objs(obj, _sh("zeroOrMorePath"))
+        if star:
+            return ("star", self._compile_path(star[0]))
+        plus = self._objs(obj, _sh("oneOrMorePath"))
+        if plus:
+            return ("plus", self._compile_path(plus[0]))
+        opt = self._objs(obj, _sh("zeroOrOnePath"))
+        if opt:
+            return ("opt", self._compile_path(opt[0]))
+        if self._objs(obj, RDF_FIRST):
+            return ("seq", [self._compile_path(x) for x in self._list_items(obj)])
+        return ("p", obj)
 
     def _or_alts(self, shape_id: str) -> list[dict]:
         alts = []
@@ -167,22 +194,16 @@ class ShapesGraph:
             paths = self._objs(ps, _sh("path"))
             if not paths:
                 continue
-            path = paths[0]
-            inverse = False
+            pexpr = _normalize_path(self._compile_path(paths[0]))
+            path = _path_display(pexpr)
+            inverse = pexpr[0] == "ip"
+            # steps: the simple-sequence view (back-compat for callers that
+            # only understand predicate/inverse chains); None for paths using
+            # alternatives or closures
             steps = None
-            if self._objs(path, RDF_FIRST):
-                # sequence path: sh:path ( p1 p2 ... ); each element may
-                # itself be [ sh:inversePath p ]
-                steps = []
-                for el in self._list_items(path):
-                    inv_el = self._objs(el, _sh("inversePath"))
-                    steps.append((inv_el[0], True) if inv_el else (el, False))
-                path = "/".join(("^" + p) if i else p for p, i in steps)
-            else:
-                inv = self._objs(path, _sh("inversePath"))
-                if inv:  # blank-node path object: [ sh:inversePath p ]
-                    path, inverse = inv[0], True
-            prop = PropertyShape(path=path, inverse=inverse, steps=steps)
+            if pexpr[0] == "seq" and all(s[0] in ("p", "ip") for s in pexpr[1]):
+                steps = [(s[1], s[0] == "ip") for s in pexpr[1]]
+            prop = PropertyShape(path=path, inverse=inverse, steps=steps, pexpr=pexpr)
             prop.min_count = self._int(ps, "minCount")
             prop.max_count = self._int(ps, "maxCount")
             dt = self._objs(ps, _sh("datatype"))
@@ -224,6 +245,91 @@ class ShapesGraph:
 
 def parse_shapes(ttl_text: str) -> ShapesGraph:
     return ShapesGraph(parse_turtle(ttl_text))
+
+
+# -- path algebra -------------------------------------------------------------
+
+
+def _invert_path(ast: tuple) -> tuple:
+    k = ast[0]
+    if k == "p":
+        return ("ip", ast[1])
+    if k == "ip":
+        return ("p", ast[1])
+    if k == "inv":
+        return _normalize_path(ast[1])
+    if k == "seq":
+        return ("seq", [_invert_path(x) for x in reversed(ast[1])])
+    if k == "alt":
+        return ("alt", [_invert_path(x) for x in ast[1]])
+    return (k, _invert_path(ast[1]))  # star/plus/opt commute with inverse
+
+
+def _normalize_path(ast: tuple) -> tuple:
+    """Push inverses down to predicate leaves: the evaluator then only needs
+    forward ("p") and backward ("ip") edge steps."""
+    k = ast[0]
+    if k == "inv":
+        return _invert_path(_normalize_path(ast[1]))
+    if k in ("seq", "alt"):
+        return (k, [_normalize_path(x) for x in ast[1]])
+    if k in ("star", "plus", "opt"):
+        return (k, _normalize_path(ast[1]))
+    return ast
+
+
+def _path_display(ast: tuple) -> str:
+    k = ast[0]
+    if k == "p":
+        return ast[1]
+    if k == "ip":
+        return "^" + ast[1]
+    if k == "seq":
+        return "/".join(_path_display(x) for x in ast[1])
+    if k == "alt":
+        return "(" + "|".join(_path_display(x) for x in ast[1]) + ")"
+    return _path_display(ast[1]) + {"star": "*", "plus": "+", "opt": "?"}[k]
+
+
+def _path_step(g: "_GraphIndex", nodes: list[str], ast: tuple) -> list[str]:
+    k = ast[0]
+    if k == "p":
+        return [o for v in nodes for o in g.po.get(v, {}).get(ast[1], [])]
+    if k == "ip":
+        out: list[str] = []
+        for v in nodes:
+            out.extend(s for s, o in g.by_pred.get(ast[1], []) if o == v)
+        return out
+    if k == "seq":
+        cur = nodes
+        for sub in ast[1]:
+            cur = _path_step(g, cur, sub)
+        return cur
+    if k == "alt":
+        out = []
+        for sub in ast[1]:
+            out.extend(_path_step(g, nodes, sub))
+        return out
+    if k == "opt":
+        return list(nodes) + _path_step(g, nodes, ast[1])
+    # star / plus: BFS closure over the sub-path (doc graphs are small)
+    frontier = list(dict.fromkeys(nodes)) if k == "star" else _path_step(
+        g, nodes, ast[1]
+    )
+    seen: dict[str, None] = dict.fromkeys(frontier)
+    while frontier:
+        frontier = [
+            x for x in _path_step(g, frontier, ast[1]) if x not in seen
+        ]
+        for x in frontier:
+            seen[x] = None
+    return list(seen)
+
+
+def _path_values(g: "_GraphIndex", node: str, ast: tuple) -> list[str]:
+    """Value nodes of a (normalized) path from ``node`` — a set, first-seen
+    order kept for deterministic reports."""
+    return list(dict.fromkeys(_path_step(g, [node], ast)))
 
 
 # -- evaluation ---------------------------------------------------------------
@@ -304,24 +410,15 @@ def _validate_node(
                         sev))
     for prop in shape.properties:
         psev = prop.severity
-        if prop.steps is not None:
-            # sequence path: compose steps left-to-right; value nodes form a
-            # set (dedupe, first-seen order kept for deterministic reports)
-            values = [node]
-            for p, inv in prop.steps:
-                nxt: list[str] = []
-                for v in values:
-                    if inv:
-                        nxt.extend(s for s, o in g.by_pred.get(p, []) if o == v)
-                    else:
-                        nxt.extend(g.po.get(v, {}).get(p, []))
-                values = nxt
-            values = list(dict.fromkeys(values))
-        elif prop.inverse:
-            # inverse path: values are the SUBJECTS pointing at this node
-            values = [s for s, o in g.by_pred.get(prop.path, []) if o == node]
-        else:
+        pk = prop.pexpr[0] if prop.pexpr is not None else "p"
+        if prop.pexpr is None or pk == "p":
             values = g.po.get(node, {}).get(prop.path, [])
+        elif pk == "ip":
+            # inverse path: values are the SUBJECTS pointing at this node
+            values = [s for s, o in g.by_pred.get(prop.pexpr[1], []) if o == node]
+        else:
+            # full path algebra (sequences / alternatives / closures)
+            values = _path_values(g, node, prop.pexpr)
         n = len(values)
         if prop.min_count is not None and n < prop.min_count:
             out.append((node, prop.path, "MinCount", prop.message or f"minCount {prop.min_count}", psev))

@@ -419,3 +419,114 @@ ex:SeqInv a sh:NodeShape ;
             ("<https://schema.org/name>", False),
         ]
         assert p.path == "<https://schema.org/provider>/<https://schema.org/name>"
+
+
+class TestPathAlgebra:
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:Alt a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [ sh:path [ sh:alternativePath ( schema:doi schema:isbn ) ] ;
+                  sh:minCount 1 ] .
+
+ex:Star a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:property [ sh:path ( [ sh:zeroOrMorePath schema:containedInPlace ]
+                            schema:name ) ;
+                  sh:minCount 1 ;
+                  sh:message "some enclosing place must be named" ] .
+
+ex:Plus a sh:NodeShape ;
+    sh:targetClass schema:Park ;
+    sh:property [ sh:path [ sh:oneOrMorePath schema:containedInPlace ] ;
+                  sh:minCount 1 ] .
+
+ex:InvSeq a sh:NodeShape ;
+    sh:targetClass schema:City ;
+    sh:property [ sh:path [ sh:inversePath ( schema:a schema:b ) ] ;
+                  sh:minCount 1 ] .
+"""
+
+    def _sg(self):
+        from nabu_spark.operators.shacl import parse_shapes
+
+        return parse_shapes(self.SHAPES)
+
+    def test_alternative_path(self):
+        from nabu_spark.operators.shacl import validate_graph
+
+        sg = self._sg()
+        base = [("<https://x/d>", self.RDF_TYPE, "<https://schema.org/Dataset>")]
+        assert not validate_graph(sg, base, precheck=False)[0]
+        for pred in ("doi", "isbn"):
+            g = base + [("<https://x/d>", f"<https://schema.org/{pred}>", '"v"')]
+            assert validate_graph(sg, g, precheck=False)[0], pred
+
+    def test_zero_or_more_closure(self):
+        from nabu_spark.operators.shacl import validate_graph
+
+        sg = self._sg()
+        cip = "<https://schema.org/containedInPlace>"
+        name = "<https://schema.org/name>"
+        p, q, r = "<https://x/p>", "<https://x/q>", "<https://x/r>"
+        typed = [(p, self.RDF_TYPE, "<https://schema.org/Place>")]
+        # zero steps: the place itself is named
+        assert validate_graph(sg, typed + [(p, name, '"self"')], precheck=False)[0]
+        # two hops up the containment chain
+        chain = typed + [(p, cip, q), (q, cip, r), (r, name, '"root"')]
+        assert validate_graph(sg, chain, precheck=False)[0]
+        # cycle without any name anywhere -> must terminate and fail
+        cyc = typed + [(p, cip, q), (q, cip, p)]
+        conforms, results = validate_graph(sg, cyc, precheck=False)
+        assert not conforms
+        assert "enclosing place" in results[0][3]
+
+    def test_one_or_more_requires_a_step(self):
+        from nabu_spark.operators.shacl import validate_graph
+
+        sg = self._sg()
+        cip = "<https://schema.org/containedInPlace>"
+        park = [("<https://x/k>", self.RDF_TYPE, "<https://schema.org/Park>")]
+        assert not validate_graph(sg, park, precheck=False)[0]
+        assert validate_graph(
+            sg, park + [("<https://x/k>", cip, "<https://x/q>")], precheck=False
+        )[0]
+
+    def test_inverse_of_sequence_reverses(self):
+        from nabu_spark.operators.shacl import validate_graph
+
+        sg = self._sg()
+        # ^(a/b) from city == entities reaching city via a then b
+        city = "<https://x/c>"
+        g = [
+            (city, self.RDF_TYPE, "<https://schema.org/City>"),
+            ("<https://x/s>", "<https://schema.org/a>", "<https://x/m>"),
+            ("<https://x/m>", "<https://schema.org/b>", city),
+        ]
+        assert validate_graph(sg, g, precheck=False)[0]
+        orphan = [(city, self.RDF_TYPE, "<https://schema.org/City>")]
+        assert not validate_graph(sg, orphan, precheck=False)[0]
+
+    def test_display_forms(self):
+        sg = self._sg()
+        by_id = {s.shape_id.rsplit("#", 1)[-1].rstrip(">"): s
+                 for s in sg.shapes.values()}
+        assert by_id["Alt"].properties[0].path == (
+            "(<https://schema.org/doi>|<https://schema.org/isbn>)"
+        )
+        assert by_id["Star"].properties[0].path == (
+            "<https://schema.org/containedInPlace>*/<https://schema.org/name>"
+        )
+        # inverse of a sequence normalizes to reversed inverse steps
+        assert by_id["InvSeq"].properties[0].path == (
+            "^<https://schema.org/b>/^<https://schema.org/a>"
+        )
+        assert by_id["InvSeq"].properties[0].steps == [
+            ("<https://schema.org/b>", True),
+            ("<https://schema.org/a>", True),
+        ]
