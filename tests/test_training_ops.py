@@ -728,3 +728,32 @@ class TestPiiAndContamination:
         out = contamination_check(docs, docs.limit(2), "doc_id", "text", n=4)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestIvfIndexPersistence:
+    def test_prebuilt_matches_direct_and_prunes(self, spark, tmp_path):
+        from nabu_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk,
+            ivf_topk_prebuilt,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.orderBy("vec_id").limit(4)
+        d = str(tmp_path / "ivfidx")
+        build_ivf_index(emb, d, n_clusters=8, seed=42)
+
+        # exhaustive probe -> identical to the retrain-per-call path
+        pre = ivf_topk_prebuilt(spark, d, queries, k=5, n_probe=8)
+        direct = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8, seed=42)
+        a = sorted(map(tuple, pre.select("query_id", "neighbor_id", "rank").collect()))
+        b = sorted(map(tuple, direct.select("query_id", "neighbor_id", "rank").collect()))
+        assert a == b and len(a) > 0
+
+        # selective probe -> the probe set reaches the scan as a partition
+        # filter (cluster is a partition column of the persisted index)
+        sel = ivf_topk_prebuilt(spark, d, queries, k=5, n_probe=2)
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert any("cluster" in l and "IN" in l.upper() for l in scan_lines), scan_lines
+        assert sel.count() > 0
