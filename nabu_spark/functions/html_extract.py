@@ -153,7 +153,9 @@ def _scan_fast(text: str):
         tag = m.group(2).lower()
         self_closing = m.group(4) == "/"
         if tag == "head":
-            in_head = True
+            # a self-closing <head/> fires startendtag = start + IMMEDIATE
+            # end in the parser, so the head opens and closes on the spot
+            in_head = not self_closing
             i = m.end()
             continue
         if tag == "body" or (in_head and tag not in _HEAD_OK):

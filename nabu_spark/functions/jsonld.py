@@ -485,10 +485,15 @@ def _process_nest(state, ctx, subj, subj_t, value, depth: int = 0) -> None:
     """JSON-LD 1.1 ``@nest`` (expansion §13.14 subset): each nested value must
     be a map containing no key that expands to ``@value``; its entries are
     processed as properties of the ENCLOSING node. ``@type`` inside a nest
-    types the enclosing node; nested ``@nest`` recurses (bounded); ``@id``
-    inside a nest is ignored (the subject is already fixed — the strict-mode
-    'invalid @nest value' error is relaxed to a drop, matching this engine's
-    tolerant handling elsewhere)."""
+    types the enclosing node; nested ``@nest`` recurses (bounded).
+
+    Error model: a non-map nested value or a ``@value`` entry raises
+    JsonLdError — deliberately aborting the DOCUMENT, which surfaces as a
+    ``jsonld_convert`` lineage row. That matches the reference: json-gold's
+    ToRDF raises "invalid @nest value" for these shapes and the whole doc
+    errors (jsonld.go:73-87 propagates). The single relaxation is ``@id``
+    inside a nest (also an error in strict processors): the subject is
+    already fixed here, so the key is ignored rather than failing the doc."""
     if depth > 32:
         raise JsonLdError("@nest nesting too deep")
     ac = ctx.alias_cache

@@ -320,13 +320,27 @@ def train_ivf_centroids_distributed(
     return centroids
 
 
-def _ivf_assign(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str, out_id: str, n_probe: int) -> DataFrame:
+def _ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    n_probe: int,
+    *,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(out_id, cluster) per probe; ``keep_vec`` additionally passes the
+    vector through so index building needs no join back to the corpus."""
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
-                yield pd.DataFrame({out_id: [], "cluster": []})
+                cols = {out_id: [], "cluster": []}
+                if keep_vec:
+                    cols[vec_col] = []
+                yield pd.DataFrame(cols)
                 continue
             vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
             vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
@@ -335,10 +349,18 @@ def _ivf_assign(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str,
                 clusters = sims.argmax(axis=1)[:, None]
             else:
                 clusters = np.argsort(-sims, axis=1)[:, :n_probe]
-            ids = np.repeat(pdf[id_col].to_numpy().astype("int64"), clusters.shape[1])
-            yield pd.DataFrame({out_id: ids, "cluster": clusters.ravel().astype("int64")})
+            reps = clusters.shape[1]
+            ids = np.repeat(pdf[id_col].to_numpy().astype("int64"), reps)
+            cols = {out_id: ids, "cluster": clusters.ravel().astype("int64")}
+            if keep_vec:
+                cols[vec_col] = pdf[vec_col].repeat(reps).to_numpy()
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, vec_col).mapInPandas(batches, f"{out_id} long, cluster long")
+    vec_type = next(f.dataType.simpleString() for f in df.schema.fields if f.name == vec_col)
+    schema = f"{out_id} long, cluster long"
+    if keep_vec:
+        schema += f", {vec_col} {vec_type}"
+    return df.select(id_col, vec_col).mapInPandas(batches, schema)
 
 
 def ivf_topk(
@@ -419,11 +441,12 @@ def build_ivf_index(
         "cluster long, centroid array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    assigned = _ivf_assign(corpus, centroids, id_col, vec_col, id_col, 1)
-    rows = corpus.select(id_col, vec_col).join(assigned, id_col)
-    rows.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(out_dir, "corpus")
-    )
+    # one streaming pass emits (id, cluster, vec) — no join back to the
+    # corpus (a full-corpus shuffle at the 100-TB design point)
+    rows = _ivf_assign(corpus, centroids, id_col, vec_col, id_col, 1, keep_vec=True)
+    rows.select(id_col, vec_col, "cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(out_dir, "corpus"))
 
 
 def ivf_topk_prebuilt(
@@ -450,13 +473,20 @@ def ivf_topk_prebuilt(
     centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
     corpus_idx = spark.read.parquet(os.path.join(index_dir, "corpus"))
 
-    q_assign = _ivf_assign(queries, centroids, id_col, vec_col, "query_id", n_probe)
+    # the query assignment is tiny (n_queries x n_probe): run the UDF ONCE,
+    # collect it, and reuse the local rows for both the probe set and the
+    # broadcast join side (no second scan of the queries source)
+    a_rows = _ivf_assign(
+        queries, centroids, id_col, vec_col, "query_id", n_probe
+    ).collect()
     # the probe set is driver-known and bounded by n_clusters: materialize it
     # as a STATIC partition filter so the scan prunes unprobed clusters
     # (visible as PartitionFilters on the FileScan — the 100-TB point of the
     # partitionBy("cluster") layout)
-    probe_clusters = sorted(
-        r["cluster"] for r in q_assign.select("cluster").distinct().collect()
+    probe_clusters = sorted({r["cluster"] for r in a_rows})
+    q_assign = spark.createDataFrame(
+        [(r["query_id"], r["cluster"]) for r in a_rows],
+        "query_id long, cluster long",
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_full = q_assign.join(qv, "query_id")

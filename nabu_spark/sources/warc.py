@@ -11,8 +11,9 @@ file — exactly the Common-Crawl processing granularity (archives are ~1 GB
 and individually gzip-membered, so they cannot be split finer without a
 custom input format; a 100 TB crawl is ~100k files = ~100k tasks, ideal).
 Record parsing is a ``mapInPandas`` pass emitting one row per WARC
-``response`` record; malformed records are skipped and counted per-file in
-the ``n_skipped`` lineage column of ``warc_file_stats``.
+``response`` record; malformed records are skipped, and ``warc_file_stats``
+reports the per-archive skip counts (``n_skipped``) and gzip failures
+(``parse_error``) as the data-loss lineage signal.
 
 Format notes (ISO 28500 subset):
   * records: ``WARC/1.0\\r\\n`` header block, blank line, ``Content-Length``
@@ -77,6 +78,8 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            return  # malicious/corrupt length would move pos BACKWARD
         block_start = hdr_end + 4
         if block_start + length > n:
             return  # truncated archive
@@ -151,6 +154,54 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(parse, WARC_PAGES_SCHEMA)
+
+
+def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-archive lineage: (warc_file, n_records, n_pages, n_skipped,
+    parse_error). ``n_skipped`` counts records present in the archive that
+    produced no page row (non-response types, missing target URI, non-2xx,
+    malformed HTTP block); ``parse_error`` marks archives whose gzip stream
+    failed to decode (zero rows, data-loss signal)."""
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.warc*"
+    ).load(path).select("path", "content")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "warc_file": [], "n_records": [], "n_pages": [],
+                "n_skipped": [], "parse_error": [],
+            }
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                err = False
+                n_records = n_pages = 0
+                if fpath.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gunzip_members(raw)
+                    except zlib.error:
+                        err, raw = True, b""
+                if not err:
+                    for headers, block in iter_warc_records(raw):
+                        n_records += 1
+                        if (
+                            headers.get("warc-type") == "response"
+                            and headers.get("warc-target-uri")
+                            and _response_payload(block) is not None
+                        ):
+                            n_pages += 1
+                out["warc_file"].append(fpath)
+                out["n_records"].append(n_records)
+                out["n_pages"].append(n_pages)
+                out["n_skipped"].append(n_records - n_pages)
+                out["parse_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        stats,
+        "warc_file string, n_records long, n_pages long, n_skipped long, "
+        "parse_error boolean",
+    )
 
 
 # --- deterministic fixture writer (datagen companion; no external data) ------

@@ -189,6 +189,10 @@ class TestFastScannerEquivalence:
         '<html><head><my-el></my-el><script type="application/ld+json">{"p":1}</script></head></html>',
         '<html><head></head><script type="application/ld+json">{"q":1}</script></html>',
         '<html><template><div>x</div></template><script type="application/ld+json">{"r":1}</script></html>',
+        # self-closing <head/> = startendtag: head opens AND closes, so the
+        # script is body-level and must NOT match (review finding, r3)
+        '<head/><script type="application/ld+json">{"s":1}</script>',
+        '<head /><script type="application/ld+json">{"t":1}</script>',
     ]
 
     def test_adversarial_battery(self):
