@@ -732,6 +732,33 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs, "doc_id", "text").orderBy("doc_id")
 
 
+# deterministic messy-URL synthesis shared (textually) with the oracle SQL:
+# three shapes per doc id — uppercase scheme/host + default port + tracking
+# param + fragment; https:443 + gclid; already-clean — groups 0 and 2
+# canonicalize to the SAME form, so url_dedup genuinely collapses rows
+_URL_AUG_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN"
+    " 'HTTP://Ex' || (doc_id % 5) || '.ORG:80/p/' || (doc_id % 40)"
+    " || '?b=2&utm_source=x&a=' || (doc_id % 4) || '#frag'"
+    " WHEN doc_id % 3 = 1 THEN"
+    " 'https://ex' || (doc_id % 5) || '.org:443/p/' || (doc_id % 40)"
+    " || '?a=' || (doc_id % 4) || '&b=2&gclid=zz'"
+    " ELSE"
+    " 'http://ex' || (doc_id % 5) || '.org/p/' || (doc_id % 40)"
+    " || '?a=' || (doc_id % 4) || '&b=2' END"
+)
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (pure codegen)."""
+    from nabu_spark.operators.urls import url_dedup
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_AUG_EXPR).alias("url")
+    )
+    return url_dedup(docs, "url", "doc_id").orderBy("canon_url")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram-overlap decontamination: docs sharing an 8-word
     shingle with the benchmark slice (doc_id % 41 == 0 stands in for the
@@ -766,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
+        "url_canon": q_url_canon,
         "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
@@ -1052,6 +1080,51 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\\+\\d{1,3}[ .\\-]?\\(?\\d{1,4}\\)?(?:[ .\\-]?\\d{2,4}){2,3}')) AS n_phones
             FROM aug ORDER BY doc_id
+        """,
+        "url_canon": """
+            WITH urls AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       'HTTP://Ex' || (doc_id % 5) || '.ORG:80/p/' || (doc_id % 40)
+                       || '?b=2&utm_source=x&a=' || (doc_id % 4) || '#frag'
+                     WHEN doc_id % 3 = 1 THEN
+                       'https://ex' || (doc_id % 5) || '.org:443/p/' || (doc_id % 40)
+                       || '?a=' || (doc_id % 4) || '&b=2&gclid=zz'
+                     ELSE
+                       'http://ex' || (doc_id % 5) || '.org/p/' || (doc_id % 40)
+                       || '?a=' || (doc_id % 4) || '&b=2' END AS url
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+            ), s2 AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+                     || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') AS b
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(b, '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2'),
+                       '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2') AS b
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id,
+                     regexp_replace(b, '\\?.*$', '') AS path,
+                     list_sort(list_filter(
+                       string_split(regexp_extract(b, '\\?(.*)$', 1), '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                         '^(utm_[^=]*|fbclid|gclid|msclkid)='))) AS ps
+              FROM s3
+            )
+            SELECT canon_url, min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN len(ps) > 0
+                          THEN path || '?' || array_to_string(ps, '&')
+                          ELSE path END AS canon_url
+              FROM s4
+            ) GROUP BY canon_url ORDER BY canon_url
         """,
         "contamination": """
             WITH toks AS (

@@ -757,3 +757,43 @@ class TestIvfIndexPersistence:
         scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert any("cluster" in l and "IN" in l.upper() for l in scan_lines), scan_lines
         assert sel.count() > 0
+
+
+class TestUrlCanonicalization:
+    def test_canonical_forms(self, spark):
+        from nabu_spark.operators.urls import canonicalize_urls
+
+        rows = [
+            (1, "HTTP://Ex.ORG:80/p?b=2&utm_source=x&a=1#frag"),
+            (2, "http://ex.org/p?a=1&b=2"),
+            (3, "https://A.B:443/x"),
+            (4, "https://a.b:8443/x"),        # non-default port kept
+            (5, "http://h/p?utm_campaign=only"),  # all params tracking
+            (6, "not a url at all"),
+            (7, "http://h/CaseSensitive/Path"),  # path case preserved
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r["doc_id"]: r["canon_url"] for r in canonicalize_urls(df).collect()}
+        assert out[1] == "http://ex.org/p?a=1&b=2"
+        assert out[1] == out[2]
+        assert out[3] == "https://a.b/x"
+        assert out[4] == "https://a.b:8443/x"
+        assert out[5] == "http://h/p"
+        assert out[6] == "not a url at all"
+        assert out[7] == "http://h/CaseSensitive/Path"
+
+    def test_url_dedup_and_pure_codegen(self, spark):
+        from nabu_spark.operators.urls import url_dedup
+
+        rows = [
+            (10, "HTTP://X.org/a?z=1&y=2#f"),
+            (11, "http://x.org/a?y=2&z=1"),
+            (12, "http://x.org/b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = url_dedup(df)
+        got = {r["canon_url"]: r for r in out.collect()}
+        assert got["http://x.org/a?y=2&z=1"]["dup_count"] == 2
+        assert got["http://x.org/a?y=2&z=1"]["canonical_id"] == 10
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
