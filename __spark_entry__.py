@@ -749,6 +749,35 @@ _URL_AUG_EXPR = (
 )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (token-count variant), pure codegen +
+    two-level hash aggregations."""
+    from nabu_spark.operators.textstats import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# clean_text gate augmentation: the corpus is ASCII, so NFC would be the
+# identity — append a DECOMPOSED accent (e + U+0301 combining acute,
+# embedded literally since Spark's chr() is ASCII-only), a control char
+# (BEL), and messy whitespace; NFC must compose the accent to one char,
+# the control strip must drop the BEL, and the collapse+trim the rest
+_CLEAN_AUG_EXPR = (
+    "text || '  cafe\u0301' || chr(9) || chr(7) || ' end '"
+)
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene: NFC + control strip + whitespace collapse + trim."""
+    from nabu_spark.operators.textstats import clean_text
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CLEAN_AUG_EXPR).alias("text")
+    )
+    return clean_text(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (pure codegen)."""
     from nabu_spark.operators.urls import url_dedup
@@ -794,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "url_canon": q_url_canon,
+        "repetition": q_repetition,
+        "clean_text": q_clean_text,
         "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
@@ -1080,6 +1111,61 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\\+\\d{1,3}[ .\\-]?\\(?\\d{1,4}\\)?(?:[ .\\-]?\\d{2,4}){2,3}')) AS n_phones
             FROM aug ORDER BY doc_id
+        """,
+        "repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(t) AS w FROM toks
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+            ), ws AS (
+              SELECT doc_id, max(c) AS top_w, count(*) AS n_distinct,
+                     sum(c) AS n_tokens
+              FROM wc GROUP BY 1
+            ), bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+              FROM toks, unnest(range(1, len(t))) AS r(i)
+              WHERE len(t) >= 2
+            ), bc AS (
+              SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+            ), bs AS (
+              SELECT doc_id, max(c) AS top_b, sum(c) AS n_bigrams
+              FROM bc GROUP BY 1
+            )
+            SELECT ws.doc_id, ws.n_tokens,
+                   round(ws.top_w * 1.0 / ws.n_tokens, 4) AS top_word_frac,
+                   round(coalesce(bs.top_b * 1.0 / bs.n_bigrams, 0.0), 4)
+                     AS top_bigram_frac,
+                   round(ws.n_distinct * 1.0 / ws.n_tokens, 4)
+                     AS distinct_word_ratio,
+                   (round(ws.top_w * 1.0 / ws.n_tokens, 4) <= 0.2
+                    AND round(coalesce(bs.top_b * 1.0 / bs.n_bigrams, 0.0), 4) <= 0.18
+                    AND round(ws.n_distinct * 1.0 / ws.n_tokens, 4) >= 0.3)
+                     AS rep_pass
+            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+            ORDER BY ws.doc_id
+        """,
+        "clean_text": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || '  café' || chr(9) || chr(7) || ' end '
+                       AS text
+              FROM documents
+            ), n AS (
+              SELECT doc_id, nfc_normalize(text) AS t FROM aug
+            ), c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean_text
+              FROM n
+            )
+            SELECT doc_id, clean_text, length(clean_text) AS n_chars_clean
+            FROM c ORDER BY doc_id
         """,
         "url_canon": """
             WITH urls AS (

@@ -333,3 +333,96 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in LANG_TRIGRAM_PROFILES:
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return d.select(F.col(id_col), pred.alias("lang_pred_ngram"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, token-count
+    variant of the character-fraction originals, thresholds documented in
+    the flag expression): most-frequent-word fraction, most-frequent-bigram
+    fraction, distinct-word ratio, and the combined ``rep_pass`` flag.
+
+    Shape at scale: one explode + two-level hash aggregation per signal —
+    the (id, token) pre-aggregation combines map-side, so the shuffle
+    carries distinct tokens per doc, not corpus token instances."""
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    words = base.select(id_col, F.explode("_toks").alias("w"))
+    wstats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("_top_w"),
+            F.countDistinct("w").alias("_n_distinct"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    bigrams = base.filter(F.size("_toks") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bstats = (
+        bigrams.groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_b"), F.sum("c").alias("_n_bigrams"))
+    )
+    joined = wstats.join(bstats, id_col, "left")
+    top_word_frac = F.round(F.col("_top_w") / F.col("n_tokens"), 4)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("_top_b") / F.col("_n_bigrams"), F.lit(0.0)), 4
+    )
+    distinct_ratio = F.round(F.col("_n_distinct") / F.col("n_tokens"), 4)
+    rep_pass = (
+        (top_word_frac <= 0.2) & (top_bigram_frac <= 0.18) & (distinct_ratio >= 0.3)
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        distinct_ratio.alias("distinct_word_ratio"),
+        rep_pass.alias("rep_pass"),
+    )
+
+
+def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-hygiene stage: NFC normalization (vectorized
+    ``pandas.Series.str.normalize`` over Arrow batches — Spark has no NFC
+    builtin), control-character strip, whitespace collapse, trim.
+
+    The whitespace class is the EXPLICIT [ \\t\\n\\r\\f] (Java's \\s and
+    RE2's \\s disagree about \\x0B, which the control strip removes first),
+    so the DuckDB oracle replays the identical pipeline with
+    ``nfc_normalize`` + the same regexes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            s = pdf[text_col].astype("string").str.normalize("NFC")
+            yield pd.DataFrame({id_col: pdf[id_col], "_nfc": s.astype("object")})
+
+    nfc = df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, _nfc string"
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_nfc"), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+            ),
+            r"[ \t\n\r\f]+",
+            " ",
+        )
+    )
+    return nfc.select(
+        id_col,
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("n_chars_clean"),
+    )

@@ -797,3 +797,32 @@ class TestUrlCanonicalization:
         assert got["http://x.org/a?y=2&z=1"]["canonical_id"] == 10
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRepetitionAndCleanText:
+    def test_repetition_flags_spammy_doc(self, spark):
+        from nabu_spark.operators.textstats import repetition_stats
+
+        rows = [
+            (1, "buy now " * 50),                       # one bigram dominates
+            (2, "varied words appear once each here with many distinct tokens "
+                "making repetition fractions low and the document pass"),
+            (3, "tiny"),                                # single token, no bigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+        assert out[1]["rep_pass"] is False
+        assert out[1]["top_word_frac"] == 0.5
+        assert out[1]["top_bigram_frac"] > 0.4
+        assert out[2]["rep_pass"] is True
+        assert out[3]["top_bigram_frac"] == 0.0  # no bigrams -> coalesced 0
+
+    def test_clean_text_nfc_and_whitespace(self, spark):
+        from nabu_spark.operators.textstats import clean_text
+
+        decomposed = "café"
+        rows = [(1, f"  a\tb\n\nc {decomposed} \x07ok \x0b ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = clean_text(df, "doc_id", "text").first()
+        assert r["clean_text"] == "a b c café ok"
+        assert r["n_chars_clean"] == len("a b c café ok")
