@@ -1136,18 +1136,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, max(c) AS top_b, sum(c) AS n_bigrams
               FROM bc GROUP BY 1
             )
-            SELECT ws.doc_id, ws.n_tokens,
-                   round(ws.top_w * 1.0 / ws.n_tokens, 4) AS top_word_frac,
+            SELECT d.doc_id,
+                   coalesce(ws.n_tokens, 0) AS n_tokens,
+                   round(coalesce(ws.top_w * 1.0 / ws.n_tokens, 0.0), 4)
+                     AS top_word_frac,
                    round(coalesce(bs.top_b * 1.0 / bs.n_bigrams, 0.0), 4)
                      AS top_bigram_frac,
-                   round(ws.n_distinct * 1.0 / ws.n_tokens, 4)
+                   round(coalesce(ws.n_distinct * 1.0 / ws.n_tokens, 0.0), 4)
                      AS distinct_word_ratio,
-                   (round(ws.top_w * 1.0 / ws.n_tokens, 4) <= 0.2
+                   (coalesce(ws.n_tokens, 0) > 0
+                    AND round(coalesce(ws.top_w * 1.0 / ws.n_tokens, 0.0), 4) <= 0.2
                     AND round(coalesce(bs.top_b * 1.0 / bs.n_bigrams, 0.0), 4) <= 0.18
-                    AND round(ws.n_distinct * 1.0 / ws.n_tokens, 4) >= 0.3)
+                    AND round(coalesce(ws.n_distinct * 1.0 / ws.n_tokens, 0.0), 4) >= 0.3)
                      AS rep_pass
-            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
-            ORDER BY ws.doc_id
+            FROM documents d
+            LEFT JOIN ws ON d.doc_id = ws.doc_id
+            LEFT JOIN bs ON d.doc_id = bs.doc_id
+            ORDER BY d.doc_id
         """,
         "clean_text": """
             WITH aug AS (

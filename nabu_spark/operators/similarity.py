@@ -473,20 +473,20 @@ def ivf_topk_prebuilt(
     centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
     corpus_idx = spark.read.parquet(os.path.join(index_dir, "corpus"))
 
-    # the query assignment is tiny (n_queries x n_probe): run the UDF ONCE,
-    # collect it, and reuse the local rows for both the probe set and the
-    # broadcast join side (no second scan of the queries source)
-    a_rows = _ivf_assign(
+    # run the assignment UDF once and persist it: the distinct-cluster
+    # collect below materializes the cache, and the join reuses it — no
+    # second scan of the queries source, and (unlike collecting the full
+    # assignment) driver memory stays bounded by n_clusters even for huge
+    # query sets
+    q_assign = _ivf_assign(
         queries, centroids, id_col, vec_col, "query_id", n_probe
-    ).collect()
+    ).persist()
     # the probe set is driver-known and bounded by n_clusters: materialize it
     # as a STATIC partition filter so the scan prunes unprobed clusters
     # (visible as PartitionFilters on the FileScan — the 100-TB point of the
     # partitionBy("cluster") layout)
-    probe_clusters = sorted({r["cluster"] for r in a_rows})
-    q_assign = spark.createDataFrame(
-        [(r["query_id"], r["cluster"]) for r in a_rows],
-        "query_id long, cluster long",
+    probe_clusters = sorted(
+        r["cluster"] for r in q_assign.select("cluster").distinct().collect()
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_full = q_assign.join(qv, "query_id")

@@ -352,8 +352,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
         .agg(
+            # rows are unique (id, w) pairs after the first groupBy, so a
+            # plain count IS the distinct count — countDistinct would add an
+            # Expand + multi-phase aggregation for nothing
             F.max("c").alias("_top_w"),
-            F.countDistinct("w").alias("_n_distinct"),
+            F.count("w").alias("_n_distinct"),
             F.sum("c").alias("n_tokens"),
         )
     )
@@ -372,18 +375,32 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.max("c").alias("_top_b"), F.sum("c").alias("_n_bigrams"))
     )
-    joined = wstats.join(bstats, id_col, "left")
-    top_word_frac = F.round(F.col("_top_w") / F.col("n_tokens"), 4)
+    # zero-token docs (empty/punctuation-only) must still appear — they are
+    # exactly what a repetition gate flags; left-join from the full id set
+    joined = (
+        df.select(id_col)
+        .join(wstats, id_col, "left")
+        .join(bstats, id_col, "left")
+    )
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0))
+    top_word_frac = F.round(
+        F.coalesce(F.col("_top_w") / F.col("n_tokens"), F.lit(0.0)), 4
+    )
     top_bigram_frac = F.round(
         F.coalesce(F.col("_top_b") / F.col("_n_bigrams"), F.lit(0.0)), 4
     )
-    distinct_ratio = F.round(F.col("_n_distinct") / F.col("n_tokens"), 4)
+    distinct_ratio = F.round(
+        F.coalesce(F.col("_n_distinct") / F.col("n_tokens"), F.lit(0.0)), 4
+    )
     rep_pass = (
-        (top_word_frac <= 0.2) & (top_bigram_frac <= 0.18) & (distinct_ratio >= 0.3)
+        (n_tokens > 0)
+        & (top_word_frac <= 0.2)
+        & (top_bigram_frac <= 0.18)
+        & (distinct_ratio >= 0.3)
     )
     return joined.select(
         id_col,
-        "n_tokens",
+        n_tokens.alias("n_tokens"),
         top_word_frac.alias("top_word_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
         distinct_ratio.alias("distinct_word_ratio"),
@@ -409,8 +426,11 @@ def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             s = pdf[text_col].astype("string").str.normalize("NFC")
             yield pd.DataFrame({id_col: pdf[id_col], "_nfc": s.astype("object")})
 
+    id_type = next(
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
+    )
     nfc = df.select(id_col, text_col).mapInPandas(
-        batches, f"{id_col} long, _nfc string"
+        batches, f"{id_col} {id_type}, _nfc string"
     )
     cleaned = F.trim(
         F.regexp_replace(

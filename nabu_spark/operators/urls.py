@@ -28,9 +28,14 @@ TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid)="
 def canonical_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, r"#.*$", "")  # 1. fragment
-    pre = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    # 2. only the SCHEME and HOST[:port] are case-insensitive (RFC 3986);
+    #    userinfo before '@' keeps its case (credentials are significant)
+    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://)", 1)
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.regexp_replace(authority, r"^.*@", "")
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
-    base = F.concat(F.lower(pre), rest)  # 2. scheme+authority case
+    base = F.concat(F.lower(scheme), userinfo, F.lower(hostport), rest)
     base = F.regexp_replace(base, r"^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
     base = F.regexp_replace(base, r"^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
     path = F.regexp_replace(base, r"\?.*$", "")

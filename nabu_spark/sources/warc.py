@@ -52,39 +52,84 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (warc_headers, block_bytes) per record; stops at garbage."""
+def iter_warc_records(
+    raw: bytes, state: dict | None = None
+) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, block_bytes) per record; stops at garbage.
+
+    Pass ``state`` (a dict) to learn HOW the scan ended: on exit it holds
+    ``clean`` (True only when the whole archive was consumed as well-formed
+    records) and ``consumed`` (bytes scanned) — the data-loss signal
+    ``warc_file_stats`` reports, since a mid-archive desync silently hides
+    every record after it."""
+    if state is None:
+        state = {}
+    state["clean"] = True
     pos = 0
     n = len(raw)
-    while pos < n:
-        # skip inter-record padding
-        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            return
-        if not raw.startswith(b"WARC/", pos):
-            return  # desynchronized: stop rather than guess
-        hdr_end = raw.find(b"\r\n\r\n", pos)
-        if hdr_end == -1:
-            return
-        headers: dict[str, str] = {}
-        for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
-                headers[k.decode("latin-1").strip().lower()] = (
-                    v.decode("latin-1").strip()
-                )
+    try:
+        while pos < n:
+            # skip inter-record padding
+            while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if pos >= n:
+                return
+            if not raw.startswith(b"WARC/", pos):
+                state["clean"] = False
+                return  # desynchronized: stop rather than guess
+            hdr_end = raw.find(b"\r\n\r\n", pos)
+            if hdr_end == -1:
+                state["clean"] = False
+                return
+            headers: dict[str, str] = {}
+            for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                if _:
+                    headers[k.decode("latin-1").strip().lower()] = (
+                        v.decode("latin-1").strip()
+                    )
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                state["clean"] = False
+                return
+            if length < 0:
+                state["clean"] = False
+                return  # malicious/corrupt length would move pos BACKWARD
+            block_start = hdr_end + 4
+            if block_start + length > n:
+                state["clean"] = False
+                return  # truncated archive
+            yield headers, raw[block_start : block_start + length]
+            pos = block_start + length
+    finally:
+        state["consumed"] = pos
+
+
+def _maybe_gunzip(fpath: str, raw: bytes) -> bytes | None:
+    """Decompress when the file is gzip'd; None on corrupt streams.
+    Shared by read_warc and warc_file_stats so their notion of a readable
+    archive can never drift."""
+    if fpath.endswith(".gz") or raw[:2] == b"\x1f\x8b":
         try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        if length < 0:
-            return  # malicious/corrupt length would move pos BACKWARD
-        block_start = hdr_end + 4
-        if block_start + length > n:
-            return  # truncated archive
-        yield headers, raw[block_start : block_start + length]
-        pos = block_start + length
+            return _gunzip_members(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _page_of(headers: dict, block: bytes) -> tuple[str, bytes] | None:
+    """(url, body) when the record is an emittable page, else None — the
+    single predicate both read_warc rows and warc_file_stats counts use."""
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None
+    body = _response_payload(block)
+    if body is None:
+        return None
+    return url, body
 
 
 def _parse_warc_ts(v: str) -> datetime | None:
@@ -123,24 +168,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             urls, tss, htmls, fnames = [], [], [], []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if fpath.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                    try:
-                        raw = _gunzip_members(raw)
-                    except zlib.error:
-                        continue  # corrupt archive -> zero rows for the file
+                raw = _maybe_gunzip(fpath, bytes(content))
+                if raw is None:
+                    continue  # corrupt archive -> zero rows for the file
                 for headers, block in iter_warc_records(raw):
-                    if headers.get("warc-type") != "response":
+                    page = _page_of(headers, block)
+                    if page is None:
                         continue
-                    url = headers.get("warc-target-uri")
-                    if not url:
-                        continue
-                    body = _response_payload(block)
-                    if body is None:
-                        continue
-                    urls.append(url)
+                    urls.append(page[0])
                     tss.append(_parse_warc_ts(headers.get("warc-date", "")))
-                    htmls.append(body)
+                    htmls.append(page[1])
                     fnames.append(fpath)
             yield pd.DataFrame(
                 {
@@ -161,7 +198,9 @@ def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
     parse_error). ``n_skipped`` counts records present in the archive that
     produced no page row (non-response types, missing target URI, non-2xx,
     malformed HTTP block); ``parse_error`` marks archives whose gzip stream
-    failed to decode (zero rows, data-loss signal)."""
+    failed to decode OR whose record scan ended before clean EOF (desync /
+    truncation) — in both cases rows are silently missing downstream, which
+    is exactly what this signal exists to surface."""
     files = spark.read.format("binaryFile").option(
         "pathGlobFilter", "*.warc*"
     ).load(path).select("path", "content")
@@ -173,23 +212,16 @@ def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
                 "n_skipped": [], "parse_error": [],
             }
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                err = False
+                raw = _maybe_gunzip(fpath, bytes(content))
+                err = raw is None
                 n_records = n_pages = 0
-                if fpath.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                    try:
-                        raw = _gunzip_members(raw)
-                    except zlib.error:
-                        err, raw = True, b""
                 if not err:
-                    for headers, block in iter_warc_records(raw):
+                    scan: dict = {}
+                    for headers, block in iter_warc_records(raw, scan):
                         n_records += 1
-                        if (
-                            headers.get("warc-type") == "response"
-                            and headers.get("warc-target-uri")
-                            and _response_payload(block) is not None
-                        ):
+                        if _page_of(headers, block) is not None:
                             n_pages += 1
+                    err = not scan["clean"]
                 out["warc_file"].append(fpath)
                 out["n_records"].append(n_records)
                 out["n_pages"].append(n_pages)

@@ -49,7 +49,7 @@ class TestWarcParsing:
             b"WARC-Target-URI: http://x/\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
             b"WARC/1.0\r\nWARC-Type: response\r\n"
             b"WARC-Target-URI: http://x/404\r\n"
-            b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 30\r\n\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 29\r\n\r\n"
             b"HTTP/1.1 404 NF\r\n\r\nnot found.\r\n\r\n"
         )
         p = tmp_path / "odd.warc"
@@ -131,7 +131,7 @@ class TestWarcRobustnessAndStats:
             b"WARC-Target-URI: http://x/\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
             b"WARC/1.0\r\nWARC-Type: response\r\n"
             b"WARC-Target-URI: http://x/404\r\n"
-            b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 27\r\n\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 28\r\n\r\n"
             b"HTTP/1.1 404 NF\r\n\r\nnot found\r\n\r\n"
         )
         # corrupt gzip archive
@@ -148,5 +148,20 @@ class TestWarcRobustnessAndStats:
         assert stats["odd.warc"]["n_records"] == 2
         assert stats["odd.warc"]["n_pages"] == 0
         assert stats["odd.warc"]["n_skipped"] == 2
+        assert stats["a.warc"]["parse_error"] is False
+        assert stats["odd.warc"]["parse_error"] is False  # well-formed records
         assert stats["bad.warc.gz"]["parse_error"] is True
         assert stats["bad.warc.gz"]["n_pages"] == 0
+
+    def test_mid_archive_desync_is_flagged(self, spark, warc_dir, tmp_path):
+        # a good record followed by garbage: the tail is unscannable, so
+        # parse_error must be True even though some records were read
+        good = open(f"{warc_dir}/a.warc", "rb").read()
+        d = tmp_path / "desync"
+        d.mkdir()
+        (d / "t.warc").write_bytes(good[:2000] + b"GARBAGE NOT A RECORD")
+        from nabu_spark.sources.warc import warc_file_stats
+
+        row = warc_file_stats(spark, str(d)).first()
+        assert row["parse_error"] is True
+        assert row["n_records"] >= 1
