@@ -1631,9 +1631,10 @@ def oracle_sql() -> dict[str, str]:
             -- the synthetic media corpus is deterministic in media_id, so
             -- the decoded header is independently recomputable: type=i%3,
             -- width=16+(i%8)*16, height=16+(i%5)*16, frames=1|8+i%24.
-            -- Even-id image rows are REAL PNGs decoded by the native codec:
-            -- payload = decoded pixel bytes (w*h*3); FAKE rows carry the
-            -- 4x-sha256 = 128-byte payload
+            -- Even-id image rows are REAL PNGs (payload = decoded pixel
+            -- bytes w*h*3) and even-id video rows are REAL animated GIFs
+            -- (payload = w*h*3*frames across frames), both decoded by the
+            -- native codecs; FAKE rows carry the 4x-sha256 = 128-byte payload
             SELECT i AS media_id,
                    (['image','audio','video'])[(i % 3) + 1] AS media_type,
                    CAST(16 + (i % 8) * 16 AS INTEGER) AS width,
@@ -1642,6 +1643,9 @@ def oracle_sql() -> dict[str, str]:
                      AS n_frames,
                    CAST(CASE WHEN i % 3 = 0 AND i % 2 = 0
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
+                        WHEN i % 3 = 2 AND i % 2 = 0
+                             THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
+                                  * (8 + i % 24)
                              ELSE 128 END AS BIGINT) AS payload_bytes,
                    CAST(NULL AS VARCHAR) AS decode_error
             FROM range(0, 200) AS r(i)

@@ -57,9 +57,10 @@ _MIMES = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
 
 def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Deterministic media table (seeded by row id): image rows with even id
-    are REAL 8-bit RGB PNGs (exercising the native codec); everything else
-    is the FAKE plumbing format. Dimensions follow the same id formulas
-    either way, so the decoded header stays formula-recomputable by SQL."""
+    are REAL 8-bit RGB PNGs, video rows with even id are REAL animated GIFs
+    (both exercising the native codecs); everything else is the FAKE
+    plumbing format. Dimensions follow the same id formulas either way, so
+    the decoded header stays formula-recomputable by SQL."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -73,6 +74,10 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
                 if t == 0 and i % 2 == 0:
                     blob = synth_png(i, w, h)
                     mime = "image/png"
+                elif t == 2 and i % 2 == 0:
+                    # even-id video rows are REAL animated GIFs
+                    blob = synth_gif(i, w, h, frames)
+                    mime = "image/gif"
                 else:
                     payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
                     blob = b"FAKE" + struct.pack("<BIII", t, w, h, frames) + payload
@@ -322,6 +327,8 @@ def _decode_one(blob: bytes) -> dict:
         return _decode_png(blob)
     if blob[:4] == b"RIFF":
         return _decode_wav(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     if blob[:4] == b"FAKE":
         if len(blob) < 17:
             raise MediaDecodeError("truncated media blob")
@@ -395,6 +402,8 @@ def resize_image(blob: bytes, max_side: int) -> bytes:
         return resize_bmp(blob, max_side)
     if blob[:8] == _PNG_SIG:
         return resize_png(blob, max_side)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return resize_gif(blob, max_side)
     raise NotImplementedError(
         "this codec requires PIL/libav, not available in this container"
     )
@@ -572,3 +581,315 @@ def resize_meta(media: DataFrame, max_side: int = 64) -> DataFrame:
         F.greatest(F.lit(1), F.round(F.col("width") * scale).cast("int")).alias("target_width"),
         F.greatest(F.lit(1), F.round(F.col("height") * scale).cast("int")).alias("target_height"),
     )
+
+
+# --- native GIF codec (87a/89a subset: LZW, palettes, interlace, frames) -----
+
+
+def _gif_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, pos_after_terminator). Raises on truncation."""
+    out = bytearray()
+    n = len(blob)
+    while True:
+        if pos >= n:
+            raise MediaDecodeError("truncated GIF sub-block chain")
+        size = blob[pos]
+        pos += 1
+        if size == 0:
+            return bytes(out), pos
+        if pos + size > n:
+            raise MediaDecodeError("truncated GIF sub-block")
+        out += blob[pos : pos + size]
+        pos += size
+
+
+_GIF_MAX_PIXELS = 64_000_000  # decompression-bomb guard (frames x w x h)
+_GIF_MAX_FRAMES = 10_000
+
+
+def _parse_gif(blob: bytes, *, want_frames: bool) -> dict:
+    """Structural parse: screen size, frame descriptors, palettes. LZW data
+    is collected only when ``want_frames`` (pixel decode is on-demand —
+    header/lineage paths never pay for it)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
+        raise MediaDecodeError("not a GIF")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 0x07))
+        if pos + size > len(blob):
+            raise MediaDecodeError("truncated GIF color table")
+        gct = np.frombuffer(blob[pos : pos + size], dtype=np.uint8).reshape(-1, 3)
+        pos += size
+    frames = []
+    total_px = 0
+    n = len(blob)
+    while pos < n:
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-block chain, skipped
+            if pos >= n:
+                raise MediaDecodeError("truncated GIF extension")
+            pos += 1
+            _, pos = _gif_subblocks(blob, pos)
+            continue
+        if marker != 0x2C:
+            raise MediaDecodeError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > n:
+            raise MediaDecodeError("truncated GIF image descriptor")
+        _left, _top, fw, fh, fpacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
+        pos += 9
+        if fw == 0 or fh == 0:
+            raise MediaDecodeError("empty GIF frame")
+        total_px += fw * fh
+        if total_px > _GIF_MAX_PIXELS or len(frames) >= _GIF_MAX_FRAMES:
+            raise MediaDecodeError("GIF exceeds safety bounds")
+        lct = gct
+        if fpacked & 0x80:
+            size = 3 * (2 << (fpacked & 0x07))
+            if pos + size > n:
+                raise MediaDecodeError("truncated GIF local color table")
+            lct = np.frombuffer(blob[pos : pos + size], dtype=np.uint8).reshape(-1, 3)
+            pos += size
+        if pos >= n:
+            raise MediaDecodeError("truncated GIF image data")
+        min_code = blob[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            raise MediaDecodeError("invalid GIF LZW code size")
+        data, pos = _gif_subblocks(blob, pos)
+        frames.append(
+            {
+                "w": fw, "h": fh,
+                "interlace": bool(fpacked & 0x40),
+                "palette": lct,
+                "min_code": min_code,
+                "data": data if want_frames else None,
+            }
+        )
+    if not frames:
+        raise MediaDecodeError("GIF contains no frames")
+    return {"width": w, "height": h, "frames": frames}
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF LZW (LSB-first variable-width codes) -> ``expected`` index bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    init_len = len(table)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nacc = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nacc < width:
+            if pos >= n:
+                raise MediaDecodeError("GIF LZW underrun")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or len(table[code]) > 0):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise MediaDecodeError("invalid GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise MediaDecodeError("GIF LZW underrun")
+    return bytes(out[:expected])
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_pixels(blob: bytes, frame: int = 0) -> np.ndarray:
+    """Full pixel decode of one frame -> (fh, fw, 3) uint8 RGB. Frames are
+    decoded against their own rect + palette (no disposal compositing —
+    documented subset; each frame stands alone)."""
+    g = _parse_gif(blob, want_frames=True)
+    if not (0 <= frame < len(g["frames"])):
+        raise MediaDecodeError("GIF frame index out of range")
+    f = g["frames"][frame]
+    if f["palette"] is None:
+        raise MediaDecodeError("GIF frame has no color table")
+    idx = np.frombuffer(
+        _lzw_decode(f["data"], f["min_code"], f["w"] * f["h"]), dtype=np.uint8
+    )
+    if int(idx.max(initial=0)) >= len(f["palette"]):
+        raise MediaDecodeError("GIF palette index out of range")
+    rows = idx.reshape(f["h"], f["w"])
+    if f["interlace"]:
+        out = np.empty_like(rows)
+        src = 0
+        for start, step in _GIF_INTERLACE_PASSES:
+            cnt = len(range(start, f["h"], step))
+            out[start::step] = rows[src : src + cnt]
+            src += cnt
+        rows = out
+    return f["palette"][rows]
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Fixed-width LZW: every pixel is emitted as a literal code, with a
+    Clear re-emitted before the decoder's table would force a width bump —
+    valid output for ANY decoder, vectorized bit-packing via numpy."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    # decoder table grows by 1 per code after the first following a Clear;
+    # re-clear when it would reach (1 << width) - 1
+    run = (1 << width) - clear - 2
+    chunks = [indices[i : i + run] for i in range(0, len(indices), run)]
+    codes: list[np.ndarray] = []
+    for c in chunks:
+        codes.append(np.array([clear], dtype=np.uint32))
+        codes.append(c.astype(np.uint32))
+    codes.append(np.array([eoi], dtype=np.uint32))
+    allc = np.concatenate(codes)
+    # LSB-first bit pack: (n, width) bit matrix -> flat -> bytes
+    bitmat = (allc[:, None] >> np.arange(width, dtype=np.uint32)[None, :]) & 1
+    flat = bitmat.astype(np.uint8).ravel()
+    return np.packbits(flat, bitorder="little").tobytes()
+
+
+def encode_gif_indexed(
+    frames_idx: list[np.ndarray], palette: np.ndarray
+) -> bytes:
+    """Animated GIF89a from palette-index frames (uint8, shared dims);
+    deterministic output (fixed 256-entry table, 4cs frame delay)."""
+    if len(palette) > 256:
+        raise MediaDecodeError("GIF palette too large")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    h, w = frames_idx[0].shape[:2]
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    out += pal.tobytes()
+    for idx in frames_idx:
+        if idx.shape[:2] != (h, w):
+            raise MediaDecodeError("GIF frames must share dimensions")
+        if int(idx.max(initial=0)) >= len(palette):
+            raise MediaDecodeError("GIF index outside palette")
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # min LZW code size (256-entry table)
+        data = _lzw_encode(idx.ravel(), 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _rgb_to_indices(flat: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Vectorized exact-color palette lookup (packed uint32 + searchsorted);
+    raises when a color is missing from the palette."""
+    pk = (
+        palette[:, 0].astype(np.uint32) << 16
+        | palette[:, 1].astype(np.uint32) << 8
+        | palette[:, 2].astype(np.uint32)
+    )
+    order = np.argsort(pk)
+    pk_sorted = pk[order]
+    fk = (
+        flat[:, 0].astype(np.uint32) << 16
+        | flat[:, 1].astype(np.uint32) << 8
+        | flat[:, 2].astype(np.uint32)
+    )
+    pos = np.searchsorted(pk_sorted, fk)
+    if int(pos.max(initial=0)) >= len(pk_sorted) or not np.array_equal(
+        pk_sorted[np.minimum(pos, len(pk_sorted) - 1)], fk
+    ):
+        raise MediaDecodeError("GIF frame color not in palette")
+    return order[pos].astype(np.uint8)
+
+
+def encode_gif(frames_rgb: list[np.ndarray], palette: np.ndarray) -> bytes:
+    """Animated GIF89a from full-size RGB frames whose colors ALL appear in
+    ``palette`` (<= 256 rows)."""
+    h, w = frames_rgb[0].shape[:2]
+    frames_idx = []
+    for fr in frames_rgb:
+        if fr.shape[:2] != (h, w):
+            raise MediaDecodeError("GIF frames must share dimensions")
+        frames_idx.append(
+            _rgb_to_indices(fr.reshape(-1, 3), np.asarray(palette)).reshape(h, w)
+        )
+    return encode_gif_indexed(frames_idx, np.asarray(palette))
+
+
+def _decode_gif(blob: bytes) -> dict:
+    g = _parse_gif(blob, want_frames=False)
+    nf = len(g["frames"])
+    return {
+        "kind": "video" if nf > 1 else "image",
+        "width": g["width"],
+        "height": g["height"],
+        "n_frames": nf,
+        # decoded RGB bytes across frames — computable from descriptors
+        "payload_bytes": sum(f["w"] * f["h"] * 3 for f in g["frames"]),
+    }
+
+
+_GIF_PALETTE = None
+
+
+def _synth_gif_palette() -> np.ndarray:
+    global _GIF_PALETTE
+    if _GIF_PALETTE is None:
+        # deterministic 216-color web-safe-style cube
+        levels = np.array([0, 51, 102, 153, 204, 255], dtype=np.uint8)
+        _GIF_PALETTE = np.array(
+            [(r, g, b) for r in levels for g in levels for b in levels],
+            dtype=np.uint8,
+        )
+    return _GIF_PALETTE
+
+
+def synth_gif(i: int, w: int, h: int, n_frames: int) -> bytes:
+    """Deterministic animated GIF: per-frame shifting palette-index pattern
+    (every color drawn from the fixed 216-color cube)."""
+    pal = _synth_gif_palette()
+    y, x = np.mgrid[0:h, 0:w]
+    frames = [
+        ((x + y * 3 + i + f * 7) % 216).astype(np.uint8) for f in range(n_frames)
+    ]
+    return encode_gif_indexed(frames, pal)
+
+
+def resize_gif(blob: bytes, max_side: int) -> bytes:
+    """Resize every frame (nearest-neighbor) and re-encode; sampling only
+    picks existing pixels, so the original palette always suffices."""
+    g = _parse_gif(blob, want_frames=True)
+    frames = [gif_pixels(blob, k) for k in range(len(g["frames"]))]
+    resized = [_nn_resize(fr, max_side) for fr in frames]
+    colors = np.unique(np.concatenate([r.reshape(-1, 3) for r in resized]), axis=0)
+    if len(colors) > 256:
+        raise MediaDecodeError("GIF resize: more than 256 colors")
+    return encode_gif(resized, colors)

@@ -848,3 +848,123 @@ class TestRepetitionAndCleanText:
         r = clean_text(df, "doc_id", "text").first()
         assert r["clean_text"] == "a b c café ok"
         assert r["n_chars_clean"] == len("a b c café ok")
+
+
+class TestGifCodec:
+    def test_encode_decode_pixel_roundtrip(self):
+        import numpy as np
+
+        from nabu_spark.operators.multimodal import (
+            _decode_gif,
+            _synth_gif_palette,
+            gif_pixels,
+            synth_gif,
+        )
+
+        pal = _synth_gif_palette()
+        b = synth_gif(11, 48, 32, 5)
+        assert b[:6] == b"GIF89a"
+        d = _decode_gif(b)
+        assert d == {
+            "kind": "video", "width": 48, "height": 32,
+            "n_frames": 5, "payload_bytes": 48 * 32 * 3 * 5,
+        }
+        y, x = np.mgrid[0:32, 0:48]
+        for f in (0, 2, 4):
+            expect = pal[((x + y * 3 + 11 + f * 7) % 216).astype(np.uint8)]
+            assert np.array_equal(gif_pixels(b, f), expect), f
+
+    def test_single_frame_is_image_kind(self):
+        from nabu_spark.operators.multimodal import _decode_gif, synth_gif
+
+        assert _decode_gif(synth_gif(1, 16, 16, 1))["kind"] == "image"
+
+    def test_interlaced_frame_decodes(self):
+        import numpy as np
+
+        from nabu_spark.operators.multimodal import (
+            _synth_gif_palette,
+            gif_pixels,
+            synth_gif,
+        )
+
+        # take the plain frame's row order, store rows in interlace-pass
+        # order, set the interlace flag — decode must restore the original
+        plain = synth_gif(3, 24, 16, 1)
+        pal = _synth_gif_palette()
+        expect = gif_pixels(plain, 0)
+        h = 16
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        y, x = np.mgrid[0:16, 0:24]
+        idx = ((x + y * 3 + 3) % 216).astype(np.uint8)
+        from nabu_spark.operators.multimodal import encode_gif_indexed
+
+        inter = bytearray(encode_gif_indexed([idx[order]], pal))
+        # image descriptor packed byte: after 0x2c + 8 bytes
+        p = bytes(inter).find(b"\x2c")
+        inter[p + 9] |= 0x40
+        got = gif_pixels(bytes(inter), 0)
+        assert np.array_equal(got, expect)
+
+    def test_hostile_gifs_error_not_crash(self):
+        import pytest as _pytest
+
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            _decode_gif,
+            gif_pixels,
+            synth_gif,
+        )
+
+        good = synth_gif(5, 32, 16, 3)
+        for blob in (
+            good[:40],                      # truncated mid color table/frame
+            good[:-10],                     # truncated sub-blocks
+            b"GIF89a" + b"\x00" * 20,       # garbage after header
+            # first block marker sits after the 13-byte header + 768-byte
+            # global color table: corrupting IT is the unexpected-block case
+            good[:781] + b"\xff" + good[782:],
+        ):
+            with _pytest.raises(MediaDecodeError):
+                _decode_gif(blob)
+        with _pytest.raises(MediaDecodeError):
+            gif_pixels(good, 99)  # frame out of range
+
+    def test_resize_gif_all_frames(self):
+        from nabu_spark.operators.multimodal import _decode_gif, resize_gif, synth_gif
+
+        r = resize_gif(synth_gif(9, 64, 32, 4), 16)
+        d = _decode_gif(r)
+        assert d["n_frames"] == 4
+        assert max(d["width"], d["height"]) <= 16
+
+    def test_sample_frames_decodes_real_gif_frames(self, spark):
+        import numpy as np
+
+        from nabu_spark.operators.multimodal import (
+            gif_pixels,
+            sample_frames,
+            synth_media,
+        )
+
+        media = synth_media(spark, 30)
+        picked = sample_frames(media, every_nth=5)
+        gif_rows = {
+            r["media_id"]: bytes(r["media"])
+            for r in media.filter(
+                (F.col("media_id") % 3 == 2) & (F.col("media_id") % 2 == 0)
+            ).collect()
+        }
+        by_id = {}
+        for r in picked.collect():
+            by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+        hit = 0
+        for mid, blob in gif_rows.items():
+            for fidx in by_id.get(mid, []):
+                px = gif_pixels(blob, fidx)  # REAL decode of a sampled frame
+                assert px.ndim == 3 and px.shape[2] == 3
+                hit += 1
+        assert hit > 0
