@@ -528,10 +528,10 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """REAL pixel resize for natively-decodable media (BMP, PNG — each
-    re-encoded in its own format): one mapInPandas pass emitting resized
-    blobs + new dims; rows whose codec needs an external library carry a
-    resize_error instead of failing the task."""
+    """REAL pixel resize for natively-decodable media (BMP, PNG, GIF — each
+    re-encoded in its own format, GIF frame-by-frame): one mapInPandas pass
+    emitting resized blobs + new dims; rows whose codec needs an external
+    library carry a resize_error instead of failing the task."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -586,10 +586,12 @@ def resize_meta(media: DataFrame, max_side: int = 64) -> DataFrame:
 # --- native GIF codec (87a/89a subset: LZW, palettes, interlace, frames) -----
 
 
-def _gif_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
-    """Concatenate a GIF sub-block chain starting at ``pos``; returns
-    (data, pos_after_terminator). Raises on truncation."""
-    out = bytearray()
+def _gif_subblocks(blob: bytes, pos: int, *, collect: bool = True) -> tuple[bytes, int]:
+    """Walk a GIF sub-block chain starting at ``pos``; returns
+    (data, pos_after_terminator). ``collect=False`` skips without copying —
+    the header/lineage path advances past frame data for free. Raises on
+    truncation."""
+    out = bytearray() if collect else None
     n = len(blob)
     while True:
         if pos >= n:
@@ -597,10 +599,11 @@ def _gif_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
         size = blob[pos]
         pos += 1
         if size == 0:
-            return bytes(out), pos
+            return (bytes(out) if collect else b""), pos
         if pos + size > n:
             raise MediaDecodeError("truncated GIF sub-block")
-        out += blob[pos : pos + size]
+        if collect:
+            out += blob[pos : pos + size]
         pos += size
 
 
@@ -635,7 +638,7 @@ def _parse_gif(blob: bytes, *, want_frames: bool) -> dict:
             if pos >= n:
                 raise MediaDecodeError("truncated GIF extension")
             pos += 1
-            _, pos = _gif_subblocks(blob, pos)
+            _, pos = _gif_subblocks(blob, pos, collect=False)
             continue
         if marker != 0x2C:
             raise MediaDecodeError(f"unexpected GIF block 0x{marker:02x}")
@@ -661,7 +664,7 @@ def _parse_gif(blob: bytes, *, want_frames: bool) -> dict:
         pos += 1
         if not (2 <= min_code <= 11):
             raise MediaDecodeError("invalid GIF LZW code size")
-        data, pos = _gif_subblocks(blob, pos)
+        data, pos = _gif_subblocks(blob, pos, collect=want_frames)
         frames.append(
             {
                 "w": fw, "h": fh,
@@ -726,14 +729,8 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_pixels(blob: bytes, frame: int = 0) -> np.ndarray:
-    """Full pixel decode of one frame -> (fh, fw, 3) uint8 RGB. Frames are
-    decoded against their own rect + palette (no disposal compositing —
-    documented subset; each frame stands alone)."""
-    g = _parse_gif(blob, want_frames=True)
-    if not (0 <= frame < len(g["frames"])):
-        raise MediaDecodeError("GIF frame index out of range")
-    f = g["frames"][frame]
+def _frame_pixels(f: dict) -> np.ndarray:
+    """Decode one parsed frame record -> (fh, fw, 3) uint8 RGB."""
     if f["palette"] is None:
         raise MediaDecodeError("GIF frame has no color table")
     idx = np.frombuffer(
@@ -751,6 +748,16 @@ def gif_pixels(blob: bytes, frame: int = 0) -> np.ndarray:
             src += cnt
         rows = out
     return f["palette"][rows]
+
+
+def gif_pixels(blob: bytes, frame: int = 0) -> np.ndarray:
+    """Full pixel decode of one frame -> (fh, fw, 3) uint8 RGB. Frames are
+    decoded against their own rect + palette (no disposal compositing —
+    documented subset; each frame stands alone)."""
+    g = _parse_gif(blob, want_frames=True)
+    if not (0 <= frame < len(g["frames"])):
+        raise MediaDecodeError("GIF frame index out of range")
+    return _frame_pixels(g["frames"][frame])
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
@@ -781,6 +788,8 @@ def encode_gif_indexed(
 ) -> bytes:
     """Animated GIF89a from palette-index frames (uint8, shared dims);
     deterministic output (fixed 256-entry table, 4cs frame delay)."""
+    if not frames_idx:
+        raise MediaDecodeError("GIF needs at least one frame")
     if len(palette) > 256:
         raise MediaDecodeError("GIF palette too large")
     pal = np.zeros((256, 3), dtype=np.uint8)
@@ -833,6 +842,8 @@ def _rgb_to_indices(flat: np.ndarray, palette: np.ndarray) -> np.ndarray:
 def encode_gif(frames_rgb: list[np.ndarray], palette: np.ndarray) -> bytes:
     """Animated GIF89a from full-size RGB frames whose colors ALL appear in
     ``palette`` (<= 256 rows)."""
+    if not frames_rgb:
+        raise MediaDecodeError("GIF needs at least one frame")
     h, w = frames_rgb[0].shape[:2]
     frames_idx = []
     for fr in frames_rgb:
@@ -884,12 +895,16 @@ def synth_gif(i: int, w: int, h: int, n_frames: int) -> bytes:
 
 
 def resize_gif(blob: bytes, max_side: int) -> bytes:
-    """Resize every frame (nearest-neighbor) and re-encode; sampling only
-    picks existing pixels, so the original palette always suffices."""
+    """Resize every frame (nearest-neighbor) and re-encode. One parse per
+    blob (frames decode from the parsed records). Nearest-neighbor only
+    samples existing pixels, so each frame keeps <= 256 colors; the combined
+    set across frames can still exceed one table when frames carry disjoint
+    LOCAL color tables, or frames may use differing rects — both valid GIFs
+    this re-encoder does not reproduce (single global table, shared dims):
+    they raise MediaDecodeError and surface as resize_error rows."""
     g = _parse_gif(blob, want_frames=True)
-    frames = [gif_pixels(blob, k) for k in range(len(g["frames"]))]
-    resized = [_nn_resize(fr, max_side) for fr in frames]
+    resized = [_nn_resize(_frame_pixels(f), max_side) for f in g["frames"]]
     colors = np.unique(np.concatenate([r.reshape(-1, 3) for r in resized]), axis=0)
     if len(colors) > 256:
-        raise MediaDecodeError("GIF resize: more than 256 colors")
+        raise MediaDecodeError("GIF resize: frames exceed one 256-color table")
     return encode_gif(resized, colors)
