@@ -1631,21 +1631,30 @@ def oracle_sql() -> dict[str, str]:
             -- the synthetic media corpus is deterministic in media_id, so
             -- the decoded header is independently recomputable: type=i%3,
             -- width=16+(i%8)*16, height=16+(i%5)*16, frames=1|8+i%24.
-            -- Even-id image rows are REAL PNGs (payload = decoded pixel
-            -- bytes w*h*3) and even-id video rows are REAL animated GIFs
-            -- (payload = w*h*3*frames across frames), both decoded by the
-            -- native codecs; FAKE rows carry the 4x-sha256 = 128-byte payload
+            -- Even-id image rows are REAL PNGs and id%4==1 image rows REAL
+            -- baseline JPEGs (payload = decoded pixel bytes w*h*3), even-id
+            -- video rows are REAL animated GIFs (payload = w*h*3*frames),
+            -- even-id audio rows REAL PCM WAVs — all decoded by the native
+            -- codecs; FAKE rows carry the 4x-sha256 = 128-byte payload
             SELECT i AS media_id,
                    (['image','audio','video'])[(i % 3) + 1] AS media_type,
-                   CAST(16 + (i % 8) * 16 AS INTEGER) AS width,
-                   CAST(16 + (i % 5) * 16 AS INTEGER) AS height,
-                   CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + i % 24 END AS INTEGER)
-                     AS n_frames,
-                   CAST(CASE WHEN i % 3 = 0 AND i % 2 = 0
+                   CAST(CASE WHEN i % 3 = 1 AND i % 2 = 0
+                             THEN 8000 + (i % 4) * 4000  -- WAV: sample rate
+                             ELSE 16 + (i % 8) * 16 END AS INTEGER) AS width,
+                   CAST(CASE WHEN i % 3 = 1 AND i % 2 = 0
+                             THEN 1                      -- WAV: channels
+                             ELSE 16 + (i % 5) * 16 END AS INTEGER) AS height,
+                   CAST(CASE WHEN i % 3 = 0 THEN 1
+                        WHEN i % 3 = 1 AND i % 2 = 0
+                             THEN 400 + (i % 50) * 16    -- WAV: samples
+                             ELSE 8 + i % 24 END AS INTEGER) AS n_frames,
+                   CAST(CASE WHEN i % 3 = 0 AND (i % 2 = 0 OR i % 4 = 1)
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
                         WHEN i % 3 = 2 AND i % 2 = 0
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
                                   * (8 + i % 24)
+                        WHEN i % 3 = 1 AND i % 2 = 0
+                             THEN (400 + (i % 50) * 16) * 2  -- 16-bit mono PCM
                              ELSE 128 END AS BIGINT) AS payload_bytes,
                    CAST(NULL AS VARCHAR) AS decode_error
             FROM range(0, 200) AS r(i)

@@ -9,14 +9,20 @@ Decode coverage:
     decompressor (zip-bomb guard), per-row unfiltering (None/Sub/Up/
     Average/Paeth) in numpy, palette lookup; plus a minimal deterministic
     encoder for resize round-trips. Pure stdlib zlib + numpy.
+  * **GIF images/animations** (87a/89a) — REAL decode: full LZW, 4-pass
+    deinterlace, global/local palettes, per-frame pixel access; plus a
+    deterministic encoder. Header paths parse structure only.
+  * **Baseline JPEG** — REAL decode: Huffman (DC/AC), dequant, IDCT,
+    chroma upsample (factors 1-2), YCbCr->RGB, grayscale; plus a 4:4:4
+    encoder with the standard Annex K tables (lossy, PSNR-asserted).
   * **WAV audio** (PCM) — REAL decode: RIFF/fmt/data chunk walk; reported
     as (width=sample_rate, height=channels, n_frames=sample count).
   * **FAKE** — the deterministic synthetic format for plumbing tests:
     b"FAKE" + type(1B: 0=img,1=aud,2=vid) + width/height/n_frames (4B LE
     each) + payload bytes.
-  * anything else (JPEG/MP4, 16-bit or interlaced PNG...) raises
-    NotImplementedError — the clearly-marked boundary where PIL/libav
-    would plug in (not available in this container).
+  * anything else (progressive/arithmetic JPEG, MP4, 16-bit or interlaced
+    PNG...) raises NotImplementedError — the clearly-marked boundary where
+    PIL/libav would plug in (not available in this container).
 
 Everything Spark-side is format-agnostic: schema, partition-preserving
 mapInPandas plumbing, Arrow batch shapes, frame sampling, and resize
@@ -57,8 +63,10 @@ _MIMES = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
 
 def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Deterministic media table (seeded by row id): image rows with even id
-    are REAL 8-bit RGB PNGs, video rows with even id are REAL animated GIFs
-    (both exercising the native codecs); everything else is the FAKE
+    are REAL 8-bit RGB PNGs and id%4==1 rows REAL baseline JPEGs, video
+    rows with even id are REAL animated GIFs, audio rows with even id are
+    REAL PCM WAVs (all exercising the native codecs); everything else is
+    the FAKE
     plumbing format. Dimensions follow the same id formulas either way, so
     the decoded header stays formula-recomputable by SQL."""
 
@@ -74,10 +82,19 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
                 if t == 0 and i % 2 == 0:
                     blob = synth_png(i, w, h)
                     mime = "image/png"
+                elif t == 0 and i % 4 == 1:
+                    blob = synth_jpeg(i, w, h)
+                    mime = "image/jpeg"
                 elif t == 2 and i % 2 == 0:
                     # even-id video rows are REAL animated GIFs
                     blob = synth_gif(i, w, h, frames)
                     mime = "image/gif"
+                elif t == 1 and i % 2 == 0:
+                    # even-id audio rows are REAL 16-bit mono PCM WAVs with
+                    # id-formula rate/length (decoded header SQL-recomputable)
+                    blob = synth_wav(i, rate=8000 + (i % 4) * 4000,
+                                     n_samples=400 + (i % 50) * 16)
+                    mime = "audio/wav"
                 else:
                     payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
                     blob = b"FAKE" + struct.pack("<BIII", t, w, h, frames) + payload
@@ -329,6 +346,8 @@ def _decode_one(blob: bytes) -> dict:
         return _decode_wav(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        return _decode_jpeg(blob)
     if blob[:4] == b"FAKE":
         if len(blob) < 17:
             raise MediaDecodeError("truncated media blob")
@@ -404,6 +423,8 @@ def resize_image(blob: bytes, max_side: int) -> bytes:
         return resize_png(blob, max_side)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return resize_gif(blob, max_side)
+    if blob[:2] == b"\xff\xd8":
+        return encode_jpeg(_nn_resize(jpeg_pixels(blob), max_side))
     raise NotImplementedError(
         "this codec requires PIL/libav, not available in this container"
     )
@@ -568,8 +589,11 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
 
 def resize_meta(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Resize planning: compute target dims preserving aspect ratio —
-    pure column math; the pixel work would live in the stubbed decode."""
-    decoded = decode_media(media).filter(F.col("decode_error").isNull())
+    pure column math. Applies to VISUAL rows only (for audio, width/height
+    report sample-rate/channels, which are not resizable dims)."""
+    decoded = decode_media(media).filter(
+        F.col("decode_error").isNull() & (F.col("media_type") != "audio")
+    )
     scale = F.least(
         F.lit(1.0),
         F.lit(max_side) / F.greatest(F.col("width"), F.col("height")),
@@ -908,3 +932,479 @@ def resize_gif(blob: bytes, max_side: int) -> bytes:
     if len(colors) > 256:
         raise MediaDecodeError("GIF resize: frames exceed one 256-color table")
     return encode_gif(resized, colors)
+
+
+# --- native baseline JPEG codec ----------------------------------------------
+# Baseline sequential DCT, 8-bit, Huffman (the overwhelming majority of web
+# JPEGs). Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+# NotImplementedError — the honest remaining boundary. Header/lineage paths
+# read only the SOF frame header; entropy decode happens in jpeg_pixels.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+_SOF_BASELINE = {0xC0, 0xC1}          # baseline + extended sequential
+_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _dct_basis() -> np.ndarray:
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return (0.5 * c[:, None] * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16))
+
+
+_DCT_A = _dct_basis()  # A @ x = DCT; A.T @ X @ A ... (see use sites)
+
+
+def _jpeg_headers(blob: bytes) -> dict:
+    """Marker walk up to (and including) SOS; returns dims, components,
+    tables, DRI, and the offset of the entropy-coded data."""
+    if blob[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG")
+    pos = 2
+    n = len(blob)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    dri = 0
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            raise MediaDecodeError("JPEG marker desync")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack_from(">H", blob, pos)[0]
+        if seg_len < 2 or pos + seg_len > n:
+            raise MediaDecodeError("truncated JPEG segment")
+        body = blob[pos + 2 : pos + seg_len]
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                "only baseline sequential Huffman JPEG is supported natively"
+            )
+        if marker in _SOF_BASELINE:
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + c * 3)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(body[p : p + 64], dtype=np.uint8).astype(np.int32)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                counts = list(body[p + 1 : p + 17])
+                nsym = sum(counts)
+                syms = list(body[p + 17 : p + 17 + nsym])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            mapping = []
+            for c in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + c * 2)
+                mapping.append({"id": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            scan = mapping
+            pos += seg_len
+            break
+        pos += seg_len
+    if frame is None or scan is None:
+        raise MediaDecodeError("JPEG missing SOF/SOS")
+    return {"frame": frame, "qt": qt, "huff": huff, "dri": dri,
+            "scan": scan, "data_at": pos}
+
+
+def _decode_jpeg(blob: bytes) -> dict:
+    j = _jpeg_headers(blob)
+    f = j["frame"]
+    return {
+        "kind": "image",
+        "width": f["w"],
+        "height": f["h"],
+        "n_frames": 1,
+        "payload_bytes": f["w"] * f["h"] * 3,  # decoded RGB bytes
+    }
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise MediaDecodeError("JPEG entropy underrun")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _huff_read(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        s = table.get((length, code))
+        if s is not None:
+            return s
+    raise MediaDecodeError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_pixels(blob: bytes) -> np.ndarray:
+    """Full baseline decode -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    j = _jpeg_headers(blob)
+    f = j["frame"]
+    w, h = f["w"], f["h"]
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise MediaDecodeError("JPEG dims out of bounds")
+    comps = f["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # de-stuff entropy data; stop at EOI
+    raw = blob[j["data_at"]:]
+    out = bytearray()
+    rst_positions = []
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker
+                rst_positions.append(len(out))
+                i += 2
+                continue
+            break  # EOI or next segment
+        out.append(b)
+        i += 1
+    r = _BitReader(bytes(out))
+    # per-component coefficient planes (in blocks)
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float32
+        )
+        for c in comps
+    }
+    scan_by_id = {s["id"]: s for s in j["scan"]}
+    dc_pred = {c["id"]: 0 for c in comps}
+    dri = j["dri"]
+    n_mcu = 0
+    rst_iter = iter(rst_positions)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                r.align()
+                nxt_pos = next(rst_iter, None)
+                if nxt_pos is not None:
+                    r.pos = nxt_pos
+                    r.nbits = 0
+                for cid in dc_pred:
+                    dc_pred[cid] = 0
+            for c in comps:
+                sc = scan_by_id[c["id"]]
+                dct = j["huff"][(0, sc["td"])]
+                act = j["huff"][(1, sc["ta"])]
+                q = j["qt"][c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.int32)
+                        t = _huff_read(r, dct)
+                        diff = _extend(r.read_bits(t), t) if t else 0
+                        dc_pred[c["id"]] += diff
+                        coeffs[0] = dc_pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(r, act)
+                            rr, ss = rs >> 4, rs & 0x0F
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise MediaDecodeError("JPEG AC overflow")
+                            coeffs[k] = _extend(r.read_bits(ss), ss)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float32)
+                        block[_ZIGZAG] = (coeffs * q).astype(np.float32)
+                        blk = block.reshape(8, 8)
+                        pix = _DCT_A.T @ blk @ _DCT_A
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][py : py + 8, px : px + 8] = pix
+            n_mcu += 1
+    # upsample to full res, crop, color-convert
+    full = []
+    for c in comps:
+        p = planes[c["id"]] + 128.0
+        p = np.repeat(np.repeat(p, hmax // c["h"], axis=1), vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# standard JPEG Annex K luminance/chrominance quant tables (quality ~50 base)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# standard Annex K Huffman specs: (BITS counts list, HUFFVAL symbols)
+_H_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_H_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_H_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_H_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _enc_table(spec) -> dict[int, tuple[int, int]]:
+    """(counts, symbols) -> {symbol: (code, length)} (canonical codes)."""
+    counts, syms = spec
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[syms[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _dht_segment(tc: int, th: int, spec) -> bytes:
+    counts, syms = spec
+    body = bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """Baseline 4:4:4 JPEG with the standard Annex K tables. Lossy (quant
+    error); decode(encode(x)) approximates x — asserted by PSNR in tests."""
+    h, w = rgb.shape[:2]
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [y, cb, cr]
+    qts = [_Q_LUM, _Q_CHR, _Q_CHR]
+    dc_specs = [_H_DC_LUM, _H_DC_CHR, _H_DC_CHR]
+    ac_specs = [_H_AC_LUM, _H_AC_CHR, _H_AC_CHR]
+    dc_enc = [_enc_table(s) for s in dc_specs]
+    ac_enc = [_enc_table(s) for s in ac_specs]
+    bw = _BitWriter()
+    dc_pred = [0, 0, 0]
+    bh = -(-h // 8)
+    bwid = -(-w // 8)
+    # edge-replicate pad to block multiples
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
+        padded.append(pp)
+    # precompute all quantized blocks per plane (vectorized FDCT)
+    qblocks = []
+    for ci, pp in enumerate(padded):
+        blocks = pp.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3)
+        dct = np.einsum("ij,xyjk,lk->xyil", _DCT_A, blocks, _DCT_A)
+        qt64 = np.zeros(64, dtype=np.float32)
+        qt64[_ZIGZAG] = qts[ci]  # store table in natural order
+        qn = qt64.reshape(8, 8)
+        qb = np.round(dct / qn).astype(np.int32)
+        qblocks.append(qb)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(3):
+                blk = qblocks[ci][by, bx]
+                zz = blk.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - dc_pred[ci]
+                dc_pred[ci] = int(zz[0])
+                t = int(diff).bit_length() if diff != 0 else 0
+                code, ln = dc_enc[ci][t]
+                bw.write(code, ln)
+                if t:
+                    v = diff if diff > 0 else diff + (1 << t) - 1
+                    bw.write(v, t)
+                run = 0
+                last_nz = 0
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = (nz[-1] + 1) if len(nz) else 0
+                k = 1
+                while k <= last_nz:
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[ci][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code, ln = ac_enc[ci][(run << 4) | s]
+                    bw.write(code, ln)
+                    ev = v if v > 0 else v + (1 << s) - 1
+                    bw.write(ev, s)
+                    run = 0
+                    k += 1
+                if last_nz < 63:
+                    code, ln = ac_enc[ci][0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, _Q_LUM), (1, _Q_CHR)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in qt
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _H_DC_LUM) + _dht_segment(1, 0, _H_AC_LUM)
+    out += _dht_segment(0, 1, _H_DC_CHR) + _dht_segment(1, 1, _H_AC_CHR)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg(i: int, w: int, h: int) -> bytes:
+    """Deterministic test JPEG: smooth id-seeded gradients (JPEG-friendly
+    content; the decoded payload is header-derived, so lossiness does not
+    affect the contract formulas)."""
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            ((x * 255) // max(1, w - 1)).astype(np.uint8),
+            ((y * 255) // max(1, h - 1)).astype(np.uint8),
+            (((x + y + i) % 64) * 4).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    return encode_jpeg(rgb)

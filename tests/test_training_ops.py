@@ -380,10 +380,13 @@ class TestRealMediaDecode:
         from nabu_spark.operators.multimodal import MediaDecodeError, _decode_one
 
         with _pytest.raises(NotImplementedError):
-            _decode_one(b"\xff\xd8\xff\xe0" + b"0" * 64)  # JPEG needs PIL
-        # garbage behind a real PNG signature is a decode ERROR, not a stub
+            _decode_one(b"II*\x00" + b"0" * 64)  # TIFF: genuinely unsupported
+        # garbage behind real PNG/JPEG signatures is a decode ERROR, not a
+        # stub (both codecs are native now)
         with _pytest.raises(MediaDecodeError):
             _decode_one(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
+        with _pytest.raises(MediaDecodeError):
+            _decode_one(b"\xff\xd8\xff\xe0" + b"0" * 64)
 
     def test_dataframe_ops_mixed_corpus(self, spark):
         from nabu_spark.operators.multimodal import (
@@ -968,3 +971,81 @@ class TestGifCodec:
                 assert px.ndim == 3 and px.shape[2] == 3
                 hit += 1
         assert hit > 0
+
+
+class TestJpegCodec:
+    @staticmethod
+    def _img(w=56, h=40):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(x * 4).clip(0, 255), (y * 5).clip(0, 255), ((x + y) * 2).clip(0, 255)],
+            axis=2,
+        ).astype(np.uint8)
+
+    def test_roundtrip_psnr_and_header(self):
+        import numpy as np
+
+        from nabu_spark.operators.multimodal import (
+            _decode_jpeg,
+            encode_jpeg,
+            jpeg_pixels,
+        )
+
+        rgb = self._img()
+        b = encode_jpeg(rgb)
+        d = _decode_jpeg(b)
+        assert d == {
+            "kind": "image", "width": 56, "height": 40,
+            "n_frames": 1, "payload_bytes": 56 * 40 * 3,
+        }
+        out = jpeg_pixels(b)
+        mse = float(np.mean((out.astype(np.float64) - rgb.astype(np.float64)) ** 2))
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 32
+
+    def test_non_multiple_of_8_dims(self):
+        from nabu_spark.operators.multimodal import encode_jpeg, jpeg_pixels
+
+        rgb = self._img(51, 37)
+        assert jpeg_pixels(encode_jpeg(rgb)).shape == (37, 51, 3)
+
+    def test_progressive_rejected_honestly(self):
+        import pytest as _pytest
+
+        from nabu_spark.operators.multimodal import encode_jpeg, jpeg_pixels
+
+        b = bytearray(encode_jpeg(self._img(16, 16)))
+        i = bytes(b).find(b"\xff\xc0")
+        b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with _pytest.raises(NotImplementedError):
+            jpeg_pixels(bytes(b))
+
+    def test_hostile_truncation_errors(self):
+        import pytest as _pytest
+
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            _decode_jpeg,
+            encode_jpeg,
+            jpeg_pixels,
+        )
+
+        b = encode_jpeg(self._img(24, 24))
+        with _pytest.raises(MediaDecodeError):
+            _decode_jpeg(b[:20])  # cut inside the first DQT
+        with _pytest.raises(MediaDecodeError):
+            jpeg_pixels(b[: len(b) // 2] )  # entropy underrun or missing SOS
+        with _pytest.raises(MediaDecodeError):
+            _decode_jpeg(b"\x00\x01" + b[2:])  # not a JPEG
+
+    def test_resize_and_decode_media_dispatch(self, spark):
+        from nabu_spark.operators.multimodal import (
+            _decode_jpeg,
+            encode_jpeg,
+            resize_image,
+        )
+
+        r = resize_image(encode_jpeg(self._img(64, 48)), 16)
+        d = _decode_jpeg(r)
+        assert max(d["width"], d["height"]) <= 16
