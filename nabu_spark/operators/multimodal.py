@@ -484,9 +484,12 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
-    """Frame sampling plumbing: explode (media_id, frame_idx) for every nth
-    frame — JVM-side sequence, the decode of each frame stays stubbed."""
-    decoded = decode_media(media).filter(F.col("decode_error").isNull())
+    """Frame sampling: explode (media_id, frame_idx) for every nth frame —
+    JVM-side sequence. VISUAL rows only: audio has no frames (its n_frames
+    reports the PCM sample count)."""
+    decoded = decode_media(media).filter(
+        F.col("decode_error").isNull() & (F.col("media_type") != "audio")
+    )
     return decoded.select(
         "media_id",
         F.explode(
@@ -951,6 +954,19 @@ _SOF_BASELINE = {0xC0, 0xC1}          # baseline + extended sequential
 _SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
+def _canonical_codes(counts: list[int], syms: list[int]):
+    """Canonical Huffman assignment shared by the DHT parser and the
+    encoder-table builder: yields (symbol, code, length)."""
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            yield syms[k], code, length
+            code += 1
+            k += 1
+        code <<= 1
+
+
 def _dct_basis() -> np.ndarray:
     k = np.arange(8)
     c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
@@ -975,14 +991,22 @@ def _jpeg_headers(blob: bytes) -> dict:
     while pos + 4 <= n:
         if blob[pos] != 0xFF:
             raise MediaDecodeError("JPEG marker desync")
-        marker = blob[pos + 1]
-        pos += 2
+        # optional 0xFF fill bytes before the marker code (T.81 B.1.1.2)
+        while pos < n and blob[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise MediaDecodeError("truncated JPEG marker")
+        marker = blob[pos]
+        pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         seg_len = struct.unpack_from(">H", blob, pos)[0]
         if seg_len < 2 or pos + seg_len > n:
             raise MediaDecodeError("truncated JPEG segment")
         body = blob[pos + 2 : pos + seg_len]
+        # any short/garbled body below surfaces as a decode ERROR row, never
+        # a struct.error/IndexError task failure
+
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 "only baseline sequential Huffman JPEG is supported natively"
@@ -1012,16 +1036,9 @@ def _jpeg_headers(blob: bytes) -> dict:
                 counts = list(body[p + 1 : p + 17])
                 nsym = sum(counts)
                 syms = list(body[p + 17 : p + 17 + nsym])
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = {
+                    (ln, code): sym for sym, code, ln in _canonical_codes(counts, syms)
+                }
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
@@ -1041,8 +1058,15 @@ def _jpeg_headers(blob: bytes) -> dict:
             "scan": scan, "data_at": pos}
 
 
+def _jpeg_headers_safe(blob: bytes) -> dict:
+    try:
+        return _jpeg_headers(blob)
+    except (struct.error, IndexError) as e:
+        raise MediaDecodeError(f"malformed JPEG segment: {type(e).__name__}")
+
+
 def _decode_jpeg(blob: bytes) -> dict:
-    j = _jpeg_headers(blob)
+    j = _jpeg_headers_safe(blob)
     f = j["frame"]
     return {
         "kind": "image",
@@ -1098,7 +1122,7 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_pixels(blob: bytes) -> np.ndarray:
     """Full baseline decode -> (h, w, 3) uint8 RGB (grayscale replicated)."""
-    j = _jpeg_headers(blob)
+    j = _jpeg_headers_safe(blob)
     f = j["frame"]
     w, h = f["w"], f["h"]
     if w == 0 or h == 0 or w * h > 64_000_000:
@@ -1154,10 +1178,16 @@ def jpeg_pixels(blob: bytes) -> np.ndarray:
                 for cid in dc_pred:
                     dc_pred[cid] = 0
             for c in comps:
-                sc = scan_by_id[c["id"]]
-                dct = j["huff"][(0, sc["td"])]
-                act = j["huff"][(1, sc["ta"])]
-                q = j["qt"][c["tq"]]
+                sc = scan_by_id.get(c["id"])
+                if sc is None:
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan JPEG unsupported"
+                    )
+                dct = j["huff"].get((0, sc["td"]))
+                act = j["huff"].get((1, sc["ta"]))
+                q = j["qt"].get(c["tq"])
+                if dct is None or act is None or q is None:
+                    raise MediaDecodeError("JPEG missing huffman/quant table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coeffs = np.zeros(64, dtype=np.int32)
@@ -1260,16 +1290,7 @@ _H_AC_CHR = (
 def _enc_table(spec) -> dict[int, tuple[int, int]]:
     """(counts, symbols) -> {symbol: (code, length)} (canonical codes)."""
     counts, syms = spec
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(counts[length - 1]):
-            out[syms[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    return {sym: (code, ln) for sym, code, ln in _canonical_codes(counts, syms)}
 
 
 class _BitWriter:
@@ -1332,9 +1353,9 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
     for ci, pp in enumerate(padded):
         blocks = pp.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3)
         dct = np.einsum("ij,xyjk,lk->xyil", _DCT_A, blocks, _DCT_A)
-        qt64 = np.zeros(64, dtype=np.float32)
-        qt64[_ZIGZAG] = qts[ci]  # store table in natural order
-        qn = qt64.reshape(8, 8)
+        # _Q_LUM/_Q_CHR are the Annex K matrices in NATURAL (row-major)
+        # order; zigzag applies only at the DQT serialization boundary
+        qn = qts[ci].astype(np.float32).reshape(8, 8)
         qb = np.round(dct / qn).astype(np.int32)
         qblocks.append(qb)
     for by in range(bh):
@@ -1378,8 +1399,9 @@ def encode_jpeg(rgb: np.ndarray) -> bytes:
     bw.flush()
     out = bytearray(b"\xff\xd8")
     for tq, qt in ((0, _Q_LUM), (1, _Q_CHR)):
+        # DQT payload is zigzag-ordered per T.81: element k = natural[ZZ[k]]
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
-            int(x) for x in qt
+            int(qt[z]) for z in _ZIGZAG
         )
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):

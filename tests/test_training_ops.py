@@ -1039,7 +1039,7 @@ class TestJpegCodec:
         with _pytest.raises(MediaDecodeError):
             _decode_jpeg(b"\x00\x01" + b[2:])  # not a JPEG
 
-    def test_resize_and_decode_media_dispatch(self, spark):
+    def test_resize_and_decode_media_dispatch(self):
         from nabu_spark.operators.multimodal import (
             _decode_jpeg,
             encode_jpeg,
