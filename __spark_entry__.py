@@ -800,6 +800,72 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+_PACK_CAPACITY = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT dataloader shape): documents
+    laid end-to-end per shard, cut into fixed 512-token windows; one row per
+    (doc x window) overlap. Pure codegen — window cumsum + sequence explode."""
+    from nabu_spark.operators.packing import pack_chunked
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_chunked(
+        docs, "doc_id", "text", capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    ).orderBy("shard", "doc_id", "seq")
+
+
+def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing without splitting documents (padded-batch
+    shape); sequential per shard, shards are the parallelism unit."""
+    from nabu_spark.operators.packing import pack_next_fit
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_next_fit(
+        docs, "doc_id", "text", capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    ).orderBy("shard", "doc_id")
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _bm25_oracle() -> str:
+    from nabu_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=10)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval, fully relational (explode -> tf/df -> score
+    -> rank window); hits-proportional shuffles."""
+    from nabu_spark.operators.search import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=10).orderBy("rank")
+
+
+# deterministic skewed domain for the sampling gate: d<len(doc_id)> gives
+# 10/90/400-style head-heavy counts, exercising both the temperature
+# flattening and the rate cap; integer-only so both engines agree exactly
+_SAMPLE_DOMAIN_EXPR = "concat('d', length(cast(doc_id as string)))"
+
+
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain sampling (alpha=0.5, target half the
+    corpus): selection is a pure function of (seed, doc_id) so the subset is
+    identical across runs, partitionings, and cluster sizes."""
+    from nabu_spark.operators.sampling import temperature_sample
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SAMPLE_DOMAIN_EXPR).alias("domain")
+    )
+    out = temperature_sample(
+        docs, "doc_id", "domain", alpha=0.5, sample_frac=0.5, seed=42
+    )
+    return out.select("doc_id", "domain").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -822,6 +888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
+        "pack_chunks": q_pack_chunks,
+        "pack_next_fit": q_pack_next_fit,
+        "bm25_topk": q_bm25_topk,
+        "domain_sample": q_domain_sample,
         "url_canon": q_url_canon,
         "repetition": q_repetition,
         "clean_text": q_clean_text,
@@ -1242,6 +1312,82 @@ def oracle_sql() -> dict[str, str]:
                    round(h.n_unique * 1.0 / tt.n_shingles, 4) AS contamination_frac
             FROM hits h JOIN totals tt ON h.doc_id = tt.doc_id
             ORDER BY h.doc_id
+        """,
+        "pack_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, (doc_id % {_PACK_SHARDS})::INT AS shard,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS strt
+              FROM t WHERE n_tokens > 0
+            ), seqs AS (
+              SELECT doc_id, shard, n_tokens, strt,
+                     unnest(generate_series(
+                       strt // {_PACK_CAPACITY},
+                       (strt + n_tokens - 1) // {_PACK_CAPACITY}
+                     ))::BIGINT AS seq
+              FROM pos
+            )
+            SELECT doc_id, shard, seq,
+                   (greatest(strt, seq * {_PACK_CAPACITY}) - strt)::BIGINT AS slice_start,
+                   (least(strt + n_tokens, (seq + 1) * {_PACK_CAPACITY})
+                    - greatest(strt, seq * {_PACK_CAPACITY}))::BIGINT AS slice_len
+            FROM seqs ORDER BY shard, doc_id, seq
+        """,
+        "pack_next_fit": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, (doc_id % {_PACK_SHARDS})::INT AS shard, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+                     ) AS rn
+              FROM (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> ''))::BIGINT AS n_tokens
+                FROM documents
+              ) WHERE n_tokens > 0
+            ), step AS (
+              SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS bin,
+                     n_tokens AS fill
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN s.fill + t.n_tokens > {_PACK_CAPACITY}
+                          THEN s.bin + 1 ELSE s.bin END,
+                     CASE WHEN s.fill + t.n_tokens > {_PACK_CAPACITY}
+                          THEN t.n_tokens ELSE s.fill + t.n_tokens END
+              FROM step s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+            )
+            SELECT doc_id, shard, bin, n_tokens
+            FROM step ORDER BY shard, doc_id
+        """,
+        "bm25_topk": _bm25_oracle(),
+        "domain_sample": f"""
+            WITH d AS (
+              SELECT doc_id, 'd' || length(doc_id::VARCHAR) AS domain
+              FROM documents
+            ), counts AS (
+              SELECT domain, count(*)::DOUBLE AS n_docs FROM d GROUP BY domain
+            ), tot AS (
+              SELECT sum(n_docs) AS n_total, sum(pow(n_docs, 0.5)) AS z
+              FROM counts
+            ), rates AS (
+              SELECT domain,
+                     least(1.0, pow(n_docs, 0.5) / z * n_total * 0.5 / n_docs)
+                       AS rate
+              FROM counts CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.domain
+            FROM d JOIN rates r USING (domain)
+            WHERE ('0x' || substr(md5('42:' || d.doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < r.rate
+            ORDER BY d.doc_id
         """,
         "bbox_join": """
             WITH points AS (

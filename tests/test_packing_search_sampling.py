@@ -1,0 +1,226 @@
+"""Tests for sequence packing, BM25 retrieval, and temperature sampling —
+the training-data mixing/packing layer."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.operators.packing import (
+    pack_chunked,
+    pack_next_fit,
+    packing_efficiency,
+)
+from nabu_spark.operators.sampling import (
+    domain_rates,
+    sample_report,
+    temperature_sample,
+)
+from nabu_spark.operators.search import bm25_topk
+
+CAP = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+class TestPackChunked:
+    def test_slices_cover_each_doc_exactly(self, spark, docs):
+        packed = pack_chunked(docs, capacity=CAP, n_shards=4)
+        per_doc = packed.groupBy("doc_id").agg(
+            F.sum("slice_len").alias("covered"),
+            F.min("slice_start").alias("first_start"),
+        )
+        toks = docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("n_tokens"),
+        ).filter(F.col("n_tokens") > 0)
+        joined = per_doc.join(toks, "doc_id")
+        assert joined.filter(F.col("covered") != F.col("n_tokens")).count() == 0
+        assert joined.filter(F.col("first_start") != 0).count() == 0
+
+    def test_windows_full_except_last_per_shard(self, spark, docs):
+        packed = pack_chunked(docs, capacity=CAP, n_shards=4)
+        per_seq = packed.groupBy("shard", "seq").agg(
+            F.sum("slice_len").alias("fill")
+        )
+        last = per_seq.groupBy("shard").agg(F.max("seq").alias("last_seq"))
+        partial = (
+            per_seq.join(last, "shard")
+            .filter(
+                (F.col("seq") != F.col("last_seq")) & (F.col("fill") != CAP)
+            )
+            .count()
+        )
+        assert partial == 0
+
+    def test_long_docs_span_windows(self, spark, docs):
+        # capacity smaller than the longest doc forces at least one span
+        packed = pack_chunked(docs, capacity=16, n_shards=4)
+        spans = (
+            packed.groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert spans > 0
+
+    def test_deterministic_across_partitionings(self, spark, docs):
+        a = pack_chunked(docs, capacity=CAP, n_shards=4).collect()
+        b = pack_chunked(
+            docs.repartition(13), capacity=CAP, n_shards=4
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestPackNextFit:
+    def test_bins_respect_capacity_unless_single_oversize(self, spark, docs):
+        packed = pack_next_fit(docs, capacity=CAP, n_shards=4)
+        bins = packed.groupBy("shard", "bin").agg(
+            F.sum("n_tokens").alias("fill"), F.count("*").alias("n_docs")
+        )
+        bad = bins.filter(
+            (F.col("fill") > CAP) & (F.col("n_docs") > 1)
+        ).count()
+        assert bad == 0
+
+    def test_no_doc_split_and_all_docs_packed(self, spark, docs):
+        packed = pack_next_fit(docs, capacity=CAP, n_shards=4)
+        n_nonempty = docs.filter(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            )
+            > 0
+        ).count()
+        assert packed.count() == n_nonempty
+        assert packed.select("doc_id").distinct().count() == n_nonempty
+
+    def test_next_fit_is_greedy(self, spark):
+        # 5 docs of 30 tokens, capacity 64 -> bins [0,0,1,1,2] in id order
+        rows = [(i, " ".join(["tok"] * 30)) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = pack_next_fit(df, capacity=64, n_shards=1)
+        got = {
+            r["doc_id"]: r["bin"]
+            for r in packed.collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        rows = [
+            (0, " ".join(["tok"] * 10)),
+            (1, " ".join(["tok"] * 200)),  # > capacity
+            (2, " ".join(["tok"] * 10)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = pack_next_fit(df, capacity=64, n_shards=1)
+        got = {r["doc_id"]: r["bin"] for r in packed.collect()}
+        assert got[0] == 0 and got[1] == 1 and got[2] == 2
+
+    def test_efficiency_report(self, spark, docs):
+        packed = pack_next_fit(docs, capacity=CAP, n_shards=4)
+        eff = packing_efficiency(packed, capacity=CAP)
+        rows = eff.collect()
+        assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+        for r in rows:
+            assert 0.0 < r["fill_ratio"] <= 1.0
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark):
+        rows = [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(df, ["apple"], k=3).collect()
+        }
+        # only doc 0 matches; N=3, df=1, tf=2, dl=3, avgdl=8/3
+        idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+        k1, b = 1.2, 0.75
+        expected = idf * (2 * (k1 + 1)) / (2 + k1 * (1 - b + b * 3 / (8 / 3)))
+        assert out.keys() == {0}
+        assert abs(out[0] - expected) < 1e-3
+
+    def test_rank_order_and_k(self, spark, docs):
+        out = bm25_topk(docs, ["spark", "join"], k=7).collect()
+        assert len(out) == 7
+        ranks = [r["rank"] for r in out]
+        assert sorted(ranks) == list(range(1, 8))
+        scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_missing_term_matches_nothing(self, spark, docs):
+        assert bm25_topk(docs, ["zzzznotaterm"], k=5).count() == 0
+
+
+class TestTemperatureSample:
+    def _domained(self, docs):
+        return docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("d"), F.length(F.col("doc_id").cast("string"))
+            ).alias("domain"),
+        )
+
+    def test_rates_flatten_head(self, spark, docs):
+        d = self._domained(docs)
+        rates = {
+            r["domain"]: r["rate"]
+            for r in domain_rates(d, "domain", alpha=0.5, sample_frac=0.5).collect()
+        }
+        counts = {
+            r["domain"]: r["count"]
+            for r in d.groupBy("domain").count().collect()
+        }
+        # smaller domains get higher keep rates under alpha < 1
+        ordered = sorted(counts, key=counts.get)
+        for small, big in zip(ordered, ordered[1:]):
+            assert rates[small] >= rates[big]
+        assert all(0.0 < v <= 1.0 for v in rates.values())
+
+    def test_alpha_one_is_proportional(self, spark, docs):
+        d = self._domained(docs)
+        rates = domain_rates(d, "domain", alpha=1.0, sample_frac=0.5).collect()
+        for r in rates:
+            assert abs(r["rate"] - 0.5) < 1e-9
+
+    def test_deterministic_and_partition_independent(self, spark, docs):
+        d = self._domained(docs)
+        a = temperature_sample(d, "doc_id", "domain", seed=7)
+        b = temperature_sample(d.repartition(17), "doc_id", "domain", seed=7)
+        ida = sorted(r["doc_id"] for r in a.collect())
+        idb = sorted(r["doc_id"] for r in b.collect())
+        assert ida == idb and len(ida) > 0
+
+    def test_seed_changes_selection(self, spark, docs):
+        d = self._domained(docs)
+        a = {r["doc_id"] for r in temperature_sample(d, "doc_id", "domain", seed=1).collect()}
+        b = {r["doc_id"] for r in temperature_sample(d, "doc_id", "domain", seed=2).collect()}
+        assert a != b
+
+    def test_sample_report_fracs(self, spark, docs):
+        d = self._domained(docs)
+        s = temperature_sample(d, "doc_id", "domain", alpha=0.5, sample_frac=0.5)
+        rep = sample_report(d, s, "domain").collect()
+        rates = {
+            r["domain"]: r["rate"]
+            for r in domain_rates(d, "domain", alpha=0.5, sample_frac=0.5).collect()
+        }
+        for r in rep:
+            # realized keep fraction tracks the target rate (binomial noise)
+            assert abs(r["kept_frac"] - rates[r["domain"]]) < 0.25

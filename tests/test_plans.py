@@ -212,3 +212,90 @@ class TestBruteForceTopkShape:
         assert "Join" not in plan
         # result stays exact: 3 queries x 5 neighbors
         assert out.count() == 15
+
+
+class TestPackingShape:
+    def test_pack_chunked_single_shuffle_no_python(self, spark, tmp_path_factory):
+        """Concat-and-chunk packing must be pure JVM codegen with exactly
+        one Exchange (the shard window) — text never shuffles, only the
+        narrow (id, shard, n_tokens) relation does."""
+        from nabu_spark.operators.packing import pack_chunked
+
+        rows = [(int(i), "tok " * (5 + i % 17)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+        out = pack_chunked(df, capacity=64, n_shards=4)
+        plan = plan_of(out)
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+        # exactly one operator-internal shuffle (the shard window); the
+        # REPARTITION_BY_NUM exchange belongs to this test's input setup
+        operator_exchanges = plan.count("Exchange") - plan.count(
+            "REPARTITION_BY_NUM"
+        )
+        assert operator_exchanges == 1, plan
+        # what shuffles is the narrow count relation, not document text:
+        # the shard Exchange's direct child projects (doc_id, shard,
+        # n_tokens) only
+        shuffle_child = plan.split("Exchange hashpartitioning(shard")[1]
+        first_project_line = next(
+            ln for ln in shuffle_child.splitlines() if "Project [" in ln
+        )
+        # the projection below the exchange reduces text to its token count
+        assert "AS n_tokens#" in first_project_line
+        # and no operator above the exchange touches the text column
+        above = plan.split("Exchange hashpartitioning(shard")[0]
+        assert "text#" not in above
+
+    def test_pack_next_fit_shuffles_counts_not_text(self, spark):
+        """Next-fit moves one (id, shard, n_tokens) row per doc through the
+        shard repartition; the text column is projected away first."""
+        from nabu_spark.operators.packing import pack_next_fit
+
+        rows = [(int(i), "tok " * (5 + i % 17)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+        out = pack_next_fit(df, capacity=64, n_shards=4)
+        plan = plan_of(out)
+        shuffle_child = plan.split("Exchange hashpartitioning(shard")[1]
+        first_project_line = next(
+            ln for ln in shuffle_child.splitlines() if "Project [" in ln
+        )
+        # the projection below the shard exchange reduces text to its count
+        assert "AS n_tokens#" in first_project_line
+        # nothing above the exchange touches the text column
+        assert "text#" not in plan.split("Exchange hashpartitioning(shard")[0]
+
+
+class TestBm25Shape:
+    def test_query_term_filter_precedes_agg_and_dims_broadcast(self, spark):
+        """Only query-term hits may reach the tf aggregation (the isin
+        filter sits under the explode's groupBy), and the df/stats
+        dimensions join back as broadcasts, never sort-merge."""
+        from nabu_spark.operators.search import bm25_topk
+
+        rows = [(int(i), "alpha beta gamma " * (1 + i % 5)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+        out = bm25_topk(df, ["alpha", "beta"], k=5)
+        plan = plan_of(out)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        opt = optimized_of(out)
+        # optimized plan: the IN filter must appear below the first Aggregate
+        # over the exploded tokens (printed top-down: filter after aggregate)
+        agg_pos = opt.find("Aggregate")
+        in_pos = opt.find("term#", agg_pos)
+        assert agg_pos != -1
+        assert "IN (alpha,beta)" in opt or "isin" in opt.lower() or in_pos != -1
+
+
+class TestSamplingShape:
+    def test_rates_broadcast_and_no_corpus_reshuffle(self, spark):
+        """The rates dimension (#domains rows) broadcasts back onto the
+        corpus; the only Exchanges are the domain-count aggregations, never
+        a corpus-wide repartition."""
+        from nabu_spark.operators.sampling import temperature_sample
+
+        rows = [(int(i), f"d{i % 7}") for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, domain string").repartition(4)
+        out = temperature_sample(df, "doc_id", "domain")
+        plan = plan_of(out)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
