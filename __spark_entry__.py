@@ -836,6 +836,16 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_BM25_TERMS, k=10)
 
 
+def _pagerank_oracle() -> str:
+    from nabu_spark.operators.linkgraph import pagerank_oracle_sql
+
+    edges = (
+        "SELECT source AS src, 'src' || ((doc_id * 7 + 3) % 20) AS dst "
+        "FROM documents"
+    )
+    return pagerank_oracle_sql(edges, iterations=5, damping=0.85)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval, fully relational (explode -> tf/df -> score
     -> rank window); hits-proportional shuffles."""
@@ -866,6 +876,37 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "domain").orderBy("doc_id")
 
 
+# deterministic host link edges for the link-graph gate: source -> a
+# formula-derived target host; integer-only so both engines agree exactly
+_EDGE_DST_EXPR = "concat('src', (doc_id * 7 + 3) % 20)"
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (crawl-frontier / domain-authority signal):
+    5 power-iteration rounds with dangling-mass redistribution; each round
+    one equi-join + one groupBy, lineage cut per round."""
+    from nabu_spark.operators.linkgraph import pagerank
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("source").alias("src"), F.expr(_EDGE_DST_EXPR).alias("dst")
+    )
+    out = pagerank(edges, iterations=5, damping=0.85)
+    return out.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 10 docs per source, selected by
+    deterministic hash order (unbiased, run/cluster-size independent)."""
+    from nabu_spark.operators.linkgraph import stratified_cap
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_cap(docs, "doc_id", "source", cap=10, seed=42)
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -892,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_next_fit": q_pack_next_fit,
         "bm25_topk": q_bm25_topk,
         "domain_sample": q_domain_sample,
+        "pagerank": q_pagerank,
+        "stratified_cap": q_stratified_cap,
         "url_canon": q_url_canon,
         "repetition": q_repetition,
         "clean_text": q_clean_text,
@@ -1368,6 +1411,17 @@ def oracle_sql() -> dict[str, str]:
             FROM step ORDER BY shard, doc_id
         """,
         "bm25_topk": _bm25_oracle(),
+        "pagerank": _pagerank_oracle(),
+        "stratified_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42:' || doc_id), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 10 ORDER BY doc_id
+        """,
         "domain_sample": f"""
             WITH d AS (
               SELECT doc_id, 'd' || length(doc_id::VARCHAR) AS domain

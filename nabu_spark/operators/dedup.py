@@ -414,17 +414,14 @@ def simhash64(text: str) -> int:
     toks = tokens_of(text)
     if not toks:
         return 0
-    hashes = np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
-        dtype=np.uint64,
-    )
+    # same md5[:8] big-endian token hash as the minhash path, through the
+    # shared memo — web token vocabularies repeat massively across docs, so
+    # each worker digests a distinct token once instead of once per occurrence
+    hashes = _token_hashes(toks)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    pos = np.flatnonzero(votes > 0).astype(np.uint64)
+    return int((np.uint64(1) << pos).sum(dtype=np.uint64))
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -224,3 +224,94 @@ class TestTemperatureSample:
         for r in rep:
             # realized keep fraction tracks the target rate (binomial noise)
             assert abs(r["kept_frac"] - rates[r["domain"]]) < 0.25
+
+
+class TestPageRank:
+    def _numpy_pagerank(self, edges, iters=5, d=0.85):
+        import numpy as np
+
+        nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out_deg = {}
+        for s, _ in edges:
+            out_deg[s] = out_deg.get(s, 0) + 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            nxt = np.zeros(n)
+            dangling = sum(r[idx[v]] for v in nodes if v not in out_deg)
+            for s, t in edges:
+                nxt[idx[t]] += r[idx[s]] / out_deg[s]
+            r = (1 - d) / n + d * (nxt + dangling / n)
+        return {v: r[idx[v]] for v in nodes}
+
+    def test_matches_numpy_power_iteration(self, spark):
+        from nabu_spark.operators.linkgraph import pagerank
+
+        edges = [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+            ("d", "c"),  # e is dangling (only a target)
+            ("d", "e"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+        want = self._numpy_pagerank(edges)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_self_loops_and_dup_edges_ignored(self, spark):
+        from nabu_spark.operators.linkgraph import pagerank
+
+        base = [("a", "b"), ("b", "a")]
+        noisy = base + [("a", "a"), ("a", "b"), ("b", "a")]
+        clean = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame(base, "src string, dst string")
+            ).collect()
+        }
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame(noisy, "src string, dst string")
+            ).collect()
+        }
+        assert got == clean
+
+    def test_host_edges_from_urls(self, spark):
+        from nabu_spark.operators.linkgraph import host_edges_from_urls
+
+        rows = [
+            ("https://a.org/x", "https://b.org/y"),
+            ("https://a.org/x", "HTTPS://A.ORG/z"),  # self after lowering
+            ("nota url", "https://c.org/"),
+        ]
+        df = spark.createDataFrame(rows, "url string, href string")
+        got = {(r["src"], r["dst"]) for r in host_edges_from_urls(df).collect()}
+        assert got == {("a.org", "b.org")}
+
+
+class TestStratifiedCap:
+    def test_cap_and_determinism(self, spark, docs):
+        from nabu_spark.operators.linkgraph import stratified_cap
+
+        capped = stratified_cap(docs, "doc_id", "source", cap=7, seed=1)
+        per = capped.groupBy("source").count().collect()
+        assert all(r["count"] <= 7 for r in per)
+        again = stratified_cap(
+            docs.repartition(11), "doc_id", "source", cap=7, seed=1
+        )
+        a = sorted(r["doc_id"] for r in capped.collect())
+        b = sorted(r["doc_id"] for r in again.collect())
+        assert a == b
+
+    def test_small_domains_kept_whole(self, spark):
+        from nabu_spark.operators.linkgraph import stratified_cap
+
+        rows = [(i, "big" if i < 50 else "small") for i in range(55)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_cap(df, "doc_id", "source", cap=10)
+        per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+        assert per == {"big": 10, "small": 5}
