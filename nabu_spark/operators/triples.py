@@ -94,6 +94,19 @@ def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tupl
     return finish_quads(triples, obj_key, skolemize=skolemize)
 
 
+def _failed_prov(obj_key) -> str | None:
+    """URN for a failure lineage row: the doc's identity is known even when
+    its content fails, which is what makes snapshot resume idempotent (a
+    recorded failure is not retried forever). None only when the key itself
+    is invalid."""
+    if obj_key is None:
+        return None
+    try:
+        return "<" + make_urn(obj_key) + ">"
+    except ValueError:
+        return None
+
+
 def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_s, out_p, out_o, out_g, out_h, out_e = [], [], [], [], [], []
@@ -102,13 +115,14 @@ def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             if err or obj_key is None:  # upstream failure -> lineage row
                 out_s.append(None); out_p.append(None); out_o.append(None)
-                out_g.append(None); out_h.append(host)
+                out_g.append(_failed_prov(obj_key)); out_h.append(host)
                 out_e.append(err or "invalid_url")
                 continue
             quads, qerr, _dropped = doc_to_quads(doc_text, obj_key)
             if qerr:
                 out_s.append(None); out_p.append(None); out_o.append(None)
-                out_g.append(None); out_h.append(host); out_e.append(qerr)
+                out_g.append(_failed_prov(obj_key)); out_h.append(host)
+                out_e.append(qerr)
                 continue
             for s, p, o, g in quads:
                 out_s.append(s); out_p.append(p); out_o.append(o)

@@ -1,0 +1,153 @@
+"""Snapshot-table layer: atomic visibility, time travel, resume, vacuum —
+the Iceberg-checkpoint semantics the north rule requires."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.datagen import generate_pages
+from nabu_spark.snapshots import SnapshotTable, run_pipeline_snapshots
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+class TestSnapshotTable:
+    def test_commit_read_roundtrip(self, spark, tbl):
+        v = tbl.commit(_df(spark, 0, 10), operation="overwrite", stage="s1")
+        assert v == 1
+        got = tbl.read(spark)
+        assert got.count() == 10
+        assert sorted(got.columns) == ["id", "v"]
+        assert tbl.manifest()["row_count"] == 10
+
+    def test_append_creates_new_version_time_travel(self, spark, tbl):
+        tbl.commit(_df(spark, 0, 10), operation="overwrite")
+        tbl.commit(_df(spark, 10, 15), operation="append")
+        assert tbl.latest_version() == 2
+        assert tbl.read(spark).count() == 15
+        assert tbl.read(spark, version=1).count() == 10  # time travel
+
+    def test_overwrite_replaces_visible_set_history_survives(self, spark, tbl):
+        tbl.commit(_df(spark, 0, 10), operation="overwrite")
+        tbl.commit(_df(spark, 100, 103), operation="overwrite")
+        assert tbl.read(spark).count() == 3
+        assert tbl.read(spark, version=1).count() == 10
+        hist = tbl.history()
+        assert [h["version"] for h in hist] == [2, 1]
+
+    def test_torn_write_invisible(self, spark, tbl):
+        """Data files without a manifest (writer crashed pre-publish) never
+        reach readers — the property a bare directory listing lacks."""
+        tbl.commit(_df(spark, 0, 10), operation="overwrite")
+        # simulate a crash: data lands, manifest never does
+        crash_dir = os.path.join(tbl.data_dir, "snap-crashed")
+        _df(spark, 50, 99).write.parquet(crash_dir)
+        assert tbl.read(spark).count() == 10
+        removed = tbl.vacuum()
+        assert crash_dir in removed
+        assert tbl.read(spark).count() == 10  # committed files untouched
+
+    def test_rollback(self, spark, tbl):
+        tbl.commit(_df(spark, 0, 10), operation="overwrite")
+        tbl.commit(_df(spark, 0, 3), operation="overwrite")
+        v = tbl.rollback(1)
+        assert v == 3
+        assert tbl.read(spark).count() == 10
+        assert tbl.manifest()["metrics"]["rolled_back_to"] == 1
+
+    def test_concurrent_commit_retries_and_keeps_both(self, spark, tbl):
+        """Optimistic concurrency: a committer that loses the version race
+        reparents onto the new head, so both appends land."""
+        tbl.commit(_df(spark, 0, 5), operation="overwrite")
+
+        original_publish = SnapshotTable._publish
+        raced = {"done": False}
+
+        def racing_publish(self, manifest, **kw):
+            if not raced["done"]:
+                raced["done"] = True
+                # another writer lands v2 between our head-resolve and link
+                other = SnapshotTable(self.root)
+                original_publish(
+                    other,
+                    {
+                        "operation": "append",
+                        "stage": "racer",
+                        "new_files": self.manifest(1)["files"],
+                        "row_count": 5,
+                        "metrics": {},
+                        "committed_at": "now",
+                    },
+                )
+            return original_publish(self, manifest, **kw)
+
+        SnapshotTable._publish = racing_publish
+        try:
+            v = tbl.commit(_df(spark, 5, 8), operation="append")
+        finally:
+            SnapshotTable._publish = original_publish
+        assert v == 3
+        # racer duplicated v1's files as an append (5+5) plus ours (3)
+        assert tbl.read(spark).count() == 13
+        assert tbl.manifest()["parent"] == 2
+
+    def test_read_missing_raises(self, spark, tbl):
+        with pytest.raises(FileNotFoundError):
+            tbl.read(spark)
+
+    def test_manifest_is_valid_json_with_exact_files(self, spark, tbl):
+        tbl.commit(_df(spark, 0, 4), operation="overwrite")
+        with open(tbl._manifest_path(1)) as fh:
+            m = json.load(fh)
+        assert all(f.endswith(".parquet") and os.path.exists(f) for f in m["files"])
+
+
+class TestSnapshotPipeline:
+    def test_full_run_then_resume_is_incremental(self, spark, tmp_path):
+        out = str(tmp_path / "run")
+        pages = generate_pages(spark, 60)
+        res1 = run_pipeline_snapshots(spark, pages, out, salt=False)
+        n_quads = res1["raw_quads"].count()
+        assert n_quads > 0
+        docs_tbl = res1["tables"]["docs"]
+        quads_v1 = res1["tables"]["quads"].latest_version()
+
+        # rerun over the same pages: nothing to do, no new snapshot
+        res2 = run_pipeline_snapshots(spark, pages, out, salt=False)
+        assert res2["tables"]["quads"].latest_version() == quads_v1
+        assert res2["raw_quads"].count() == n_quads
+
+        # grow the input: only the delta is processed (append snapshot)
+        more = generate_pages(spark, 80)
+        res3 = run_pipeline_snapshots(spark, more, out, salt=False)
+        assert res3["tables"]["quads"].latest_version() == quads_v1 + 1
+        assert res3["docs"].count() == 80
+        assert res3["raw_quads"].count() > n_quads
+        appended = res3["tables"]["docs"].manifest()
+        assert appended["operation"] == "append"
+        assert docs_tbl.read(spark, version=1).count() == 60  # time travel
+
+    def test_quads_match_non_snapshot_pipeline(self, spark, tmp_path):
+        from nabu_spark.pipeline import run_pipeline
+
+        pages = generate_pages(spark, 40)
+        a = run_pipeline_snapshots(
+            spark, pages, str(tmp_path / "snap"), salt=False
+        )["quads"]
+        b = run_pipeline(spark, pages, str(tmp_path / "plain"), salt=False)[
+            "quads"
+        ]
+        ra = sorted(map(tuple, a.select("subj", "pred", "obj", "prov").collect()))
+        rb = sorted(map(tuple, b.select("subj", "pred", "obj", "prov").collect()))
+        assert ra == rb
