@@ -907,6 +907,27 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality scoring: add-alpha bigram model trained on
+    the corpus, per-doc perplexity — all relational, nothing leaves the JVM."""
+    from nabu_spark.operators.lm import perplexity, train_bigram_lm
+
+    docs = _load(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, "doc_id", "text")
+    return perplexity(docs, model, "doc_id", "text", alpha=0.1).orderBy("doc_id")
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: Jensen-Shannon divergence between the token
+    distributions of two corpus snapshots (even vs odd doc ids)."""
+    from nabu_spark.operators.lm import token_js_divergence
+
+    docs = _load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return token_js_divergence(a, b, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -935,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_sample": q_domain_sample,
         "pagerank": q_pagerank,
         "stratified_cap": q_stratified_cap,
+        "lm_perplexity": q_lm_perplexity,
+        "token_drift": q_token_drift,
         "url_canon": q_url_canon,
         "repetition": q_repetition,
         "clean_text": q_clean_text,
@@ -1412,6 +1435,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(),
         "pagerank": _pagerank_oracle(),
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM toks, unnest(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            ), big AS (
+              SELECT w1, w2, count(*)::DOUBLE AS c12 FROM grams GROUP BY 1, 2
+            ), uni AS (
+              SELECT w1, count(*)::DOUBLE AS c1 FROM grams GROUP BY 1
+            ), voc AS (
+              SELECT count(DISTINCT w)::DOUBLE AS v
+              FROM (SELECT unnest(t) AS w FROM toks)
+            ), scored AS (
+              SELECT g.doc_id,
+                     -ln((coalesce(b.c12, 0) + 0.1)
+                         / (coalesce(u.c1, 0) + 0.1 * voc.v)) AS nll
+              FROM grams g
+                   LEFT JOIN big b USING (w1, w2)
+                   LEFT JOIN uni u USING (w1)
+                   CROSS JOIN voc
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(exp(avg(nll)), 4) AS ppl
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "token_drift": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ), ca AS (
+              SELECT w, count(*)::DOUBLE AS c FROM toks WHERE doc_id % 2 = 0 GROUP BY w
+            ), cb AS (
+              SELECT w, count(*)::DOUBLE AS c FROM toks WHERE doc_id % 2 = 1 GROUP BY w
+            ), pa AS (
+              SELECT w, c / (SELECT sum(c) FROM ca) AS p FROM ca
+            ), pb AS (
+              SELECT w, c / (SELECT sum(c) FROM cb) AS q FROM cb
+            ), j AS (
+              SELECT coalesce(pa.p, 0.0) AS p, coalesce(pb.q, 0.0) AS q
+              FROM pa FULL OUTER JOIN pb USING (w)
+            )
+            SELECT round((sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+                        + sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)) / 2,
+                         6) AS js_divergence,
+                   count(CASE WHEN p > 0 THEN 1 END) AS vocab_a,
+                   count(CASE WHEN q > 0 THEN 1 END) AS vocab_b,
+                   count(CASE WHEN p > 0 AND q > 0 THEN 1 END) AS vocab_shared
+            FROM j
+        """,
         "stratified_cap": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

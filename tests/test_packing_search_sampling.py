@@ -315,3 +315,88 @@ class TestStratifiedCap:
         out = stratified_cap(df, "doc_id", "source", cap=10)
         per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
         assert per == {"big": 10, "small": 5}
+
+
+class TestBigramLM:
+    def test_repetitive_text_scores_more_fluent(self, spark):
+        from nabu_spark.operators.lm import perplexity, train_bigram_lm
+
+        rows = [(0, "the cat sat on the mat " * 20)] + [
+            (i, "the cat sat on the mat") for i in range(1, 8)
+        ] + [(8, "zebra quark flux banjo omega prism")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        model = train_bigram_lm(df)
+        ppl = {r["doc_id"]: r["ppl"] for r in perplexity(df, model).collect()}
+        # the dominant pattern is fluent; the one-off word salad is not
+        assert ppl[1] < ppl[8]
+
+    def test_perplexity_exact_tiny_case(self, spark):
+        import math
+
+        from nabu_spark.operators.lm import perplexity, train_bigram_lm
+
+        df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+        model = train_bigram_lm(df)
+        got = perplexity(df, model, alpha=0.1).collect()[0]
+        # bigrams: (a,b) x2, (b,a) x1; c1: a->2, b->1; V=2
+        p_ab = (2 + 0.1) / (2 + 0.1 * 2)
+        p_ba = (1 + 0.1) / (1 + 0.1 * 2)
+        want = math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3)
+        assert got["n_bigrams"] == 3
+        assert abs(got["ppl"] - want) < 1e-3
+
+    def test_unseen_bigrams_fall_back_to_smoothing(self, spark):
+        from nabu_spark.operators.lm import perplexity, train_bigram_lm
+
+        train = spark.createDataFrame(
+            [(0, "a b c d e")], "doc_id long, text string"
+        )
+        test = spark.createDataFrame(
+            [(1, "x y z")], "doc_id long, text string"
+        )
+        model = train_bigram_lm(train)
+        got = perplexity(test, model).collect()
+        assert len(got) == 1 and got[0]["ppl"] > 0
+
+    def test_buckets(self, spark, docs):
+        from nabu_spark.operators.lm import (
+            perplexity,
+            perplexity_buckets,
+            train_bigram_lm,
+        )
+
+        model = train_bigram_lm(docs)
+        b = perplexity_buckets(perplexity(docs, model), n_buckets=3)
+        per = {r["bucket"]: r["count"] for r in b.groupBy("bucket").count().collect()}
+        assert set(per) == {1, 2, 3}
+        assert max(per.values()) - min(per.values()) <= 1  # ntile balance
+
+
+class TestTokenDrift:
+    def test_identical_corpora_zero(self, spark, docs):
+        from nabu_spark.operators.lm import token_js_divergence
+
+        row = token_js_divergence(docs, docs).collect()[0]
+        assert row["js_divergence"] == 0.0
+        assert row["vocab_a"] == row["vocab_b"] == row["vocab_shared"]
+
+    def test_disjoint_corpora_ln2(self, spark):
+        import math
+
+        from nabu_spark.operators.lm import token_js_divergence
+
+        a = spark.createDataFrame([(0, "aa bb cc")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "xx yy zz")], "doc_id long, text string")
+        row = token_js_divergence(a, b).collect()[0]
+        assert abs(row["js_divergence"] - math.log(2)) < 1e-6
+        assert row["vocab_shared"] == 0
+
+    def test_symmetry(self, spark, docs):
+        from nabu_spark.operators.lm import token_js_divergence
+
+        a = docs.filter(F.col("doc_id") % 3 == 0)
+        b = docs.filter(F.col("doc_id") % 3 != 0)
+        ab = token_js_divergence(a, b).collect()[0]["js_divergence"]
+        ba = token_js_divergence(b, a).collect()[0]["js_divergence"]
+        assert abs(ab - ba) < 1e-9
+        assert 0.0 < ab < math.log(2)
