@@ -830,6 +830,48 @@ def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "join", "window"]
 
 
+def _kg_gen_sql(where: str = "TRUE") -> str:
+    """Generator-mirror SQL for the flagship KG pipeline over the documents
+    corpus (schema:Dataset docs with literal values; no blank nodes in this
+    slice -> no skolemization), parameterized by a doc filter so diff/QA
+    oracles can replay arbitrary release versions."""
+    return _KG_GEN_TEMPLATE.format(where=where)
+
+
+_KG_GEN_TEMPLATE = """
+            WITH base AS (
+              SELECT doc_id,
+                     'https://corpus' || (doc_id % 10) || '.example.org/doc/' || doc_id AS url,
+                     'corpus' || (doc_id % 10) || '_example_org' AS sitemap_id,
+                     substr(text, 1, 200) AS descr,
+                     lang, n_chars
+              FROM documents WHERE {where}
+            ), keyed AS (
+              SELECT *,
+                     '<urn:iow:' || replace(
+                        'summoned/' || sitemap_id || '/' || to_base64(url::BLOB) || '.jsonld',
+                        '/', ':') || '>' AS prov,
+                     '<https://docs.example.org/corpus/' || doc_id || '>' AS subj
+              FROM base
+            )
+            SELECT subj, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+                   '<https://schema.org/Dataset>' AS obj, prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/name>',
+                   '"document ' || doc_id || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/description>',
+                   '"' || descr || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/inLanguage>',
+                   '"' || lang || '"', prov FROM keyed
+            UNION ALL
+            SELECT subj, '<https://schema.org/contentSize>',
+                   '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>', prov
+            FROM keyed
+        """
+
+
 def _bm25_oracle() -> str:
     from nabu_spark.operators.search import bm25_oracle_sql
 
@@ -928,6 +970,74 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_js_divergence(a, b, "text")
 
 
+def q_sameas_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs canonicalization: connected components over identity
+    assertions (chains of 50 here — exercises pointer jumping), canonical =
+    lexicographically smallest IRI."""
+    from nabu_spark.operators.graphops import sameas_closure
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") % 50 != 0).select(
+        F.concat(F.lit("e"), F.col("doc_id")).alias("id_a"),
+        F.concat(F.lit("e"), F.col("doc_id") - 1).alias("id_b"),
+    )
+    return sameas_closure(edges).orderBy("iri")
+
+
+def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added/removed quads between two release versions (incremental
+    triplestore-sync feed): one pipeline run, two version slices, exceptAll
+    both ways."""
+    from nabu_spark.operators.graphops import release_diff
+    from nabu_spark.pipeline import pages_to_quads_fused
+    from nabu_spark.sources.documents import pages_from_documents
+
+    quads = (
+        pages_to_quads_fused(pages_from_documents(spark, sf_dir), salt=False)
+        .filter(F.col("error_code").isNull())
+        .withColumn(
+            "_doc_id",
+            F.regexp_extract("subj", r"corpus/(\d+)>", 1).cast("long"),
+        )
+    )
+    old = quads.filter(F.col("_doc_id") % 4 != 1)
+    new = quads.filter(F.col("_doc_id") % 5 != 2)
+    return release_diff(old, new).orderBy(
+        "change", "prov", "subj", "pred", "obj"
+    )
+
+
+def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity QA over the blank-node corpus: IRI objects
+    never defined as subjects (ontology IRIs surface by design; skolemized
+    node IRIs must NOT appear — they are defined in-graph)."""
+    from nabu_spark.operators.graphops import integrity_report
+    from nabu_spark.pipeline import pages_to_quads_fused
+    from nabu_spark.sources.documents import bnode_pages_from_documents
+
+    quads = pages_to_quads_fused(
+        bnode_pages_from_documents(spark, sf_dir), salt=False
+    ).filter(F.col("error_code").isNull())
+    return integrity_report(quads).orderBy("obj")
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained crawl schedule: one fetch per host per tick,
+    deterministic queue order."""
+    from nabu_spark.operators.urls import fetch_schedule
+
+    docs = _load(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/p/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+    )
+    return fetch_schedule(urls, "url", "host", per_host_delay_s=1).orderBy(
+        "host", "tick"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -958,6 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap": q_stratified_cap,
         "lm_perplexity": q_lm_perplexity,
         "token_drift": q_token_drift,
+        "sameas_canon": q_sameas_canon,
+        "release_diff": q_release_diff,
+        "kg_integrity": q_kg_integrity,
+        "fetch_schedule": q_fetch_schedule,
         "url_canon": q_url_canon,
         "repetition": q_repetition,
         "clean_text": q_clean_text,
@@ -1435,6 +1549,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(),
         "pagerank": _pagerank_oracle(),
+        "sameas_canon": """
+            WITH RECURSIVE e AS (
+              SELECT 'e' || doc_id AS a, 'e' || (doc_id - 1) AS b
+              FROM documents WHERE doc_id % 50 <> 0
+            ), sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), nodes AS (
+              SELECT DISTINCT a AS node FROM sym
+            ), reach AS (
+              SELECT node AS src, node AS dst FROM nodes
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+            )
+            SELECT src AS iri, min(dst) AS canonical_iri
+            FROM reach GROUP BY src ORDER BY iri
+        """,
+        "kg_integrity": """
+            -- blank-node corpus generator mirror (kg_pipeline_bnodes):
+            -- IRI objects are schema:Dataset + schema:Organization (class
+            -- IRIs, never subjects); skolem IRIs are defined in-graph so
+            -- they must NOT appear in the dangling set
+            WITH keyed AS (
+              SELECT doc_id FROM documents
+            ), objs AS (
+              SELECT '<https://schema.org/Dataset>' AS obj FROM keyed
+              UNION ALL
+              SELECT '<https://schema.org/Organization>' FROM keyed
+            )
+            SELECT obj, count(*) AS n_refs FROM objs GROUP BY obj ORDER BY obj
+        """,
+        "fetch_schedule": """
+            WITH u AS (
+              SELECT source || '.example.org' AS host,
+                     'https://' || source || '.example.org/p/' || doc_id AS url
+              FROM documents
+            )
+            SELECT url, host,
+                   row_number() OVER (PARTITION BY host ORDER BY url)::INT AS tick,
+                   ((row_number() OVER (PARTITION BY host ORDER BY url)) - 1)::INT
+                     AS not_before_s
+            FROM u ORDER BY host, tick
+        """,
         "lm_perplexity": """
             WITH toks AS (
               SELECT doc_id,
@@ -1648,40 +1804,21 @@ def oracle_sql() -> dict[str, str]:
                    'exact' AS method
             FROM documents ORDER BY subj
         """,
-        "kg_pipeline": """
-            -- the flagship pipeline on documents-derived pages is fully
-            -- predictable in SQL: schema:Dataset docs with literal values
-            -- (no blank nodes -> no skolemization in this corpus slice)
-            WITH base AS (
-              SELECT doc_id,
-                     'https://corpus' || (doc_id % 10) || '.example.org/doc/' || doc_id AS url,
-                     'corpus' || (doc_id % 10) || '_example_org' AS sitemap_id,
-                     substr(text, 1, 200) AS descr,
-                     lang, n_chars
-              FROM documents
-            ), keyed AS (
-              SELECT *,
-                     '<urn:iow:' || replace(
-                        'summoned/' || sitemap_id || '/' || to_base64(url::BLOB) || '.jsonld',
-                        '/', ':') || '>' AS prov,
-                     '<https://docs.example.org/corpus/' || doc_id || '>' AS subj
-              FROM base
-            )
-            SELECT subj, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
-                   '<https://schema.org/Dataset>' AS obj, prov FROM keyed
-            UNION ALL
-            SELECT subj, '<https://schema.org/name>',
-                   '"document ' || doc_id || '"', prov FROM keyed
-            UNION ALL
-            SELECT subj, '<https://schema.org/description>',
-                   '"' || descr || '"', prov FROM keyed
-            UNION ALL
-            SELECT subj, '<https://schema.org/inLanguage>',
-                   '"' || lang || '"', prov FROM keyed
-            UNION ALL
-            SELECT subj, '<https://schema.org/contentSize>',
-                   '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>', prov
-            FROM keyed
+        "kg_pipeline": _kg_gen_sql(),
+        "release_diff": f"""
+            WITH old_q AS ({_kg_gen_sql("doc_id % 4 <> 1")}),
+                 new_q AS ({_kg_gen_sql("doc_id % 5 <> 2")}),
+                 added AS (
+                   SELECT 'added' AS change, * FROM (
+                     SELECT * FROM new_q EXCEPT SELECT * FROM old_q
+                   )
+                 ), removed AS (
+                   SELECT 'removed' AS change, * FROM (
+                     SELECT * FROM old_q EXCEPT SELECT * FROM new_q
+                   )
+                 )
+            SELECT * FROM added UNION ALL SELECT * FROM removed
+            ORDER BY change, prov, subj, pred, obj
         """,
         "kg_pipeline_bnodes": """
             -- every doc carries one blank node (nested provider org without

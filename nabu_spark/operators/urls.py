@@ -67,3 +67,32 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.count("*").alias("dup_count"),
         )
     )
+
+
+def fetch_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    *,
+    per_host_delay_s: int = 1,
+) -> DataFrame:
+    """Politeness-constrained crawl schedule: one fetch per host per tick
+    (the crawl-delay discipline the reference enforces with its per-host
+    worker loop, internal/crawl/sitemap.go's sequential walk — here as a
+    declarative assignment the whole cluster can consume).
+
+    Returns (url, host, tick, not_before_s): tick = position in the host's
+    queue (deterministic url order), not_before_s = earliest start offset
+    under ``per_host_delay_s``. One shuffle on the host key; a mega-host
+    makes one long queue — which is exactly the politeness constraint, not
+    a skew bug (wall-clock is inherently bounded by the slowest host)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    tick = F.row_number().over(w)
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        tick.alias("tick"),
+        ((tick - 1) * F.lit(per_host_delay_s)).alias("not_before_s"),
+    )
