@@ -93,6 +93,22 @@ def build_parser() -> argparse.ArgumentParser:
     ln.add_argument("--dict", required=True, dest="dict_path")
     ln.add_argument("--out", required=True)
     ln.add_argument("--threshold", type=float, default=0.5)
+
+    sn = sub.add_parser(
+        "snap",
+        help="snapshot-committed pipeline: run / history / rollback / vacuum",
+    )
+    sn.add_argument(
+        "action", choices=("run", "history", "rollback", "vacuum"),
+    )
+    sn.add_argument("--out", required=True, help="snapshot pipeline root dir")
+    sn.add_argument("--pages", help="pages parquet (for: run)")
+    sn.add_argument(
+        "--table", choices=("docs", "quads", "lineage"), default="quads",
+        help="which table (for: history/rollback/vacuum)",
+    )
+    sn.add_argument("--to-version", type=int, help="target (for: rollback)")
+    sn.add_argument("--no-salt", action="store_true")
     return p
 
 
@@ -327,6 +343,45 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = spark.read.parquet(os.path.join(args.out, "same_as")).count()
         print(json.dumps({"cmd": "link", "same_as": n}))
+        return 0
+
+    if args.cmd == "snap":
+        from .snapshots import SnapshotTable, run_pipeline_snapshots
+
+        if args.action == "run":
+            if not args.pages:
+                print(json.dumps({"cmd": "snap", "error": "--pages required for run"}))
+                return 2
+            pages = spark.read.parquet(args.pages)
+            res = run_pipeline_snapshots(
+                spark, pages, args.out, salt=not args.no_salt
+            )
+            print(json.dumps({
+                "cmd": "snap",
+                "action": "run",
+                "quads": res["raw_quads"].count(),
+                "versions": {
+                    name: tbl.latest_version()
+                    for name, tbl in res["tables"].items()
+                },
+            }))
+            return 0
+        tbl = SnapshotTable(os.path.join(args.out, f"{args.table}_tbl"))
+        if args.action == "history":
+            print(json.dumps({"cmd": "snap", "action": "history",
+                              "table": args.table, "history": tbl.history()}))
+            return 0
+        if args.action == "rollback":
+            if args.to_version is None:
+                print(json.dumps({"cmd": "snap", "error": "--to-version required"}))
+                return 2
+            v = tbl.rollback(args.to_version)
+            print(json.dumps({"cmd": "snap", "action": "rollback",
+                              "table": args.table, "new_version": v}))
+            return 0
+        removed = tbl.vacuum()
+        print(json.dumps({"cmd": "snap", "action": "vacuum",
+                          "table": args.table, "removed": len(removed)}))
         return 0
 
     return 2

@@ -151,3 +151,35 @@ class TestSnapshotPipeline:
         ra = sorted(map(tuple, a.select("subj", "pred", "obj", "prov").collect()))
         rb = sorted(map(tuple, b.select("subj", "pred", "obj", "prov").collect()))
         assert ra == rb
+
+
+class TestSnapCli:
+    def test_run_history_rollback_vacuum(self, spark, tmp_path, capsys):
+        import json
+
+        from nabu_spark.cli import main
+
+        pages_path = str(tmp_path / "pages")
+        generate_pages(spark, 40).write.parquet(pages_path)
+        out = str(tmp_path / "snaprun")
+
+        rc = main(["snap", "run", "--pages", pages_path, "--out", out, "--no-salt"])
+        assert rc == 0
+        run_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert run_out["versions"]["quads"] == 1 and run_out["quads"] > 0
+
+        rc = main(["snap", "history", "--out", out, "--table", "quads"])
+        assert rc == 0
+        hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [h["version"] for h in hist["history"]] == [1]
+
+        rc = main(["snap", "rollback", "--out", out, "--table", "quads",
+                   "--to-version", "1"])
+        assert rc == 0
+        rb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rb["new_version"] == 2
+
+        rc = main(["snap", "vacuum", "--out", out, "--table", "quads"])
+        assert rc == 0
+        vc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert vc["removed"] == 0  # nothing unreferenced after rollback
