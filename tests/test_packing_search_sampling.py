@@ -400,3 +400,82 @@ class TestTokenDrift:
         ba = token_js_divergence(b, a).collect()[0]["js_divergence"]
         assert abs(ab - ba) < 1e-9
         assert 0.0 < ab < math.log(2)
+
+
+class TestBPE:
+    FREQS = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+    def test_hand_computed_merge_sequence(self):
+        from nabu_spark.operators.bpe import train_bpe_from_frequencies
+
+        merges = train_bpe_from_frequencies(self.FREQS, n_merges=4)
+        # classic Sennrich corpus: (e,s) wins at 9 (lexicographic tie-break
+        # over (s,t),(t,</w>)), the merged symbol chains to est</w>, then
+        # (l,o)/(o,w) tie at 7 -> lexicographic (l,o)
+        assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+    def test_encode_word_greedy_rank_order(self):
+        from nabu_spark.operators.bpe import encode_word, train_bpe_from_frequencies
+
+        merges = train_bpe_from_frequencies(self.FREQS, n_merges=4)
+        ranks = {p: i for i, p in enumerate(merges)}
+        assert encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+        assert encode_word("widest", ranks) == ["w", "i", "d", "est</w>"]
+
+    def test_distributed_training_and_apply_roundtrip(self, spark, docs):
+        from nabu_spark.operators.bpe import (
+            bpe_decode_expr,
+            bpe_encode,
+            train_bpe,
+        )
+        from nabu_spark.operators.dedup import tokens_of
+
+        merges = train_bpe(docs, "text", n_merges=60)
+        assert len(merges) > 10
+        enc = bpe_encode(docs, merges, "doc_id", "text")
+        decoded = enc.select(
+            "doc_id", bpe_decode_expr("pieces").alias("round")
+        )
+        orig = {r["doc_id"]: " ".join(tokens_of(r["text"])) for r in docs.collect()}
+        for r in decoded.collect():
+            assert r["round"] == orig[r["doc_id"]]
+
+    def test_distributed_apply_equals_driver_reference(self, spark, docs):
+        from nabu_spark.operators.bpe import bpe_encode, encode_word, train_bpe
+        from nabu_spark.operators.dedup import tokens_of
+
+        merges = train_bpe(docs, "text", n_merges=40)
+        ranks = {p: i for i, p in enumerate(merges)}
+        sample = docs.limit(30).collect()
+        want = {
+            r["doc_id"]: [
+                p for w in tokens_of(r["text"]) for p in encode_word(w, ranks)
+            ]
+            for r in sample
+        }
+        got = {
+            r["doc_id"]: list(r["pieces"])
+            for r in bpe_encode(
+                docs.limit(30).repartition(5), merges, "doc_id", "text"
+            ).collect()
+        }
+        assert got == want
+
+    def test_more_merges_fewer_pieces(self, spark, docs):
+        from nabu_spark.operators.bpe import bpe_encode, train_bpe
+        from pyspark.sql import functions as FF
+
+        few = train_bpe(docs, "text", n_merges=10)
+        many = train_bpe(docs, "text", n_merges=120)
+        n_few = bpe_encode(docs, few).agg(FF.sum("n_pieces")).first()[0]
+        n_many = bpe_encode(docs, many).agg(FF.sum("n_pieces")).first()[0]
+        assert n_many < n_few
+
+    def test_merge_list_prefix_stability(self, spark, docs):
+        # BPE merges are a deterministic sequence: training longer only
+        # extends the list
+        from nabu_spark.operators.bpe import train_bpe
+
+        m40 = train_bpe(docs, "text", n_merges=40)
+        m80 = train_bpe(docs, "text", n_merges=80)
+        assert m80[: len(m40)] == m40
