@@ -196,7 +196,6 @@ class SnapshotTable:
         """Delete data directories referenced by NO manifest (crash debris,
         discarded concurrent writes). Returns the removed directories."""
         referenced: set[str] = set()
-        v = self.latest_version()
         all_versions = [
             int(name[1:7])
             for name in os.listdir(self.manifest_dir)
