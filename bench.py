@@ -114,7 +114,9 @@ def main() -> None:
     # steal-time spikes (a 1.3s query once measured 23s) — the lineage is
     # rebuilt per run inside fn(), so no shuffle reuse no-ops the repeats
     q_runs = int(os.environ.get("BENCH_QUERY_RUNS", "2"))
-    qs = ent.queries()
+    # BENCH_QUERIES=0 skips the operator suite (the scaling protocol only
+    # needs the KG headline; 4 parallelism levels x 54 queries is pure waste)
+    qs = ent.queries() if os.environ.get("BENCH_QUERIES", "1") != "0" else {}
     for name, fn in qs.items():
         best = float("inf")
         try:

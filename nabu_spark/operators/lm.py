@@ -32,17 +32,19 @@ from .textstats import tokens_col
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) for each adjacent token pair — arrays_zip of two slices,
-    pure codegen, one row per bigram occurrence."""
-    toks = tokens_col(text_col)
-    n = F.size(toks)
+    pure codegen, one row per bigram occurrence. Docs with < 2 tokens are
+    filtered BEFORE the slices so the (n - 1) lengths never go negative
+    (Spark's slice raises on negative length)."""
+    base = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    n = F.size("_t")
     pairs = F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("w1"),
-        F.slice(toks, 2, n - 1).alias("w2"),
+        F.slice("_t", 1, n - 1).alias("w1"),
+        F.slice("_t", 2, n - 1).alias("w2"),
     )
     return (
-        df.select(F.col(id_col), pairs.alias("_pairs"))
-        .filter(F.size("_pairs") > 0)
-        .select(id_col, F.explode("_pairs").alias("_p"))
+        base.select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
 

@@ -67,7 +67,8 @@ def pack_chunked(
     and ``slice_len`` how many of its tokens land in sequence ``seq``.
     Token counts use the same tokenizer as ``token_count`` so offsets line
     up with the rest of the text stack."""
-    cap = F.lit(int(capacity)).cast("long")
+    cap_i = int(capacity)
+    cap = F.lit(cap_i).cast("long")
     counts = _sharded_counts(df, id_col, text_col, n_shards)
     w = (
         Window.partitionBy("shard")
@@ -77,8 +78,9 @@ def pack_chunked(
     pos = counts.withColumn(
         "_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     )
-    first_seq = F.floor(F.col("_start") / cap)
-    last_seq = F.floor((F.col("_start") + F.col("n_tokens") - 1) / cap)
+    # integer DIV, not floor(double /): exact at any token offset
+    first_seq = F.expr(f"_start DIV {cap_i}")
+    last_seq = F.expr(f"(_start + n_tokens - 1) DIV {cap_i}")
     seqs = pos.select(
         id_col,
         "shard",
@@ -109,7 +111,13 @@ def pack_next_fit(
     ``id_col`` order, a document joins the current bin unless that would
     exceed ``capacity``, in which case it opens the next bin. Oversized
     documents (> capacity tokens) occupy a bin alone rather than being
-    silently dropped. Returns (id, shard, bin, n_tokens)."""
+    silently dropped. Returns (id, shard, bin, n_tokens).
+
+    Sizing: each shard's packing state is held in one task, so pick
+    ``n_shards`` such that corpus_docs / n_shards (id, count) rows — 24
+    bytes each — fit executor memory; at 1e12 docs, 100k shards keeps a
+    shard around 10M rows / ~240 MB, and shard count only changes WHICH
+    bin a doc lands in, never correctness."""
     cap = int(capacity)
     counts = _sharded_counts(df, id_col, text_col, n_shards).repartition("shard")
 

@@ -479,3 +479,15 @@ class TestBPE:
         m40 = train_bpe(docs, "text", n_merges=40)
         m80 = train_bpe(docs, "text", n_merges=80)
         assert m80[: len(m40)] == m40
+
+
+class TestLmEdgeCases:
+    def test_short_and_empty_docs_survive(self, spark):
+        from nabu_spark.operators.lm import perplexity, train_bigram_lm
+
+        rows = [(0, "a b a b"), (1, ""), (2, "one"), (3, "   "), (4, "x y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        model = train_bigram_lm(df)
+        got = {r["doc_id"] for r in perplexity(df, model).collect()}
+        # only docs with >= 2 tokens are scorable; the rest drop cleanly
+        assert got == {0, 4}
