@@ -1038,6 +1038,88 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic CDXJ line synthesis shared (textually) with the oracle SQL:
+# two captures per doc (timestamps 1s apart), digest = md5(text), four
+# rotating WARC files — exercises parse, latest-capture, and fetch planning
+def _cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    captures = docs.select(
+        "doc_id", "source", "text", "n_chars", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    )
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".org/p/"), F.col("doc_id"))
+    fname = F.concat(F.lit("warc/"), F.col("doc_id") % 4, F.lit(".warc.gz"))
+    offset = F.col("doc_id") * 1000 + F.col("k")
+    line = F.concat(
+        F.col("source"), F.lit(",org)/p/"), F.col("doc_id"),
+        F.lit(" 2024010100000"), F.col("k"),
+        F.lit(' {"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "'),
+        F.md5("text"),
+        F.lit('", "length": '), F.col("n_chars"),
+        F.lit(', "offset": '), offset,
+        F.lit(', "filename": "'), fname, F.lit('"}'),
+    )
+    return captures.select(line.alias("value"))
+
+
+_CDX_ORACLE_CAPTURES = """
+            WITH caps AS (
+              SELECT d.doc_id, d.source, d.text, d.n_chars, k.k
+              FROM documents d CROSS JOIN (VALUES (0), (1)) AS k(k)
+            ), lines AS (
+              SELECT source || ',org)/p/' || doc_id
+                     || ' 2024010100000' || k
+                     || ' {"url": "https://' || source || '.org/p/' || doc_id
+                     || '", "mime": "text/html", "status": "200", "digest": "'
+                     || md5(text)
+                     || '", "length": ' || n_chars
+                     || ', "offset": ' || (doc_id * 1000 + k)
+                     || ', "filename": "warc/' || (doc_id % 4) || '.warc.gz"}'
+                     AS value
+              FROM caps
+            ), parsed AS (
+              SELECT split_part(value, ' ', 1) AS surt,
+                     split_part(value, ' ', 2) AS ts_raw,
+                     substr(value, len(split_part(value, ' ', 1))
+                                   + len(split_part(value, ' ', 2)) + 3) AS payload
+              FROM lines
+            ), fields AS (
+              SELECT surt, ts_raw,
+                     json_extract_string(payload, '$.url') AS url,
+                     json_extract_string(payload, '$.digest') AS digest,
+                     json_extract(payload, '$.length')::BIGINT AS length,
+                     json_extract(payload, '$.offset')::BIGINT AS "offset",
+                     json_extract_string(payload, '$.filename') AS filename
+              FROM parsed
+            )
+"""
+
+
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index parse + latest-capture-per-url selection (the fetch-plan
+    front of a Common-Crawl pipeline) — split + from_json, pure JVM."""
+    from nabu_spark.sources.cdx import latest_captures, parse_cdx
+
+    captures = parse_cdx(_cdx_lines(spark, sf_dir))
+    latest = latest_captures(captures)
+    return latest.select(
+        "url",
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts_s"),
+        "digest",
+        "offset",
+        "filename",
+    ).orderBy("url")
+
+
+def q_cdx_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WARC-file fetch plan: record counts, byte totals, sorted offset
+    lists — each task streams one archive sequentially."""
+    from nabu_spark.sources.cdx import fetch_plan, parse_cdx
+
+    captures = parse_cdx(_cdx_lines(spark, sf_dir))
+    return fetch_plan(captures).orderBy("filename")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1069,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "token_drift": q_token_drift,
         "sameas_canon": q_sameas_canon,
+        "cdx_latest": q_cdx_latest,
+        "cdx_plan": q_cdx_plan,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -1549,6 +1633,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(),
         "pagerank": _pagerank_oracle(),
+        "cdx_latest": _CDX_ORACLE_CAPTURES + """
+            , ranked AS (
+              SELECT url, ts_raw AS ts_s, digest, "offset", filename,
+                     row_number() OVER (
+                       PARTITION BY url
+                       ORDER BY ts_raw DESC, digest, filename, "offset"
+                     ) AS rn
+              FROM fields
+            )
+            SELECT url, ts_s, digest, "offset", filename
+            FROM ranked WHERE rn = 1 ORDER BY url
+        """,
+        "cdx_plan": _CDX_ORACLE_CAPTURES + """
+            SELECT filename, count(*) AS n_records, sum(length) AS bytes,
+                   list_sort(list("offset")) AS offsets
+            FROM fields GROUP BY filename ORDER BY filename
+        """,
         "sameas_canon": """
             WITH RECURSIVE e AS (
               SELECT 'e' || doc_id AS a, 'e' || (doc_id - 1) AS b
