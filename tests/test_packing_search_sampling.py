@@ -491,3 +491,74 @@ class TestLmEdgeCases:
         got = {r["doc_id"] for r in perplexity(df, model).collect()}
         # only docs with >= 2 tokens are scorable; the rest drop cleanly
         assert got == {0, 4}
+
+
+class TestQualityModel:
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        words = ["stream", "table", "query", "join", "window", "batch",
+                 "filter", "merge", "sort", "scan"]
+        rows = []
+        for i in range(120):
+            # good docs: plausible prose-length token streams
+            n = rng.randint(60, 150)
+            rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+        for i in range(120, 200):
+            # bad docs: too short, symbol-heavy, or repeated single token
+            kind = i % 3
+            if kind == 0:
+                rows.append((i, "### $$$ !!! %%% ^^^ &&&"))
+            elif kind == 1:
+                rows.append((i, "spam " * 300))
+            else:
+                rows.append((i, "x"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_learns_separation_and_agrees_with_weak_labeler(self, spark):
+        from nabu_spark.operators.quality_model import (
+            score_quality,
+            train_quality_model,
+            weak_labels,
+        )
+
+        docs = self._corpus(spark)
+        labeled = weak_labels(docs)
+        # the weak labeler must actually split this corpus
+        counts = {r["label"]: r["count"] for r in labeled.groupBy("label").count().collect()}
+        assert counts.get(1.0, 0) > 20 and counts.get(0.0, 0) > 20
+
+        model = train_quality_model(labeled)
+        scored = score_quality(model, docs)
+        joined = scored.join(labeled.select("doc_id", "label"), "doc_id")
+        agree = joined.filter(
+            F.col("quality_pred") == F.col("label")
+        ).count() / joined.count()
+        assert agree > 0.9  # linearly separable synthetic split
+
+    def test_probabilities_ordered_and_deterministic(self, spark):
+        from nabu_spark.operators.quality_model import (
+            score_quality,
+            train_quality_model,
+            weak_labels,
+        )
+
+        docs = self._corpus(spark)
+        labeled = weak_labels(docs)
+        m1 = train_quality_model(labeled)
+        s1 = score_quality(m1, docs).select("doc_id", "quality_prob")
+        good_mean = (
+            s1.join(labeled.filter(F.col("label") == 1.0), "doc_id")
+            .agg(F.avg("quality_prob")).first()[0]
+        )
+        bad_mean = (
+            s1.join(labeled.filter(F.col("label") == 0.0), "doc_id")
+            .agg(F.avg("quality_prob")).first()[0]
+        )
+        assert good_mean > bad_mean + 0.3
+        m2 = train_quality_model(labeled)
+        s2 = score_quality(m2, docs).select("doc_id", "quality_prob")
+        a = {r["doc_id"]: r["quality_prob"] for r in s1.collect()}
+        b = {r["doc_id"]: r["quality_prob"] for r in s2.collect()}
+        assert a == b
