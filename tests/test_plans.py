@@ -299,3 +299,35 @@ class TestSamplingShape:
         plan = plan_of(out)
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestCdxShape:
+    def test_parse_is_pure_jvm(self, spark):
+        """The CDX parse must stay split+from_json codegen — no Python."""
+        from nabu_spark.sources.cdx import latest_captures, parse_cdx
+
+        lines = spark.createDataFrame(
+            [('a,org)/p 20240101000000 {"url": "https://a.org/p", '
+              '"mime": "t", "status": "200", "digest": "D", "length": 1, '
+              '"offset": 0, "filename": "w.warc.gz"}',)],
+            "value string",
+        )
+        out = latest_captures(parse_cdx(lines))
+        plan = plan_of(out)
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_digest_dedup_single_aggregate_exchange(self, spark):
+        from nabu_spark.sources.cdx import digest_dedup, parse_cdx
+
+        lines = spark.createDataFrame(
+            [('a,org)/p 20240101000000 {"url": "https://a.org/p", '
+              '"mime": "t", "status": "200", "digest": "D", "length": 1, '
+              '"offset": 0, "filename": "w.warc.gz"}',)],
+            "value string",
+        )
+        plan = plan_of(digest_dedup(parse_cdx(lines)))
+        # partial agg below the shuffle, final above: map-side combine
+        # (min(url) on strings selects SortAggregate, not HashAggregate)
+        assert plan.count("Aggregate(") + plan.count("HashAggregate") >= 2
+        assert "partial" in plan.lower()
+        assert plan.count("Exchange") == 1
