@@ -1938,13 +1938,15 @@ def oracle_sql() -> dict[str, str]:
         "release_diff": f"""
             WITH old_q AS ({_kg_gen_sql("doc_id % 4 <> 1")}),
                  new_q AS ({_kg_gen_sql("doc_id % 5 <> 2")}),
+                 -- EXCEPT ALL: multiset semantics matching Spark exceptAll,
+                 -- so versions containing duplicate quads diff identically
                  added AS (
                    SELECT 'added' AS change, * FROM (
-                     SELECT * FROM new_q EXCEPT SELECT * FROM old_q
+                     SELECT * FROM new_q EXCEPT ALL SELECT * FROM old_q
                    )
                  ), removed AS (
                    SELECT 'removed' AS change, * FROM (
-                     SELECT * FROM old_q EXCEPT SELECT * FROM new_q
+                     SELECT * FROM old_q EXCEPT ALL SELECT * FROM new_q
                    )
                  )
             SELECT * FROM added UNION ALL SELECT * FROM removed

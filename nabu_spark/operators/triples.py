@@ -94,17 +94,21 @@ def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tupl
     return finish_quads(triples, obj_key, skolemize=skolemize)
 
 
-def _failed_prov(obj_key) -> str | None:
+def _failed_prov(obj_key) -> str:
     """URN for a failure lineage row: the doc's identity is known even when
     its content fails, which is what makes snapshot resume idempotent (a
-    recorded failure is not retried forever). None only when the key itself
-    is invalid."""
+    recorded failure is not retried forever).
+
+    Uses the SAME total transform as ``pipeline.with_prov_key`` ('/'->':')
+    rather than ``make_urn``: base64 obj_keys can contain '//' (std
+    alphabet), which MakeURN rejects per-object (urn.go:31-49) — but the
+    resume anti-join keys on with_prov_key's output, so a failure prov
+    derived any other way would never match and the failure row would be
+    re-appended on every resume. Keyless rows get a deterministic sentinel
+    so they too are recorded exactly once."""
     if obj_key is None:
-        return None
-    try:
-        return "<" + make_urn(obj_key) + ">"
-    except ValueError:
-        return None
+        return "<urn:iow:invalid>"
+    return "<urn:iow:" + str(obj_key).replace("/", ":") + ">"
 
 
 def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -101,12 +101,16 @@ def run_quads_stage(
 
 def with_prov_key(docs: DataFrame) -> DataFrame:
     """prov URN as a pure column expression (urn.go:31-49 semantics:
-    'urn:iow:' + key with '/'->':')."""
+    'urn:iow:' + key with '/'->':'). Total: null obj_keys map to the same
+    deterministic sentinel ``triples._failed_prov`` emits, so resume
+    anti-joins match every recorded row — including failures."""
     return docs.withColumn(
         "prov",
         F.concat(
             F.lit("<urn:iow:"),
-            F.regexp_replace(F.col("obj_key"), "/", ":"),
+            F.regexp_replace(
+                F.coalesce(F.col("obj_key"), F.lit("invalid")), "/", ":"
+            ),
             F.lit(">"),
         ),
     )

@@ -58,8 +58,10 @@ class SnapshotTable:
         return os.path.join(self.manifest_dir, f"v{version:06d}.json")
 
     def latest_version(self) -> int | None:
+        # int(name[1:-5]) — strip 'v' and '.json' — so versions beyond the
+        # %06d-formatted width (>= 1000000) still resolve correctly
         versions = [
-            int(name[1:7])
+            int(name[1:-5])
             for name in os.listdir(self.manifest_dir)
             if name.startswith("v") and name.endswith(".json")
         ]
@@ -192,12 +194,18 @@ class SnapshotTable:
         }
         return self._publish(manifest)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, *, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data directories referenced by NO manifest (crash debris,
-        discarded concurrent writes). Returns the removed directories."""
+        discarded concurrent writes). Returns the removed directories.
+
+        Only directories whose mtime is older than ``min_age_seconds`` are
+        removed — Iceberg's orphan-file age guard: a concurrent committer's
+        freshly written snap-<uuid> dir is unreferenced only for the window
+        between its parquet write and its manifest publish, so an age gate
+        keeps vacuum safe to run beside live commits."""
         referenced: set[str] = set()
         all_versions = [
-            int(name[1:7])
+            int(name[1:-5])
             for name in os.listdir(self.manifest_dir)
             if name.startswith("v") and name.endswith(".json")
         ]
@@ -207,9 +215,10 @@ class SnapshotTable:
         removed = []
         import shutil
 
+        cutoff = time.time() - min_age_seconds
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
-            if full not in referenced:
+            if full not in referenced and os.path.getmtime(full) < cutoff:
                 shutil.rmtree(full)
                 removed.append(full)
         return removed
@@ -306,7 +315,9 @@ def run_pipeline_snapshots(
             "left",
         )
     )
-    lineage_tbl.commit(lineage, operation="append", stage="lineage")
+    # overwrite, not append: lineage is recomputed over ALL raw_quads each
+    # run, so appending would leave N duplicated copies after N resumes
+    lineage_tbl.commit(lineage, operation="overwrite", stage="lineage")
 
     return {
         "docs": docs,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -54,6 +55,12 @@ class TestSnapshotTable:
         crash_dir = os.path.join(tbl.data_dir, "snap-crashed")
         _df(spark, 50, 99).write.parquet(crash_dir)
         assert tbl.read(spark).count() == 10
+        # fresh unreferenced dirs survive vacuum (a concurrent committer's
+        # pre-publish write looks exactly like this) — Iceberg age guard
+        assert tbl.vacuum() == []
+        # once older than the retention threshold, the debris is reclaimed
+        old = time.time() - 7200
+        os.utime(crash_dir, (old, old))
         removed = tbl.vacuum()
         assert crash_dir in removed
         assert tbl.read(spark).count() == 10  # committed files untouched
@@ -123,10 +130,15 @@ class TestSnapshotPipeline:
         docs_tbl = res1["tables"]["docs"]
         quads_v1 = res1["tables"]["quads"].latest_version()
 
+        n_lineage = res1["lineage"].count()
+
         # rerun over the same pages: nothing to do, no new snapshot
         res2 = run_pipeline_snapshots(spark, pages, out, salt=False)
         assert res2["tables"]["quads"].latest_version() == quads_v1
         assert res2["raw_quads"].count() == n_quads
+        # lineage is recomputed + overwritten each run, never duplicated
+        assert res2["lineage"].count() == n_lineage
+        assert res2["tables"]["lineage"].manifest()["operation"] == "overwrite"
 
         # grow the input: only the delta is processed (append snapshot)
         more = generate_pages(spark, 80)
@@ -137,6 +149,35 @@ class TestSnapshotPipeline:
         appended = res3["tables"]["docs"].manifest()
         assert appended["operation"] == "append"
         assert docs_tbl.read(spark, version=1).count() == 60  # time travel
+
+    def test_failure_prov_matches_resume_key(self, spark):
+        """Failure lineage rows carry the SAME prov the resume anti-join
+        keys on — including obj_keys containing '//' (an empty sitemap-id
+        segment produces 'summoned//<b64>.jsonld', which make_urn rejects;
+        base64 of valid UTF-8 itself can never yield '//' — the sextet
+        alignment puts '/' only at positions needing a 0xFF/0xFC+ byte)
+        and keyless rows (deterministic sentinel). If any failure prov
+        diverged from with_prov_key's output, the anti-join would
+        re-append that failure on every resume."""
+        from nabu_spark.operators.triples import docs_to_quads
+        from nabu_spark.pipeline import with_prov_key
+
+        docs = spark.createDataFrame(
+            [
+                ("https://ex.org/d1", "ex.org", "summoned//aGk=.jsonld", "{", None),
+                ("https://ex.org/x", "ex.org", None, "{}", "no_jsonld"),
+            ],
+            "url string, host string, obj_key string, doc string, error_code string",
+        )
+        quads = docs_to_quads(docs)
+        rows = quads.collect()
+        assert all(r["error_code"] is not None for r in rows)
+        assert all(r["prov"] is not None for r in rows)
+        # resume: every docs row's prov key is already recorded -> no redo
+        todo = with_prov_key(docs).join(
+            quads.select("prov").distinct(), "prov", "left_semi"
+        )
+        assert todo.count() == docs.count()
 
     def test_quads_match_non_snapshot_pipeline(self, spark, tmp_path):
         from nabu_spark.pipeline import run_pipeline
