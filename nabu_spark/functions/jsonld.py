@@ -97,24 +97,37 @@ class JsonLdError(ValueError):
     pass
 
 
-class _TermDef:
-    __slots__ = ("iri", "type_mapping", "language", "container")
+# tri-state marker: a term definition that does NOT mention @direction
+# (inherits the context default) vs one that sets it to null (cancels it)
+_DIR_UNSET = object()
 
-    def __init__(self, iri, type_mapping=None, language=None, container=None):
+# rdfDirection: "i18n-datatype" serialization (JSON-LD 1.1 toRdf §4.2;
+# json-gold carries direction through expansion at jsonld.go:73-87)
+I18N_NS = "https://www.w3.org/ns/i18n#"
+
+
+class _TermDef:
+    __slots__ = ("iri", "type_mapping", "language", "container", "direction")
+
+    def __init__(self, iri, type_mapping=None, language=None, container=None,
+                 direction=_DIR_UNSET):
         self.iri = iri
         self.type_mapping = type_mapping
         self.language = language
         self.container = container
+        self.direction = direction
 
 
 class Context:
-    __slots__ = ("terms", "vocab", "base", "language", "expand_cache", "alias_cache")
+    __slots__ = ("terms", "vocab", "base", "language", "direction",
+                 "expand_cache", "alias_cache")
 
     def __init__(self):
         self.terms: dict[str, _TermDef] = {}
         self.vocab: str | None = None
         self.base: str | None = None
         self.language: str | None = None
+        self.direction: str | None = None
         # per-context memos: shared contexts (the common web case) warm these
         # across documents; workers are single-threaded so plain dicts are fine
         self.expand_cache: dict = {}
@@ -126,6 +139,7 @@ class Context:
         c.vocab = self.vocab
         c.base = self.base
         c.language = self.language
+        c.direction = self.direction
         return c
 
 
@@ -224,6 +238,11 @@ def _create_term(ctx: Context, local: dict, term: str, defined: dict) -> None:
         lang = value.get("@language")
         if isinstance(lang, str) or lang is None and "@language" in value:
             td.language = lang
+        if "@direction" in value:
+            d = value["@direction"]
+            if d not in ("ltr", "rtl", None):
+                raise JsonLdError(f"invalid base direction for term {term!r}: {d!r}")
+            td.direction = d
         cont = value.get("@container")
         if isinstance(cont, str):
             td.container = cont
@@ -268,6 +287,11 @@ def process_context(active: Context, local: Any, *, strict_remote: bool = True) 
                 result.vocab = expanded if expanded else v
         if "@language" in item:
             result.language = item["@language"] if isinstance(item["@language"], str) else None
+        if "@direction" in item:
+            d = item["@direction"]
+            if d not in ("ltr", "rtl", None):
+                raise JsonLdError(f"invalid base direction: {d!r}")
+            result.direction = d
         defined: dict[str, bool] = {}
         for term in item:
             if term in ("@base", "@vocab", "@language", "@version", "@propagate", "@protected", "@import", "@direction"):
@@ -283,12 +307,17 @@ def _has_scheme(v: str) -> bool:
 
 
 class _ToRdfState:
-    __slots__ = ("triples", "bnode_counter", "bnode_map")
+    __slots__ = ("triples", "bnode_counter", "bnode_map", "rdf_direction")
 
-    def __init__(self):
+    def __init__(self, rdf_direction: str | None = None):
         self.triples: list[tuple[str, str, str]] = []
         self.bnode_counter = 0
         self.bnode_map: dict[str, str] = {}
+        # None (default): base direction is ignored, literals keep their
+        # plain language tag. "i18n-datatype": directional strings become
+        # "lex"^^<https://www.w3.org/ns/i18n#lang_dir> as pyld/json-gold do
+        # under the rdfDirection option.
+        self.rdf_direction = rdf_direction
 
     def fresh_bnode(self) -> str:
         label = f"_:b{self.bnode_counter}"
@@ -312,21 +341,9 @@ _RDF_REST_T = fmt_iri(RDF_REST)
 _RDF_NIL_T = fmt_iri(RDF_NIL)
 
 
-def _emit_literal(state, subj, pred_iri, value, datatype, language):
-    if isinstance(value, bool):
-        lex = "true" if value else "false"
-        dt = datatype or XSD_BOOLEAN
-        obj = fmt_literal(lex, dt if dt != XSD_BOOLEAN else XSD_BOOLEAN)
-    elif isinstance(value, (int, float)):
-        lex, dt = canonical_number(value, datatype)
-        obj = fmt_literal(lex, dt)
-    else:
-        obj = fmt_literal(str(value), datatype, language)
-    state.triples.append((_fmt_subject(subj), fmt_iri(pred_iri), obj))
-
-
-def _emit_literal_t(state, subj_t, pred_t, value, datatype, language):
-    """Hot-path twin of ``_emit_literal`` taking PRE-FORMATTED subject and
+def _emit_literal_t(state, subj_t, pred_t, value, datatype, language,
+                    direction=None):
+    """Literal emission taking PRE-FORMATTED subject and
     predicate terms (computed once per node/value instead of per triple).
     The plain-string case — no escaping, no datatype, no language, by far the
     dominant shape in web JSON-LD — skips fmt_literal entirely."""
@@ -339,6 +356,15 @@ def _emit_literal_t(state, subj_t, pred_t, value, datatype, language):
         obj = fmt_literal(lex, dt)
     else:
         lex = value if type(value) is str else str(value)
+        if (
+            direction is not None
+            and state.rdf_direction == "i18n-datatype"
+            and (datatype is None or datatype == XSD_STRING)
+        ):
+            # i18n datatype: "lex"^^<.../i18n#lang_dir>, language tag folded
+            # into the datatype IRI (empty lang -> 'i18n#_rtl')
+            datatype = I18N_NS + (language or "").lower() + "_" + direction
+            language = None
         if (
             language is None
             and (datatype is None or datatype == XSD_STRING)
@@ -567,13 +593,14 @@ def _process_values(state, ctx, subj, pred_iri, td, value, subj_t=None, pred_t=N
             # language tags (lowercased per spec), @none -> no tag; values
             # are strings or string arrays. Keys iterate sorted for
             # deterministic triple order.
+            map_dir = td.direction if td.direction is not _DIR_UNSET else ctx.direction
             for lang_key in sorted(value.keys()):
                 vals = value[lang_key]
                 no_tag = lang_key == "@none" or _alias_of(ctx, lang_key) == "@none"
                 lang = None if no_tag else lang_key.lower()
                 for v in vals if isinstance(vals, list) else [vals]:
                     if isinstance(v, str):
-                        _emit_literal_t(state, subj_t, pred_t, v, None, lang)
+                        _emit_literal_t(state, subj_t, pred_t, v, None, lang, map_dir)
             return
         if td is not None and td.container == "@index":
             # index map: index keys carry no RDF meaning and are dropped;
@@ -606,6 +633,7 @@ def _process_values(state, ctx, subj, pred_iri, td, value, subj_t=None, pred_t=N
                 return
             dtype = None
             lang = None
+            vdir = None
             for k in value:
                 kwname = ac.get(k, _MISS)
                 if kwname is _MISS:
@@ -614,14 +642,22 @@ def _process_values(state, ctx, subj, pred_iri, td, value, subj_t=None, pred_t=N
                     dtype = _expand_iri(ctx, value[k], vocab=True)
                 elif kwname == "@language" and isinstance(value[k], str):
                     lang = value[k]
+                elif kwname == "@direction" and value[k] in ("ltr", "rtl"):
+                    vdir = value[k]
             if dtype is None and lang is None and td is not None:
                 if td.type_mapping and td.type_mapping not in ("@id", "@vocab", "@json"):
                     dtype = td.type_mapping
                 elif td.language is not None:
                     lang = td.language or None
+            if vdir is None:
+                vdir = (
+                    td.direction
+                    if td is not None and td.direction is not _DIR_UNSET
+                    else ctx.direction
+                )
             if dtype is not None and not is_valid_iri(dtype):
                 return  # invalid datatype IRI -> literal dropped
-            _emit_literal_t(state, subj_t, pred_t, v, dtype, lang)
+            _emit_literal_t(state, subj_t, pred_t, v, dtype, lang, vdir)
             return
         if lkey is not None:
             items = value[lkey]
@@ -661,7 +697,12 @@ def _process_values(state, ctx, subj, pred_iri, td, value, subj_t=None, pred_t=N
             lang = td.language or None
         elif ctx.language:
             lang = ctx.language
-        _emit_literal_t(state, subj_t, pred_t, value, dtype, lang)
+        sdir = (
+            td.direction
+            if td is not None and td.direction is not _DIR_UNSET
+            else ctx.direction
+        )
+        _emit_literal_t(state, subj_t, pred_t, value, dtype, lang, sdir)
         return
     # number / bool
     dtype = None
@@ -693,11 +734,18 @@ def _emit_list(state, ctx, subj, pred_iri, td, items, subj_t=None, pred_t=None) 
             current = nxt
 
 
-def jsonld_to_triples(doc: Any, *, base: str | None = None) -> list[tuple[str, str, str]]:
+def jsonld_to_triples(
+    doc: Any, *, base: str | None = None, rdf_direction: str | None = None
+) -> list[tuple[str, str, str]]:
     """Convert a parsed JSON-LD document to a list of N-Triples term tuples
     ``(subj, pred, obj)`` (terms already serialized: ``<iri>``, ``_:bN``,
-    ``"lit"...``). Blank-node labels are doc-local (``_:b0`` ...)."""
-    state = _ToRdfState()
+    ``"lit"...``). Blank-node labels are doc-local (``_:b0`` ...).
+
+    ``rdf_direction="i18n-datatype"`` serializes base-direction strings
+    (context/term/value ``@direction``) as i18n-datatyped literals, matching
+    pyld/json-gold under the same option; the default (None) ignores
+    direction per the spec's default toRdf behavior."""
+    state = _ToRdfState(rdf_direction)
     ctx = Context()
     ctx.base = base
     nodes = doc if isinstance(doc, list) else [doc]

@@ -416,3 +416,112 @@ class TestJsonLdNest:
         t = sorted(jsonld_to_triples(doc))
         assert ("<http://ex.org/n6>", "<http://ex.org/child>", "<http://ex.org/c1>") in t
         assert ("<http://ex.org/c1>", "<http://ex.org/name>", '"kid"') in t
+
+
+class TestBaseDirection:
+    """@direction / rdfDirection="i18n-datatype" — shapes modeled on the
+    W3C JSON-LD 1.1 toRdf di-* suite; serialized forms match pyld and
+    json-gold (wrapped at internal/common/jsonld.go:73-87) under the
+    rdfDirection option."""
+
+    I18N = "https://www.w3.org/ns/i18n#"
+
+    def test_context_default_direction_with_language(self):
+        doc = {
+            "@context": {"@language": "ar", "@direction": "rtl",
+                         "title": "http://ex.org/title"},
+            "@id": "http://ex.org/d",
+            "title": "عنوان",
+        }
+        t = jsonld_to_triples(doc, rdf_direction="i18n-datatype")
+        assert t == [("<http://ex.org/d>", "<http://ex.org/title>",
+                      f'"عنوان"^^<{self.I18N}ar_rtl>')]
+
+    def test_default_mode_ignores_direction(self):
+        # rdfDirection unset (spec default): direction dropped, language kept
+        doc = {
+            "@context": {"@language": "ar", "@direction": "rtl",
+                         "title": "http://ex.org/title"},
+            "@id": "http://ex.org/d",
+            "title": "عنوان",
+        }
+        t = jsonld_to_triples(doc)
+        assert t == [("<http://ex.org/d>", "<http://ex.org/title>",
+                      '"عنوان"@ar')]
+
+    def test_direction_without_language(self):
+        doc = {
+            "@id": "http://ex.org/d",
+            "http://ex.org/t": {"@value": "x", "@direction": "ltr"},
+        }
+        t = jsonld_to_triples(doc, rdf_direction="i18n-datatype")
+        assert t == [("<http://ex.org/d>", "<http://ex.org/t>",
+                      f'"x"^^<{self.I18N}_ltr>')]
+
+    def test_value_object_direction_overrides_defaults(self):
+        doc = {
+            "@context": {"@direction": "ltr"},
+            "@id": "http://ex.org/d",
+            "http://ex.org/t": {"@value": "x", "@language": "he",
+                                "@direction": "rtl"},
+        }
+        t = jsonld_to_triples(doc, rdf_direction="i18n-datatype")
+        assert t == [("<http://ex.org/d>", "<http://ex.org/t>",
+                      f'"x"^^<{self.I18N}he_rtl>')]
+
+    def test_term_scoped_direction_and_null_cancel(self):
+        doc = {
+            "@context": {
+                "@direction": "rtl",
+                "a": {"@id": "http://ex.org/a", "@direction": "ltr"},
+                "b": {"@id": "http://ex.org/b", "@direction": None},
+            },
+            "@id": "http://ex.org/d",
+            "a": "one",
+            "b": "two",
+        }
+        t = sorted(jsonld_to_triples(doc, rdf_direction="i18n-datatype"))
+        assert t[0][2] == f'"one"^^<{self.I18N}_ltr>'
+        assert t[1][2] == '"two"'  # explicit null cancels the context default
+
+    def test_language_tag_lowercased_in_i18n_iri(self):
+        doc = {
+            "@id": "http://ex.org/d",
+            "http://ex.org/t": {"@value": "x", "@language": "EN-US",
+                                "@direction": "ltr"},
+        }
+        t = jsonld_to_triples(doc, rdf_direction="i18n-datatype")
+        assert t[0][2] == f'"x"^^<{self.I18N}en-us_ltr>'
+
+    def test_language_map_inherits_direction(self):
+        doc = {
+            "@context": {
+                "@direction": "rtl",
+                "label": {"@id": "http://ex.org/label",
+                          "@container": "@language"},
+            },
+            "@id": "http://ex.org/d",
+            "label": {"ar": "مرحبا"},
+        }
+        t = jsonld_to_triples(doc, rdf_direction="i18n-datatype")
+        assert t == [("<http://ex.org/d>", "<http://ex.org/label>",
+                      f'"مرحبا"^^<{self.I18N}ar_rtl>')]
+
+    def test_typed_value_unaffected_by_direction(self):
+        doc = {
+            "@context": {"@direction": "rtl"},
+            "@id": "http://ex.org/d",
+            "http://ex.org/t": {"@value": "x",
+                                "@type": "http://ex.org/Type"},
+        }
+        t = jsonld_to_triples(doc, rdf_direction="i18n-datatype")
+        assert t == [("<http://ex.org/d>", "<http://ex.org/t>",
+                      '"x"^^<http://ex.org/Type>')]
+
+    def test_invalid_direction_raises(self):
+        import pytest
+
+        with pytest.raises(JsonLdError):
+            jsonld_to_triples({"@context": {"@direction": "up"},
+                               "@id": "http://ex.org/d",
+                               "http://ex.org/t": "x"})
