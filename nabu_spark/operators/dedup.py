@@ -204,26 +204,45 @@ _PAIR_EXPLODE = (
 )
 
 
-def _observe_dropped(buckets: DataFrame, members_col: str, max_bucket: int, metric: str) -> DataFrame:
-    """Attach a named observation counting buckets (and member rows) dropped by
-    the ``max_bucket`` guardrail — in-stream, no extra job. Metrics surface via
-    the QueryExecutionListener / Observation API so reduced recall is visible."""
+def _observe_dropped(
+    buckets: DataFrame, members_col: str, max_bucket: int, metric: str,
+    observation=None,
+) -> DataFrame:
+    """Attach an observation counting buckets (and member rows) dropped by
+    the ``max_bucket`` guardrail — in-stream, no extra job. With a
+    ``pyspark.sql.Observation`` the caller reads ``observation.get`` after
+    any action (the data-loss accounting a 100-TB dedup needs); otherwise a
+    uniquely named observation surfaces through QueryExecutionListeners.
+
+    Caveat (pinned by TestDroppedBucketObservations): when the WHOLE query
+    result is empty, AQE's empty-relation propagation can eliminate the
+    CollectMetrics node and ``observation.get`` raises from an unschema'd
+    row — a Spark limitation, not a lost metric; any non-empty result (the
+    only realistic shape at scale) reports exact counts."""
     n = F.size(members_col)
+    target = (
+        observation
+        if observation is not None
+        else f"{metric}_dropped_{next(_OBS_SEQ)}"
+    )
     return buckets.observe(
-        f"{metric}_dropped_{next(_OBS_SEQ)}",
+        target,
         F.sum(F.when(n > max_bucket, 1).otherwise(0)).alias("dropped_buckets"),
         F.sum(F.when(n > max_bucket, n).otherwise(0)).alias("dropped_members"),
     )
 
 
-def candidate_pairs(bands_df: DataFrame, *, max_bucket: int = 64, metric: str = "minhash_lsh") -> DataFrame:
+def candidate_pairs(
+    bands_df: DataFrame, *, max_bucket: int = 64, metric: str = "minhash_lsh",
+    observation=None,
+) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs from shared LSH buckets.
     Oversized buckets (boilerplate) are dropped — the standard guardrail —
-    and the drop count is reported through a named observation."""
+    and the drop count is reported through an observation."""
     buckets = bands_df.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("id")).alias("ids")
     )
-    buckets = _observe_dropped(buckets, "ids", max_bucket, metric)
+    buckets = _observe_dropped(buckets, "ids", max_bucket, metric, observation)
     ok = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     pairs = ok.select(
         F.explode(F.expr(_PAIR_EXPLODE.format(c="ids"))).alias("p")
@@ -278,12 +297,17 @@ def minhash_dedup(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 5,
+    max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: verified (id_a, id_b, jaccard)."""
+    """Full MinHash-LSH near-dup pipeline: verified (id_a, id_b, jaccard).
+
+    ``observation``: optional ``pyspark.sql.Observation`` receiving the
+    dropped-bucket accounting (see ``_observe_dropped``)."""
     bands_df = minhash_bands(
         df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
-    pairs = candidate_pairs(bands_df)
+    pairs = candidate_pairs(bands_df, max_bucket=max_bucket, observation=observation)
     return verify_jaccard(
         pairs, df, id_col, text_col, shingle_k=shingle_k, threshold=threshold
     )
@@ -439,7 +463,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
-    max_bucket: int = 64,
+    max_bucket: int = 64, observation=None,
 ) -> DataFrame:
     """Near-dups by hamming distance: pigeonhole banding on four 16-bit
     chunks (distance <= 3 guarantees one identical chunk), verify popcount.
@@ -474,7 +498,7 @@ def simhash_near_dups(
             F.collect_set(F.struct(F.col("id"), F.col("simhash")))
         ).alias("members")
     )
-    buckets = _observe_dropped(buckets, "members", max_bucket, "simhash")
+    buckets = _observe_dropped(buckets, "members", max_bucket, "simhash", observation)
     ok = buckets.filter(
         (F.size("members") > 1) & (F.size("members") <= max_bucket)
     )
@@ -507,6 +531,7 @@ def embedding_near_dups(
     n_planes: int | None = None,  # legacy alias: single band of n planes
     seed: int = 42,
     max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """Cosine near-dup via banded random-hyperplane LSH (OR-construction):
     ``bands`` independent sign signatures of ``planes_per_band`` hyperplanes
@@ -553,6 +578,7 @@ def embedding_near_dups(
         sig.withColumnRenamed("bucket", "band_hash"),
         max_bucket=max_bucket,
         metric="embedding_lsh",
+        observation=observation,
     )
 
     # norms precomputed once per vector (O(n)), not per candidate pair

@@ -1049,3 +1049,165 @@ class TestJpegCodec:
         r = resize_image(encode_jpeg(self._img(64, 48)), 16)
         d = _decode_jpeg(r)
         assert max(d["width"], d["height"]) <= 16
+
+
+class TestDroppedBucketObservations:
+    """The max_bucket guardrail's data-loss accounting must actually surface
+    (VERDICT r3 task #6): an Observation passed into the operator reports
+    dropped bucket/member counts after any action — the lineage signal a
+    100-TB dedup run records instead of silently losing recall. Corpora mix
+    an oversized boilerplate cluster with surviving pairs: with a fully
+    empty result AQE's empty-relation propagation can drop the
+    CollectMetrics node (Spark limitation, documented at
+    dedup._observe_dropped)."""
+
+    def test_minhash_overcap_bucket_reported(self, spark):
+        from pyspark.sql import Observation
+
+        from nabu_spark.operators.dedup import minhash_dedup
+
+        # 40 identical docs -> every band has ONE bucket of 40 members,
+        # far over the cap of 8 -> dropped; the honest near-dup pair with
+        # its own small buckets survives
+        rows = [(i, "the same boilerplate page text repeated everywhere " * 3)
+                for i in range(40)]
+        rows += [(100, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+                 (101, "alpha beta gamma delta epsilon zeta eta theta " * 4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        obs = Observation("minhash_dropped")
+        out = minhash_dedup(
+            docs, "doc_id", "text", max_bucket=8, observation=obs
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert pairs == {(100, 101)}  # boilerplate cluster fully dropped
+        got = obs.get
+        assert got["dropped_buckets"] == 32   # 32 bands x 1 hot bucket
+        assert got["dropped_members"] == 32 * 40
+
+    def test_minhash_undercap_reports_zero(self, spark):
+        from pyspark.sql import Observation
+
+        from nabu_spark.operators.dedup import minhash_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+             (2, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+             (3, "completely different text about rivers and mountains " * 4)],
+            "doc_id long, text string",
+        )
+        obs = Observation("minhash_clean")
+        out = minhash_dedup(
+            docs, "doc_id", "text", max_bucket=64, observation=obs
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (1, 2) in pairs
+        got = obs.get
+        assert got["dropped_buckets"] == 0
+        assert got["dropped_members"] == 0
+
+    def test_simhash_overcap_bucket_reported(self, spark):
+        from pyspark.sql import Observation
+
+        from nabu_spark.operators.dedup import simhash_near_dups
+
+        rows = [(i, "identical template page " * 10) for i in range(30)]
+        rows += [(100, "some completely unrelated document about rivers " * 5),
+                 (101, "some completely unrelated document about rivers " * 5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        obs = Observation("simhash_dropped")
+        out = simhash_near_dups(
+            docs, "doc_id", "text", max_bucket=4, observation=obs
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert pairs == {(100, 101)}
+        got = obs.get
+        # four 16-bit chunks, each with one 30-member template bucket; the
+        # 2-member river bucket is under the cap
+        assert got["dropped_buckets"] == 4
+        assert got["dropped_members"] == 120
+
+
+class TestAnnRecallTelemetry:
+    def test_default_param_recall_meets_target(self, spark):
+        """Standing per-round gate (VERDICT r3 task #7): every ANN-family
+        operator at its SCALE DEFAULTS recalls >= 0.8 on the deterministic
+        clustered fixture. The contract gates run at exhaustive params;
+        this is the check that the defaults a user actually gets are sound."""
+        from nabu_spark.operators.similarity import ann_recall_report
+
+        rows = ann_recall_report(spark).collect()
+        assert {r["method"] for r in rows} == {
+            "lsh_topk", "ivf_topk", "embedding_near_dups", "minhash_dedup"
+        }
+        for r in rows:
+            assert r["meets_target"], (
+                f"{r['method']} default-param recall "
+                f"{r['recall_e4'] / 10000:.4f} < 0.8"
+            )
+
+
+class TestMp4Container:
+    """ISO-BMFF header walk (VERDICT r3 task #9): the synth writer and the
+    box parser are independent implementations of the spec's layout, so a
+    roundtrip pins both; hostile headers must error, never loop or crash."""
+
+    def test_roundtrip_metadata(self):
+        from nabu_spark.operators.multimodal import mp4_metadata, synth_mp4
+
+        b = synth_mp4(7, 48, 32, 20)
+        m = mp4_metadata(b)
+        assert m["brand"] == "isom"
+        assert abs(m["duration_s"] - 20 / 25) < 1e-9  # 25 fps timeline
+        (t,) = m["tracks"]
+        assert t["handler"] == "vide" and t["codec"] == "mp4v"
+        assert (t["width"], t["height"], t["n_samples"]) == (48, 32, 20)
+        assert m["mdat_bytes"] == 48 * 32 * 20
+
+    def test_keyframe_byte_offsets(self):
+        from nabu_spark.operators.multimodal import mp4_metadata, synth_mp4
+
+        w, h, frames = 16, 16, 20
+        b = synth_mp4(3, w, h, frames)
+        (t,) = mp4_metadata(b)["tracks"]
+        # sync sample every 8th frame, one chunk starting after ftyp+mdat
+        # headers: offsets advance by 8 * w*h per keyframe
+        offs = t["keyframe_offsets"]
+        assert len(offs) == 3  # samples 1, 9, 17
+        assert offs[1] - offs[0] == 8 * w * h
+        assert offs[2] - offs[1] == 8 * w * h
+        # first keyframe = first mdat payload byte
+        assert b[offs[0]:offs[0] + 1] != b""
+        assert offs[0] == b.index(b"mdat") + 4
+
+    def test_decode_media_routes_mp4(self, spark):
+        from nabu_spark.operators.multimodal import decode_media, synth_media
+
+        out = decode_media(synth_media(spark, 30)).collect()
+        by_id = {r["media_id"]: r for r in out}
+        # id=5: t=2 (video), odd -> MP4; formulas w=16+(5%8)*16, h=16+(5%5)*16
+        r = by_id[5]
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (96, 16)
+        assert r["n_frames"] == 8 + 5 % 24
+        assert r["payload_bytes"] == 96 * 16 * (8 + 5 % 24)
+
+    def test_hostile_headers_guarded(self):
+        import struct
+
+        import pytest
+
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            mp4_metadata,
+            synth_mp4,
+        )
+
+        good = synth_mp4(1, 16, 16, 8)
+        for evil in (
+            good[:20],                                   # truncated mid-box
+            good.replace(b"moov", b"xxxx", 1),           # no movie header
+            struct.pack(">I", 3) + b"ftyp" + b"\x00" * 8,  # size < header
+            good[:4] + b"ftyp" + struct.pack(">I", 1) + b"mdat" + b"\x00" * 4,
+        ):
+            with pytest.raises(MediaDecodeError):
+                mp4_metadata(evil)
