@@ -554,6 +554,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing recall telemetry for the ANN family at SCALE-DEFAULT
+    parameters on a deterministic planted-cluster fixture (the driver's
+    uniform embeddings have no neighbor structure, so recall there is
+    meaningless). No SQL oracle — the approx side depends on seeded numpy
+    hyperplanes/centroids — so the driver records the rows-only check;
+    tests/test_training_ops.py asserts every method meets the 0.8 target."""
+    from nabu_spark.operators.similarity import ann_recall_report
+
+    return ann_recall_report(spark).orderBy("method")
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.textstats import winnowing_fingerprints
 
@@ -1196,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ann_recall": q_ann_recall,
         "winnowing": q_winnowing,
         "multimodal_decode": q_multimodal_decode,
         "boilerplate": q_boilerplate,
@@ -2183,8 +2196,10 @@ def oracle_sql() -> dict[str, str]:
             -- Even-id image rows are REAL PNGs and id%4==1 image rows REAL
             -- baseline JPEGs (payload = decoded pixel bytes w*h*3), even-id
             -- video rows are REAL animated GIFs (payload = w*h*3*frames),
-            -- even-id audio rows REAL PCM WAVs — all decoded by the native
-            -- codecs; FAKE rows carry the 4x-sha256 = 128-byte payload
+            -- odd-id video rows REAL ISO-BMFF MP4s (payload = mdat bytes =
+            -- w*h*frames), even-id audio rows REAL PCM WAVs — all decoded
+            -- by the native codecs/parsers; FAKE rows carry the
+            -- 4x-sha256 = 128-byte payload
             SELECT i AS media_id,
                    (['image','audio','video'])[(i % 3) + 1] AS media_type,
                    CAST(CASE WHEN i % 3 = 1 AND i % 2 = 0
@@ -2201,6 +2216,9 @@ def oracle_sql() -> dict[str, str]:
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
                         WHEN i % 3 = 2 AND i % 2 = 0
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
+                                  * (8 + i % 24)
+                        WHEN i % 3 = 2
+                             THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16)
                                   * (8 + i % 24)
                         WHEN i % 3 = 1 AND i % 2 = 0
                              THEN (400 + (i % 50) * 16) * 2  -- 16-bit mono PCM

@@ -149,7 +149,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_probes: int = 8,
     n_tables: int = 3,
     seed: int = 42,
@@ -158,6 +158,13 @@ def lsh_topk(
     recall lever), each probed at the query's bucket plus its hamming-1
     neighbors; candidate union is exact-cosine re-ranked.
 
+    ``n_planes=None`` adapts to the corpus: ~64 vectors per bucket
+    (``clamp(ceil(log2(n/64)), 4, 20)``). The sizing count is metadata-only
+    on parquet sources (footer row counts), so the adaptive default stays
+    cheap at any scale; a fixed plane count on a small corpus scatters
+    everything into singleton buckets and recall collapses (the standing
+    ann_recall_report pins this).
+
     All tables' signatures come from ONE mapInPandas pass per side — the
     corpus is read once regardless of n_tables — and candidates are a single
     (table, bucket) equi-join. Per-table plane matrices keep the historical
@@ -165,6 +172,9 @@ def lsh_topk(
     former one-pass-per-table implementation at fixed seeds."""
     first = corpus.select(F.size(vec_col).alias("d")).first()
     dim = first["d"]
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = int(max(4, min(20, np.ceil(np.log2(max(n / 64.0, 2.0))))))
     probe_flips = [0] + [1 << i for i in range(min(n_probes, n_planes))]
     planes = np.stack(
         [np.random.RandomState(seed + t).normal(size=(n_planes, dim)) for t in range(n_tables)]
@@ -502,3 +512,107 @@ def ivf_topk_prebuilt(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- standing recall telemetry -----------------------------------------------
+
+
+def clustered_embeddings(spark, *, n_clusters: int = 40, per_cluster: int = 12,
+                         dim: int = 32, noise: float = 0.15, seed: int = 13):
+    """Deterministic planted-cluster fixture: unit-norm centers with small
+    per-point Gaussian noise — real neighbor structure, unlike the driver's
+    uniform-random embeddings, so recall is a meaningful number."""
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + noise * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def ann_recall_report(spark, *, k: int = 10, n_queries: int = 20,
+                      seed: int = 13) -> DataFrame:
+    """Standing per-round recall telemetry for the ANN family at its SCALE
+    DEFAULTS (VERDICT r3 task #7): the exact-oracle contract gates run at
+    deliberately exhaustive parameters, so this report tracks what the
+    default-parameter operators actually recall on clustered data.
+
+    Returns (method, recall_e4, n_truth, meets_target) — recall integer-scaled
+    so the row set is hash-stable. Everything upstream is deterministic
+    (fixed seeds), so the report is reproducible run to run."""
+    from .dedup import embedding_near_dups, minhash_dedup, shingles_of
+
+    emb = clustered_embeddings(spark, seed=seed).cache()
+    queries = emb.orderBy("vec_id").limit(n_queries)
+    exact = brute_force_topk(emb, queries, k=k).cache()
+    results = []
+    for method, approx in (
+        ("lsh_topk", lsh_topk(emb, queries, k=k)),
+        ("ivf_topk", ivf_topk(emb, queries, k=k)),
+    ):
+        rec = recall_at_k(exact, approx.cache(), k=k)
+        n_truth = exact.filter(F.col("rank") <= k).count()
+        results.append((method, int(round(rec * 10000)), n_truth, rec >= 0.8))
+
+    # embedding near-dup at default caps: planted twin pairs (cos ~ 0.97)
+    rng = np.random.RandomState(seed + 1)
+    base = rng.normal(size=(100, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        twin = v + 0.03 * rng.normal(size=32)
+        rows.append((2 * i + 1, [float(x) for x in twin]))
+    lone = rng.normal(size=(100, 32))
+    for j, v in enumerate(lone):
+        rows.append((1000 + j, [float(x) for x in v]))
+    pairs_emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(pairs_emb, threshold=0.95).collect()
+    }
+    truth = {(2 * i, 2 * i + 1) for i in range(100)}
+    hit = len(truth & found)
+    results.append(
+        ("embedding_near_dups", int(round(hit / len(truth) * 10000)),
+         len(truth), hit / len(truth) >= 0.8)
+    )
+
+    # minhash at default params: planted near-dup doc pairs (append-mutation
+    # keeps shingle Jaccard ~ 0.9, comfortably over the 0.7 default)
+    rngd = np.random.RandomState(seed + 2)
+    vocab = [f"w{i}" for i in range(800)]
+    doc_rows = []
+    truth_docs = set()
+    for g in range(60):
+        toks = [vocab[t] for t in rngd.randint(0, len(vocab), size=60)]
+        a_id, b_id = 2 * g, 2 * g + 1
+        extra = [vocab[t] for t in rngd.randint(0, len(vocab), size=4)]
+        doc_rows.append((a_id, " ".join(toks)))
+        doc_rows.append((b_id, " ".join(toks + extra)))
+        sa = shingles_of(" ".join(toks))
+        sb = shingles_of(" ".join(toks + extra))
+        if len(sa & sb) / len(sa | sb) >= 0.7:
+            truth_docs.add((a_id, b_id))
+    for j in range(80):
+        toks = [vocab[t] for t in rngd.randint(0, len(vocab), size=60)]
+        doc_rows.append((1000 + j, " ".join(toks)))
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    found_docs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(docs, "doc_id", "text").collect()
+    }
+    hit_d = len(truth_docs & found_docs)
+    results.append(
+        ("minhash_dedup", int(round(hit_d / len(truth_docs) * 10000)),
+         len(truth_docs), hit_d / len(truth_docs) >= 0.8)
+    )
+
+    return spark.createDataFrame(
+        results, "method string, recall_e4 int, n_truth long, meets_target boolean"
+    )
