@@ -64,11 +64,11 @@ _MIMES = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
 def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Deterministic media table (seeded by row id): image rows with even id
     are REAL 8-bit RGB PNGs and id%4==1 rows REAL baseline JPEGs, video
-    rows with even id are REAL animated GIFs, audio rows with even id are
-    REAL PCM WAVs (all exercising the native codecs); everything else is
-    the FAKE
-    plumbing format. Dimensions follow the same id formulas either way, so
-    the decoded header stays formula-recomputable by SQL."""
+    rows with even id are REAL animated GIFs and odd id REAL ISO-BMFF MP4s,
+    audio rows with even id are REAL PCM WAVs (all exercising the native
+    codecs/parsers); everything else is the FAKE plumbing format. Dimensions
+    follow the same id formulas either way, so the decoded header stays
+    formula-recomputable by SQL."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -89,6 +89,11 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
                     # even-id video rows are REAL animated GIFs
                     blob = synth_gif(i, w, h, frames)
                     mime = "image/gif"
+                elif t == 2:
+                    # odd-id video rows are REAL ISO-BMFF MP4s (container
+                    # metadata decode; mdat = frames x w*h-byte samples)
+                    blob = synth_mp4(i, w, h, frames)
+                    mime = "video/mp4"
                 elif t == 1 and i % 2 == 0:
                     # even-id audio rows are REAL 16-bit mono PCM WAVs with
                     # id-formula rate/length (decoded header SQL-recomputable)
@@ -348,6 +353,8 @@ def _decode_one(blob: bytes) -> dict:
         return _decode_gif(blob)
     if blob[:2] == b"\xff\xd8":
         return _decode_jpeg(blob)
+    if blob[4:8] == b"ftyp":
+        return _decode_mp4(blob)
     if blob[:4] == b"FAKE":
         if len(blob) < 17:
             raise MediaDecodeError("truncated media blob")
@@ -1430,3 +1437,275 @@ def synth_jpeg(i: int, w: int, h: int) -> bytes:
         axis=2,
     )
     return encode_jpeg(rgb)
+
+
+# --- ISO-BMFF (MP4) header walk ----------------------------------------------
+# Full video decode stays out of scope (no libav in this container), but the
+# CONTAINER is plain struct data: a from-scratch box walker extracts the
+# metadata multimodal curation needs — duration, per-track codec/resolution,
+# sample counts, and keyframe byte offsets (sync-sample table joined through
+# the sample-to-chunk map). Hostile-header-guarded like every codec here.
+
+
+def _box_iter(blob: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the boxes in
+    [start, end); guards against zero/overflowing sizes (no infinite walks
+    on hostile headers)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(blob[pos:pos + 4], "big")
+        fourcc = blob[pos + 4:pos + 8]
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise MediaDecodeError("MP4 truncated largesize box")
+            size = int.from_bytes(blob[pos + 8:pos + 16], "big")
+            header = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < header or pos + size > end:
+            raise MediaDecodeError(f"MP4 bad box size for {fourcc!r}")
+        yield fourcc, pos + header, pos + size
+        pos += size
+
+
+def _find_box(blob: bytes, start: int, end: int, path: list[bytes]):
+    """First box matching the fourcc path, as (payload_start, payload_end)."""
+    for fourcc, a, b in _box_iter(blob, start, end):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return a, b
+            return _find_box(blob, a, b, path[1:])
+    return None
+
+
+def _fullbox(blob: bytes, a: int):
+    """(version, payload_start_after_version_flags) of a full box."""
+    return blob[a], a + 4
+
+
+def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
+    tk = _find_box(blob, a, b, [b"tkhd"])
+    hd = _find_box(blob, a, b, [b"mdia", b"hdlr"])
+    if tk is None or hd is None:
+        return None
+    ver, p = _fullbox(blob, tk[0])
+    # tkhd: ver0 has 4-byte times, ver1 8-byte; width/height are the LAST
+    # two 16.16 fixed-point fields of the box
+    width = int.from_bytes(blob[tk[1] - 8:tk[1] - 4], "big") >> 16
+    height = int.from_bytes(blob[tk[1] - 4:tk[1]], "big") >> 16
+    # hdlr: version/flags(4) + pre_defined(4) + handler_type(4)
+    handler = blob[hd[0] + 8:hd[0] + 12].decode("latin1")
+    stbl = _find_box(blob, a, b, [b"mdia", b"minf", b"stbl"])
+    codec = None
+    n_samples = 0
+    keyframes: list[int] = []
+    if stbl is not None:
+        sa, sb = stbl
+        sd = _find_box(blob, sa, sb, [b"stsd"])
+        if sd is not None and sd[1] - sd[0] >= 16:
+            codec = blob[sd[0] + 12:sd[0] + 16].decode("latin1")
+        sz = _find_box(blob, sa, sb, [b"stsz"])
+        const_size = 0
+        sizes: list[int] = []
+        if sz is not None:
+            _, p = _fullbox(blob, sz[0])
+            const_size = int.from_bytes(blob[p:p + 4], "big")
+            n_samples = int.from_bytes(blob[p + 4:p + 8], "big")
+            if const_size == 0:
+                need = p + 8 + 4 * n_samples
+                if need > sz[1]:
+                    raise MediaDecodeError("MP4 truncated stsz table")
+                sizes = [
+                    int.from_bytes(blob[p + 8 + 4 * j:p + 12 + 4 * j], "big")
+                    for j in range(n_samples)
+                ]
+        ss = _find_box(blob, sa, sb, [b"stss"])
+        sync: list[int] = []
+        if ss is not None:
+            _, p = _fullbox(blob, ss[0])
+            cnt = int.from_bytes(blob[p:p + 4], "big")
+            if p + 4 + 4 * cnt > ss[1]:
+                raise MediaDecodeError("MP4 truncated stss table")
+            sync = [
+                int.from_bytes(blob[p + 4 + 4 * j:p + 8 + 4 * j], "big")
+                for j in range(cnt)
+            ]
+        co = _find_box(blob, sa, sb, [b"stco"])
+        sc = _find_box(blob, sa, sb, [b"stsc"])
+        if sync and co is not None and sc is not None:
+            _, p = _fullbox(blob, co[0])
+            n_chunks = int.from_bytes(blob[p:p + 4], "big")
+            if p + 4 + 4 * n_chunks > co[1]:
+                raise MediaDecodeError("MP4 truncated stco table")
+            chunk_offs = [
+                int.from_bytes(blob[p + 4 + 4 * j:p + 8 + 4 * j], "big")
+                for j in range(n_chunks)
+            ]
+            _, p = _fullbox(blob, sc[0])
+            n_ent = int.from_bytes(blob[p:p + 4], "big")
+            ents = []
+            for j in range(n_ent):
+                q = p + 4 + 12 * j
+                if q + 12 > sc[1]:
+                    raise MediaDecodeError("MP4 truncated stsc table")
+                ents.append((
+                    int.from_bytes(blob[q:q + 4], "big"),        # first_chunk
+                    int.from_bytes(blob[q + 4:q + 8], "big"),    # samples/chunk
+                ))
+            # expand sample -> (chunk, index-in-chunk), then byte offset
+            sample_pos: dict[int, int] = {}
+            sample_no = 1
+            for e_i, (first, per) in enumerate(ents):
+                last = (
+                    ents[e_i + 1][0] - 1 if e_i + 1 < len(ents) else n_chunks
+                )
+                for chunk in range(first, last + 1):
+                    off = chunk_offs[chunk - 1] if chunk <= n_chunks else 0
+                    for k in range(per):
+                        if sample_no in set(sync):
+                            sample_pos[sample_no] = off
+                        size_k = (
+                            const_size if const_size else
+                            (sizes[sample_no - 1] if sample_no <= len(sizes) else 0)
+                        )
+                        off += size_k
+                        sample_no += 1
+            keyframes = [sample_pos[s] for s in sync if s in sample_pos]
+    return {
+        "handler": handler,
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "n_samples": n_samples,
+        "keyframe_offsets": keyframes,
+    }
+
+
+def mp4_metadata(blob: bytes) -> dict:
+    """Parse an ISO-BMFF (MP4/MOV) container's metadata: brand, duration,
+    per-track handler/codec/resolution/sample-count, keyframe byte offsets,
+    and the mdat payload size. Pure stdlib box walk — no codec decode."""
+    if len(blob) < 16 or blob[4:8] != b"ftyp":
+        raise MediaDecodeError("not an ISO-BMFF file")
+    end = len(blob)
+    brand = blob[8:12].decode("latin1")
+    mdat_bytes = 0
+    for fourcc, a, b in _box_iter(blob, 0, end):
+        if fourcc == b"mdat":
+            mdat_bytes += b - a
+    mv = _find_box(blob, 0, end, [b"moov", b"mvhd"])
+    if mv is None:
+        raise MediaDecodeError("MP4 missing moov/mvhd")
+    ver, p = _fullbox(blob, mv[0])
+    if ver == 1:
+        timescale = int.from_bytes(blob[p + 16:p + 20], "big")
+        duration = int.from_bytes(blob[p + 20:p + 28], "big")
+    else:
+        timescale = int.from_bytes(blob[p + 8:p + 12], "big")
+        duration = int.from_bytes(blob[p + 12:p + 16], "big")
+    moov = _find_box(blob, 0, end, [b"moov"])
+    tracks = []
+    for fourcc, a, b in _box_iter(blob, moov[0], moov[1]):
+        if fourcc == b"trak":
+            t = _parse_track(blob, a, b)
+            if t is not None:
+                tracks.append(t)
+    return {
+        "brand": brand,
+        "duration_s": duration / timescale if timescale else 0.0,
+        "tracks": tracks,
+        "mdat_bytes": mdat_bytes,
+    }
+
+
+def _decode_mp4(blob: bytes) -> dict:
+    m = mp4_metadata(blob)
+    vid = next((t for t in m["tracks"] if t["handler"] == "vide"), None)
+    if vid is None:
+        raise MediaDecodeError("MP4 has no video track")
+    return {
+        "kind": "video",
+        "width": vid["width"],
+        "height": vid["height"],
+        "n_frames": vid["n_samples"],
+        "payload_bytes": m["mdat_bytes"],
+    }
+
+
+def _u32(v: int) -> bytes:
+    return v.to_bytes(4, "big")
+
+
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    return _u32(8 + len(payload)) + fourcc + payload
+
+
+def synth_mp4(i: int, w: int, h: int, n_frames: int) -> bytes:
+    """Deterministic minimal-but-valid MP4: ftyp + mdat (one chunk of
+    ``n_frames`` w*h-byte samples, deterministic pattern) + moov with one
+    video track (mp4v sample entry, constant sample size, sync sample every
+    8th frame). 25 fps timeline; byte-stable for a fixed (i, w, h, frames)."""
+    sample_size = w * h
+    payload = bytes(
+        ((np.arange(sample_size * n_frames, dtype=np.int64) + i) % 251)
+        .astype(np.uint8)
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + _u32(512) + b"isomiso2mp41")
+    mdat_off = len(ftyp) + 8  # payload starts after the mdat header
+    mdat = _mp4_box(b"mdat", payload)
+    timescale, fps = 1000, 25
+    duration = n_frames * timescale // fps
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + _u32(0) * 2 + _u32(timescale) + _u32(duration)
+        + _u32(0x00010000) + b"\x01\x00" + b"\x00" * 10
+        + _u32(0x00010000) + _u32(0) * 2 + _u32(0) + _u32(0x00010000) + _u32(0)
+        + _u32(0) * 2 + _u32(0x40000000) + _u32(0) * 6 + _u32(2),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x03" + _u32(0) * 2 + _u32(1) + _u32(0) + _u32(duration)
+        + _u32(0) * 2 + b"\x00" * 8
+        + _u32(0x00010000) + _u32(0) * 2 + _u32(0) + _u32(0x00010000) + _u32(0)
+        + _u32(0) * 2 + _u32(0x40000000)
+        + _u32(w << 16) + _u32(h << 16),
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + _u32(0) * 2 + _u32(fps) + _u32(n_frames)
+        + b"\x55\xc4\x00\x00",
+    )
+    hdlr = _mp4_box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + _u32(0) + b"vide" + _u32(0) * 3 + b"Video\x00",
+    )
+    entry = (
+        _u32(86) + b"mp4v" + b"\x00" * 6 + b"\x00\x01"
+        + b"\x00" * 16
+        + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+        + _u32(0x00480000) + _u32(0x00480000) + _u32(0) + b"\x00\x01"
+        + b"\x00" * 32 + b"\x00\x18" + b"\xff\xff"
+    )
+    stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00" + _u32(1) + entry)
+    stts = _mp4_box(b"stts", b"\x00\x00\x00\x00" + _u32(1) + _u32(n_frames) + _u32(1))
+    sync = list(range(1, n_frames + 1, 8))
+    stss = _mp4_box(
+        b"stss", b"\x00\x00\x00\x00" + _u32(len(sync)) + b"".join(_u32(s) for s in sync)
+    )
+    stsc = _mp4_box(
+        b"stsc", b"\x00\x00\x00\x00" + _u32(1) + _u32(1) + _u32(n_frames) + _u32(1)
+    )
+    stsz = _mp4_box(b"stsz", b"\x00\x00\x00\x00" + _u32(sample_size) + _u32(n_frames))
+    stco = _mp4_box(b"stco", b"\x00\x00\x00\x00" + _u32(1) + _u32(mdat_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+    vmhd = _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dref = _mp4_box(
+        b"dref", b"\x00\x00\x00\x00" + _u32(1) + _mp4_box(b"url ", b"\x00\x00\x00\x01")
+    )
+    dinf = _mp4_box(b"dinf", dref)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
