@@ -24,6 +24,46 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+STEAL_CLEAN_PCT = float(os.environ.get("BENCH_STEAL_CLEAN_PCT", "2.0"))
+MAX_RETRIES = int(os.environ.get("BENCH_NOISE_RETRIES", "3"))
+
+
+def _cpu_totals() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat's aggregate cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _measured(fn, *args):
+    """Run one benchmark leg and attach neighbor-noise telemetry: steal%
+    over the leg's own window (/proc/stat deltas) and the 1-min load at
+    start. Round 3 burned six scaling runs on noise detected only by the
+    hardware-ceiling control, by hand (VERDICT r3 task #8) — this records
+    the evidence per leg so discards are automatic and visible."""
+    load1 = os.getloadavg()[0]
+    s0, t0 = _cpu_totals()
+    result = fn(*args)
+    s1, t1 = _cpu_totals()
+    steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    return result, {"steal_pct": steal_pct, "load1_at_start": round(load1, 2)}
+
+
+def _measured_clean(fn, *args):
+    """Retry a leg until its steal%% is inside the clean band (or retries
+    exhaust); returns (result, telemetry, discarded_attempts)."""
+    discarded = []
+    for attempt in range(MAX_RETRIES + 1):
+        result, tele = _measured(fn, *args)
+        if tele["steal_pct"] <= STEAL_CLEAN_PCT or attempt == MAX_RETRIES:
+            tele["auto_discarded_attempts"] = discarded
+            tele["clean"] = tele["steal_pct"] <= STEAL_CLEAN_PCT
+            return result, tele
+        discarded.append(tele["steal_pct"])
+
+
 def run_bench(cores: int, n_pages: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env.update(
@@ -83,8 +123,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     levels = sorted({n for N in ns for n in (N, N * 4)})
-    hw = hardware_ceiling(levels)
-    bench = {n: run_bench(n, n_pages, sf_dir) for n in levels}
+    hw, hw_tele = _measured_clean(hardware_ceiling, levels)
+    bench, tele = {}, {}
+    for n in levels:
+        bench[n], tele[n] = _measured_clean(run_bench, n, n_pages, sf_dir)
 
     pairs = []
     for N in ns:
@@ -100,10 +142,23 @@ def main() -> None:
                 "efficiency": round(eff, 3),
                 "hw_ceiling_efficiency": round(hw_eff, 3),
                 "efficiency_vs_ceiling": round(eff / hw_eff, 3) if hw_eff else None,
+                "steal_pct_N": tele[N]["steal_pct"],
+                "steal_pct_4N": tele[N * 4]["steal_pct"],
+                "clean": tele[N]["clean"] and tele[N * 4]["clean"],
             }
         )
 
-    report = {"pages": n_pages, "pairs": pairs, "hw_docs_per_sec": hw, "bench": bench}
+    report = {
+        "pages": n_pages,
+        "pairs": pairs,
+        "hw_docs_per_sec": hw,
+        "bench": bench,
+        "noise_telemetry": {
+            "clean_band_steal_pct": STEAL_CLEAN_PCT,
+            "hw": hw_tele,
+            "legs": {str(n): tele[n] for n in levels},
+        },
+    }
     print(json.dumps(report))
 
     # round-over-round: compare against the previous run's raw report
@@ -132,15 +187,24 @@ resources with the nodes; this box cannot.
 
 ## KG pipeline scaling (pages -> skolemized, URN-tagged quads)
 
-| N -> 4N | triples/s @N | triples/s @4N | efficiency | hw ceiling eff | vs ceiling |
-|---|---|---|---|---|---|
+| N -> 4N | triples/s @N | triples/s @4N | efficiency | hw ceiling eff | vs ceiling | steal% N / 4N | clean |
+|---|---|---|---|---|---|---|---|
 """
     for p in pairs:
         md += (
             f"| local[{p['N']}] -> local[{p['4N']}] | {p['tput_N']} | {p['tput_4N']} "
-            f"| **{p['efficiency']}** | {p['hw_ceiling_efficiency']} | {p['efficiency_vs_ceiling']} |\n"
+            f"| **{p['efficiency']}** | {p['hw_ceiling_efficiency']} | {p['efficiency_vs_ceiling']} "
+            f"| {p['steal_pct_N']} / {p['steal_pct_4N']} | {'yes' if p['clean'] else 'NO'} |\n"
         )
+    n_auto_discards = sum(
+        len(t["auto_discarded_attempts"]) for t in report["noise_telemetry"]["legs"].values()
+    ) + len(hw_tele["auto_discarded_attempts"])
     md += f"""
+Noise guard: each leg records /proc/stat steal%% over its own window and the
+1-min load at start; legs with steal%% > {STEAL_CLEAN_PCT} are auto-retried
+(up to {MAX_RETRIES}x) and the discards recorded — no hand adjudication.
+Auto-discarded noisy attempts this run: {n_auto_discards}.
+
 Hardware kernel ceiling (docs/sec, plain multiprocessing): {json.dumps(hw)}
 
 ## Absolute throughput
