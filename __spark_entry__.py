@@ -2197,20 +2197,22 @@ def oracle_sql() -> dict[str, str]:
             -- baseline JPEGs (payload = decoded pixel bytes w*h*3), even-id
             -- video rows are REAL animated GIFs (payload = w*h*3*frames),
             -- odd-id video rows REAL ISO-BMFF MP4s (payload = mdat bytes =
-            -- w*h*frames), even-id audio rows REAL PCM WAVs — all decoded
-            -- by the native codecs/parsers; FAKE rows carry the
+            -- w*h*frames), even-id audio rows REAL PCM WAVs and odd-id
+            -- audio rows REAL Ogg/Vorbis-framed streams (same rate/sample
+            -- formulas) — all decoded by the native codecs/parsers; the
+            -- remaining FAKE rows (i%4=3 images) carry the
             -- 4x-sha256 = 128-byte payload
             SELECT i AS media_id,
                    (['image','audio','video'])[(i % 3) + 1] AS media_type,
-                   CAST(CASE WHEN i % 3 = 1 AND i % 2 = 0
-                             THEN 8000 + (i % 4) * 4000  -- WAV: sample rate
+                   CAST(CASE WHEN i % 3 = 1
+                             THEN 8000 + (i % 4) * 4000  -- WAV/OGG: rate
                              ELSE 16 + (i % 8) * 16 END AS INTEGER) AS width,
-                   CAST(CASE WHEN i % 3 = 1 AND i % 2 = 0
-                             THEN 1                      -- WAV: channels
+                   CAST(CASE WHEN i % 3 = 1
+                             THEN 1                      -- WAV/OGG: channels
                              ELSE 16 + (i % 5) * 16 END AS INTEGER) AS height,
                    CAST(CASE WHEN i % 3 = 0 THEN 1
-                        WHEN i % 3 = 1 AND i % 2 = 0
-                             THEN 400 + (i % 50) * 16    -- WAV: samples
+                        WHEN i % 3 = 1
+                             THEN 400 + (i % 50) * 16    -- WAV/OGG: samples
                              ELSE 8 + i % 24 END AS INTEGER) AS n_frames,
                    CAST(CASE WHEN i % 3 = 0 AND (i % 2 = 0 OR i % 4 = 1)
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16) * 3
@@ -2220,8 +2222,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN i % 3 = 2
                              THEN (16 + (i % 8) * 16) * (16 + (i % 5) * 16)
                                   * (8 + i % 24)
-                        WHEN i % 3 = 1 AND i % 2 = 0
-                             THEN (400 + (i % 50) * 16) * 2  -- 16-bit mono PCM
+                        WHEN i % 3 = 1
+                             THEN (400 + (i % 50) * 16) * 2  -- 16-bit mono
                              ELSE 128 END AS BIGINT) AS payload_bytes,
                    CAST(NULL AS VARCHAR) AS decode_error
             FROM range(0, 200) AS r(i)

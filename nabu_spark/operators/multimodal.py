@@ -100,6 +100,12 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
                     blob = synth_wav(i, rate=8000 + (i % 4) * 4000,
                                      n_samples=400 + (i % 50) * 16)
                     mime = "audio/wav"
+                elif t == 1:
+                    # odd-id audio rows are REAL Ogg/Vorbis-framed streams
+                    # with the SAME rate/sample formulas as the WAV rows
+                    blob = synth_ogg(i, rate=8000 + (i % 4) * 4000,
+                                     n_samples=400 + (i % 50) * 16)
+                    mime = "audio/ogg"
                 else:
                     payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
                     blob = b"FAKE" + struct.pack("<BIII", t, w, h, frames) + payload
@@ -355,6 +361,8 @@ def _decode_one(blob: bytes) -> dict:
         return _decode_jpeg(blob)
     if blob[4:8] == b"ftyp":
         return _decode_mp4(blob)
+    if blob[:4] == b"OggS":
+        return _decode_ogg(blob)
     if blob[:4] == b"FAKE":
         if len(blob) < 17:
             raise MediaDecodeError("truncated media blob")
@@ -1709,3 +1717,115 @@ def synth_mp4(i: int, w: int, h: int, n_frames: int) -> bytes:
     trak = _mp4_box(b"trak", tkhd + mdia)
     moov = _mp4_box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# --- Ogg container (Vorbis/Opus identification headers) ----------------------
+# Same posture as the MP4 walk: no audio decode (no libvorbis here), but the
+# CONTAINER framing is plain struct data — page walk, codec identification
+# from the first packet, duration from the final granule position.
+
+
+def ogg_metadata(blob: bytes) -> dict:
+    """Walk Ogg pages: codec (vorbis/opus from the BOS packet), channels,
+    sample rate, final granule position (total samples for audio streams),
+    and summed audio payload bytes. Hostile-header-guarded."""
+    if blob[:4] != b"OggS":
+        raise MediaDecodeError("not an Ogg stream")
+    pos = 0
+    codec = None
+    channels = rate = None
+    last_granule = 0
+    payload_bytes = 0
+    first = True
+    while pos + 27 <= len(blob):
+        if blob[pos:pos + 4] != b"OggS":
+            raise MediaDecodeError("Ogg page desync")
+        if blob[pos + 4] != 0:
+            raise MediaDecodeError("unsupported Ogg version")
+        granule = int.from_bytes(blob[pos + 6:pos + 14], "little")
+        n_seg = blob[pos + 26]
+        seg_table = blob[pos + 27:pos + 27 + n_seg]
+        if len(seg_table) < n_seg:
+            raise MediaDecodeError("Ogg truncated segment table")
+        body_len = sum(seg_table)
+        body_start = pos + 27 + n_seg
+        if body_start + body_len > len(blob):
+            raise MediaDecodeError("Ogg truncated page body")
+        body = blob[body_start:body_start + body_len]
+        if first:
+            # BOS packet: Vorbis id header or OpusHead
+            if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                rate = int.from_bytes(body[12:16], "little")
+            else:
+                raise MediaDecodeError("Ogg BOS packet is not Vorbis/Opus")
+            first = False
+        else:
+            payload_bytes += body_len
+        if granule not in (0xFFFFFFFFFFFFFFFF,):
+            last_granule = max(last_granule, granule)
+        pos = body_start + body_len
+    if pos != len(blob):
+        raise MediaDecodeError("Ogg trailing garbage")
+    if codec is None:
+        raise MediaDecodeError("Ogg stream with no pages")
+    return {
+        "codec": codec,
+        "channels": int(channels),
+        "sample_rate": int(rate),
+        "n_samples": int(last_granule),
+        "duration_s": last_granule / rate if rate else 0.0,
+        "payload_bytes": int(payload_bytes),
+    }
+
+
+def _decode_ogg(blob: bytes) -> dict:
+    m = ogg_metadata(blob)
+    return {
+        "kind": "audio",
+        "width": m["sample_rate"],
+        "height": m["channels"],
+        "n_frames": m["n_samples"],
+        "payload_bytes": m["payload_bytes"],
+    }
+
+
+def _ogg_page(serial: int, seq: int, granule: int, body: bytes,
+              header_type: int = 0) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    head = (
+        b"OggS" + b"\x00" + bytes([header_type])
+        + granule.to_bytes(8, "little") + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little") + b"\x00" * 4
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    return head + body
+
+
+def synth_ogg(i: int, rate: int = 8000, n_samples: int = 400) -> bytes:
+    """Deterministic Ogg/Vorbis-framed stream: BOS page with a real Vorbis
+    identification header (mono, ``rate``), one audio page whose payload is
+    2*n_samples deterministic bytes (16-bit-sample-sized, mirroring WAV),
+    EOS granule = n_samples. The audio payload is container-framed fill, not
+    encoded Vorbis packets — header/duration metadata is what decodes."""
+    id_header = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+        + rate.to_bytes(4, "little") + b"\x00" * 12 + b"\xb8" + b"\x01"
+    )
+    payload = bytes(
+        ((np.arange(2 * n_samples, dtype=np.int64) + i) % 253).astype(np.uint8)
+    )
+    return (
+        _ogg_page(i & 0x7FFFFFFF, 0, 0, id_header, header_type=2)
+        + _ogg_page(i & 0x7FFFFFFF, 1, n_samples, payload, header_type=4)
+    )

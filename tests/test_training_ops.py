@@ -1211,3 +1211,58 @@ class TestMp4Container:
         ):
             with pytest.raises(MediaDecodeError):
                 mp4_metadata(evil)
+
+
+class TestOggContainer:
+    def test_roundtrip_metadata(self):
+        from nabu_spark.operators.multimodal import ogg_metadata, synth_ogg
+
+        m = ogg_metadata(synth_ogg(5, 12000, 720))
+        assert m["codec"] == "vorbis"
+        assert (m["channels"], m["sample_rate"]) == (1, 12000)
+        assert m["n_samples"] == 720
+        assert abs(m["duration_s"] - 720 / 12000) < 1e-12
+        assert m["payload_bytes"] == 2 * 720
+
+    def test_opus_head_recognized(self):
+        from nabu_spark.operators.multimodal import _ogg_page, ogg_metadata
+
+        opus_id = (b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+                   + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+        blob = _ogg_page(9, 0, 0, opus_id, header_type=2) + _ogg_page(
+            9, 1, 9600, b"\x11" * 50, header_type=4
+        )
+        m = ogg_metadata(blob)
+        assert m["codec"] == "opus"
+        assert (m["channels"], m["sample_rate"]) == (2, 48000)
+        assert m["n_samples"] == 9600
+
+    def test_decode_media_routes_ogg(self, spark):
+        from nabu_spark.operators.multimodal import decode_media, synth_media
+
+        out = {r["media_id"]: r for r in decode_media(synth_media(spark, 30)).collect()}
+        # id=7: t=1 (audio), odd -> OGG; rate=8000+(7%4)*4000, samples=400+(7%50)*16
+        r = out[7]
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (20000, 1)
+        assert r["n_frames"] == 400 + 7 * 16
+        assert r["payload_bytes"] == 2 * (400 + 7 * 16)
+
+    def test_hostile_headers_guarded(self):
+        import pytest
+
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            ogg_metadata,
+            synth_ogg,
+        )
+
+        good = synth_ogg(1)
+        for evil in (
+            good[:20],                          # truncated mid-page
+            good.replace(b"OggS", b"XggS", 1),  # wrong capture pattern
+            good[:-3],                          # truncated body
+            good[:4] + b"\x09" + good[5:],      # unsupported version
+        ):
+            with pytest.raises(MediaDecodeError):
+                ogg_metadata(evil)
