@@ -75,6 +75,9 @@ class PropertyShape:
     and_shapes: list[str] = field(default_factory=list)  # sh:and member refs
     xone_shapes: list[str] = field(default_factory=list)  # sh:xone members
     severity: str = SEVERITY_VIOLATION  # sh:severity, default sh:Violation
+    qualified_shape: str | None = None  # sh:qualifiedValueShape ref
+    q_min: int | None = None            # sh:qualifiedMinCount
+    q_max: int | None = None            # sh:qualifiedMaxCount
     inverse: bool = False  # sh:path [ sh:inversePath p ]
     # sh:path ( p1 p2 ... ): sequence of (predicate, inverse) steps; when set,
     # `path` holds the SPARQL-style display form (^-prefixed inverse steps)
@@ -96,6 +99,11 @@ class NodeShape:
     and_shapes: list[str] = field(default_factory=list)
     xone_shapes: list[str] = field(default_factory=list)
     severity: str = SEVERITY_VIOLATION
+    closed: bool = False                    # sh:closed true
+    ignored_props: list[str] = field(default_factory=list)  # sh:ignoredProperties
+    cls: str | None = None        # node-level sh:class (focus must be typed C)
+    datatype: str | None = None   # node-level sh:datatype
+    node_kind: str | None = None  # node-level sh:nodeKind
 
 
 class ShapesGraph:
@@ -190,6 +198,16 @@ class ShapesGraph:
         for head in self._objs(s, _sh("xone")):
             shape.xone_shapes.extend(self._list_items(head))
         shape.severity = self._severity(s)
+        cls = self._objs(s, _sh("class"))
+        shape.cls = cls[0] if cls else None
+        dt = self._objs(s, _sh("datatype"))
+        shape.datatype = dt[0] if dt else None
+        nk = self._objs(s, _sh("nodeKind"))
+        shape.node_kind = nk[0] if nk else None
+        closed = self._objs(s, _sh("closed"))
+        shape.closed = bool(closed) and closed[0].startswith('"true"')
+        for head in self._objs(s, _sh("ignoredProperties")):
+            shape.ignored_props.extend(self._list_items(head))
         for ps in self._objs(s, _sh("property")):
             paths = self._objs(ps, _sh("path"))
             if not paths:
@@ -230,6 +248,10 @@ class ShapesGraph:
             for head in self._objs(ps, _sh("xone")):
                 prop.xone_shapes.extend(self._list_items(head))
             prop.severity = self._severity(ps)
+            qvs = self._objs(ps, _sh("qualifiedValueShape"))
+            prop.qualified_shape = qvs[0] if qvs else None
+            prop.q_min = self._int(ps, "qualifiedMinCount")
+            prop.q_max = self._int(ps, "qualifiedMaxCount")
             msg = self._objs(ps, _sh("message"))
             prop.message = unescape_literal(msg[0][1:-1]) if msg else None
             shape.properties.append(prop)
@@ -396,6 +418,14 @@ def _validate_node(
     if shape.or_alternatives:
         if not any(_check_alt(g, node, alt) for alt in shape.or_alternatives):
             out.append((node, "", "OrConstraint", f"node fails sh:or of {shape.shape_id}", sev))
+    if shape.cls is not None and shape.cls not in g.types.get(node, []):
+        out.append((node, "", "Class", f"node must be typed {shape.cls}", sev))
+    if shape.datatype is not None and (
+        not _is_literal(node) or _literal_parts(node)[1] != shape.datatype
+    ):
+        out.append((node, "", "Datatype", f"node datatype {shape.datatype}", sev))
+    if shape.node_kind == _sh("IRI") and not _is_iri(node):
+        out.append((node, "", "NodeKind", "node must be an IRI", sev))
     for ns in shape.not_shapes:
         if _conforms(sg, g, node, ns, depth):
             out.append((node, "", "Not", f"node must not conform to {ns}", sev))
@@ -408,6 +438,19 @@ def _validate_node(
             out.append((node, "", "Xone",
                         f"node conforms to {n_ok} sh:xone members of {shape.shape_id}, not exactly 1",
                         sev))
+    if shape.closed:
+        # sh:closed: only predicates that are simple forward paths of this
+        # shape's property shapes, plus sh:ignoredProperties, may appear on
+        # the focus node (rdf:type must be ignored EXPLICITLY, per spec)
+        allowed = {
+            p.pexpr[1] for p in shape.properties
+            if p.pexpr is not None and p.pexpr[0] == "p"
+        } | set(shape.ignored_props)
+        for pred in g.po.get(node, {}):
+            if pred not in allowed:
+                out.append((node, pred, "Closed",
+                            f"predicate not allowed by closed shape {shape.shape_id}",
+                            sev))
     for prop in shape.properties:
         psev = prop.severity
         pk = prop.pexpr[0] if prop.pexpr is not None else "p"
@@ -465,6 +508,16 @@ def _validate_node(
             if prop.node is not None:
                 if not _conforms(sg, g, v, prop.node, depth):
                     out.append((node, prop.path, "Node", prop.message or f"value fails {prop.node}", psev))
+        if prop.qualified_shape is not None:
+            n_q = sum(
+                1 for v in values if _conforms(sg, g, v, prop.qualified_shape, depth)
+            )
+            if prop.q_min is not None and n_q < prop.q_min:
+                out.append((node, prop.path, "QualifiedMinCount",
+                            prop.message or f"qualifiedMinCount {prop.q_min}", psev))
+            if prop.q_max is not None and n_q > prop.q_max:
+                out.append((node, prop.path, "QualifiedMaxCount",
+                            prop.message or f"qualifiedMaxCount {prop.q_max}", psev))
 
 
 def validate_graph(

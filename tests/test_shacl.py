@@ -530,3 +530,95 @@ ex:InvSeq a sh:NodeShape ;
             ("<https://schema.org/b>", True),
             ("<https://schema.org/a>", True),
         ]
+
+
+class TestClosedAndQualified:
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    def test_closed_shape(self):
+        sg = parse_shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:C a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:closed true ;
+    sh:ignoredProperties ( rdf:type ) ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ] .
+""")
+        ok = [
+            ("<http://d.org/p>", self.RDF_TYPE, "<https://schema.org/Place>"),
+            ("<http://d.org/p>", "<https://schema.org/name>", '"x"'),
+        ]
+        conforms, res = validate_graph(sg, ok)
+        assert conforms, res
+        extra = ok + [("<http://d.org/p>", "<https://schema.org/color>", '"red"')]
+        conforms, res = validate_graph(sg, extra)
+        assert not conforms
+        assert any(r[2] == "Closed" and r[1] == "<https://schema.org/color>"
+                   for r in res)
+
+    def test_closed_requires_explicit_rdf_type_ignore(self):
+        # per spec, rdf:type is NOT implicitly allowed on a closed shape
+        sg = parse_shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:C a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:closed true ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ] .
+""")
+        g = [
+            ("<http://d.org/p>", self.RDF_TYPE, "<https://schema.org/Place>"),
+            ("<http://d.org/p>", "<https://schema.org/name>", '"x"'),
+        ]
+        conforms, res = validate_graph(sg, g)
+        assert not conforms
+        assert any(r[2] == "Closed" and r[1] == self.RDF_TYPE for r in res)
+
+    def _qualified_sg(self):
+        return parse_shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:Q a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:property [
+        sh:path schema:provider ;
+        sh:qualifiedValueShape [ sh:class schema:Organization ] ;
+        sh:qualifiedMinCount 1 ;
+        sh:qualifiedMaxCount 2 ;
+    ] .
+""")
+
+    def _ds(self, providers):
+        g = [("<http://d.org/d>", self.RDF_TYPE, "<https://schema.org/Dataset>")]
+        for i, is_org in enumerate(providers):
+            p = f"<http://d.org/prov{i}>"
+            g.append(("<http://d.org/d>", "<https://schema.org/provider>", p))
+            if is_org:
+                g.append((p, self.RDF_TYPE, "<https://schema.org/Organization>"))
+        return g
+
+    def test_qualified_min_count(self):
+        sg = self._qualified_sg()
+        # one conforming provider among non-conforming ones: OK
+        conforms, res = validate_graph(sg, self._ds([True, False]))
+        assert conforms, res
+        # zero conforming: QualifiedMinCount
+        conforms, res = validate_graph(sg, self._ds([False, False]))
+        assert not conforms
+        assert any(r[2] == "QualifiedMinCount" for r in res)
+        # plain sh:class would have failed the [True, False] case — the
+        # qualified form only requires SOME values to conform
+
+    def test_qualified_max_count(self):
+        sg = self._qualified_sg()
+        conforms, res = validate_graph(sg, self._ds([True, True, True]))
+        assert not conforms
+        assert any(r[2] == "QualifiedMaxCount" for r in res)
