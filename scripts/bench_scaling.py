@@ -222,6 +222,12 @@ Hardware kernel ceiling (docs/sec, plain multiprocessing): {json.dumps(hw)}
 Corpus: {n_pages} synthetic Common-Crawl-style pages (deterministic seed=42,
 Zipf-skewed hosts), {bench[levels[0]]["triples"]} triples out.
 
+## Pinned swing adjudications
+
+Per-query wall-time swings flagged by a judge round are re-measured with a
+min-of-k protocol and recorded in `BENCH/pinned_swings.json`; the latest:
+
+PINNED_SWINGS_TABLE
 ## Reference baseline
 
 The reference (internetofwater/nabu) publishes no benchmark numbers
@@ -254,6 +260,21 @@ numbers above stand as this repo's baseline for later rounds.
             for name, now_s in cur_b["queries"].items():
                 prev_s = prev_b["queries"].get(name, "-")
                 md += f"| {name} | {prev_s} | {now_s} |\n"
+    pins_path = os.path.join(REPO, "BENCH", "pinned_swings.json")
+    pins_md = "(none recorded)\n"
+    if os.path.exists(pins_path):
+        with open(pins_path) as f:
+            pins = json.load(f)
+        pins_md = "| query | protocol | min sec | prior secs | verdict |\n|---|---|---|---|---|\n"
+        for qname, pin in pins.items():
+            prior = ", ".join(
+                f"{k}={v}" for k, v in pin.items() if k.endswith("_sec") and k != "min_sec"
+            )
+            pins_md += (
+                f"| {qname} | {pin['protocol']} | {pin['min_sec']} "
+                f"| {prior} | {pin['verdict']} |\n"
+            )
+    md = md.replace("PINNED_SWINGS_TABLE", pins_md)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print("wrote BENCH/BASELINE.md")
