@@ -117,6 +117,10 @@ def main() -> None:
     # BENCH_QUERIES=0 skips the operator suite (the scaling protocol only
     # needs the KG headline; 4 parallelism levels x 54 queries is pure waste)
     qs = ent.queries() if os.environ.get("BENCH_QUERIES", "1") != "0" else {}
+    # ann_recall is standing recall TELEMETRY (dozens of sub-jobs on its own
+    # synthetic fixture), not an operator whose wall time belongs in the
+    # suite comparison — correctness gates it; pytest asserts its target
+    qs.pop("ann_recall", None)
     for name, fn in qs.items():
         best = float("inf")
         try:
