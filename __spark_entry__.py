@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -564,6 +566,40 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.similarity import ann_recall_report
 
     return ann_recall_report(spark).orderBy("method")
+
+
+_MOJIBAKE_SUFFIX = " café — don’t ü"
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair proven by exact inversion: the corpus (ASCII body +
+    a non-ASCII suffix) is deterministically corrupted with the classic
+    UTF-8-misdecoded-as-cp1252 defect inside the query, detected
+    (pure-codegen marker counts), then repaired through the operator — the
+    oracle is simply the ORIGINAL text, plus the constant marker count of
+    the corrupted suffix."""
+    from nabu_spark.operators.encoding import (
+        corrupt_text,
+        fix_mojibake,
+        mojibake_stats,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat("text", F.lit(_MOJIBAKE_SUFFIX)).alias("text")
+    )
+
+    @F.pandas_udf("string")
+    def corrupt(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: corrupt_text(t))
+
+    corrupted = docs.select("doc_id", corrupt("text").alias("text"))
+    stats = mojibake_stats(corrupted, "doc_id", "text")
+    fixed = fix_mojibake(corrupted, "doc_id", "text")
+    return (
+        fixed.join(stats, "doc_id")
+        .select("doc_id", "fixed", "repair_rounds", "n_markers")
+        .orderBy("doc_id")
+    )
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "repetition": q_repetition,
         "clean_text": q_clean_text,
+        "fix_mojibake": q_fix_mojibake,
         "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
@@ -1528,6 +1565,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ws ON d.doc_id = ws.doc_id
             LEFT JOIN bs ON d.doc_id = bs.doc_id
             ORDER BY d.doc_id
+        """,
+        "fix_mojibake": """
+            -- repair must exactly invert the in-query corruption: the
+            -- oracle is the ORIGINAL (uncorrupted) text; the corrupted
+            -- suffix ' caf\u00c3\u00a9 ...' carries exactly 4 markers
+            SELECT doc_id,
+                   text || ' caf\u00e9 \u2014 don\u2019t \u00fc' AS fixed,
+                   1 AS repair_rounds,
+                   4 AS n_markers
+            FROM documents ORDER BY doc_id
         """,
         "clean_text": """
             WITH aug AS (

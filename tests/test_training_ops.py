@@ -1266,3 +1266,57 @@ class TestOggContainer:
         ):
             with pytest.raises(MediaDecodeError):
                 ogg_metadata(evil)
+
+
+class TestMojibakeRepair:
+    def test_single_and_double_encoding_inverted(self):
+        from nabu_spark.operators.encoding import corrupt_text, fix_text
+
+        clean = "café ü ñ"
+        for times in (1, 2, 3):
+            fixed, rounds = fix_text(corrupt_text(clean, times))
+            assert fixed == clean and rounds == times
+
+    def test_clean_text_untouched(self):
+        from nabu_spark.operators.encoding import fix_text
+
+        for s in ("plain ascii", "naïve clean résumé", "中文 mixed clean", ""):
+            fixed, rounds = fix_text(s)
+            assert fixed == s and rounds == 0
+
+    def test_mixed_mojibake_and_cjk_whole_string_semantics(self):
+        from nabu_spark.operators.encoding import fix_text
+
+        # whole-string rule: CJK cannot re-encode to cp1252, so the row
+        # passes through rather than being partially (riskily) repaired
+        s = "Ã© plus 中文"
+        assert fix_text(s) == (s, 0)
+
+    def test_idempotence(self):
+        from nabu_spark.operators.encoding import corrupt_text, fix_text
+
+        once = fix_text(corrupt_text("café — don’t ü"))[0]
+        assert fix_text(once)[0] == once
+
+    def test_operator_and_detection(self, spark):
+        from nabu_spark.operators.encoding import (
+            corrupt_text,
+            fix_mojibake,
+            mojibake_stats,
+        )
+
+        rows = [
+            (1, corrupt_text("voilà café")),
+            (2, "totally clean text"),
+            (3, corrupt_text("café ü", times=2)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {r["doc_id"]: r for r in
+                 mojibake_stats(df, "doc_id", "text").collect()}
+        assert stats[1]["suspect"] and stats[3]["suspect"]
+        assert not stats[2]["suspect"] and stats[2]["n_markers"] == 0
+        fixed = {r["doc_id"]: r for r in
+                 fix_mojibake(df, "doc_id", "text").collect()}
+        assert fixed[1]["fixed"] == "voilà café" and fixed[1]["repair_rounds"] == 1
+        assert fixed[2]["fixed"] == "totally clean text"
+        assert fixed[3]["fixed"] == "café ü" and fixed[3]["repair_rounds"] == 2
