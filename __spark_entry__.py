@@ -568,6 +568,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_report(spark).orderBy("method")
 
 
+def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-lite main-content extraction over article-shaped pages: nav
+    chrome and the link-dense footer drop, headline + body text survive —
+    the expected output is a closed-form function of (doc_id, text)."""
+    from nabu_spark.functions.html_text import pages_to_text
+    from nabu_spark.sources.documents import content_pages_from_documents
+
+    pages = content_pages_from_documents(spark, sf_dir)
+    return pages_to_text(pages).orderBy("url")
+
+
 _MOJIBAKE_SUFFIX = " café — don’t ü"
 
 
@@ -1236,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "clean_text": q_clean_text,
         "fix_mojibake": q_fix_mojibake,
+        "html_main_text": q_html_main_text,
         "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
         # rows-only (numpy-backed; no portable SQL equivalent)
@@ -1565,6 +1577,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ws ON d.doc_id = ws.doc_id
             LEFT JOIN bs ON d.doc_id = bs.doc_id
             ORDER BY d.doc_id
+        """,
+        "html_main_text": """
+            SELECT 'https://corpus' || (doc_id % 10) ||
+                   '.example.org/doc/' || doc_id AS url,
+                   'Document ' || doc_id || ' of the synthetic corpus'
+                     || chr(10) || chr(10) || text AS main_text,
+                   2 AS blocks_kept,
+                   2 AS blocks_dropped
+            FROM documents ORDER BY url
         """,
         "fix_mojibake": """
             -- repair must exactly invert the in-query corruption: the

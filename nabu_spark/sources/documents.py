@@ -121,3 +121,31 @@ def bnode_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         jsonld.alias("text"),
         F.col("lang").alias("lang"),
     )
+
+
+def content_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with article-shaped HTML (nav chrome + headline + body text +
+    link footer) for the main-text extraction path. Pure JVM column
+    construction; the expected extraction output is a closed-form function
+    of (doc_id, text), so the gate oracle recomputes it in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>doc</title><script>var x=1;</script></head>'
+              '<body><nav><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/about">About</a></li></ul></nav>'
+              '<h1>Document '),
+        F.col("doc_id"),
+        F.lit(' of the synthetic corpus</h1><p>'),
+        F.col("text"),
+        F.lit('</p><p>Tag cloud</p><div><p><a href="/tos">Terms of service '
+              'legal link footer</a></p></div></body></html>'),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://corpus"),
+            F.pmod(F.col("doc_id"), F.lit(10)),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        html.cast("binary").alias("html"),
+    )

@@ -1320,3 +1320,67 @@ class TestMojibakeRepair:
         assert fixed[1]["fixed"] == "voilà café" and fixed[1]["repair_rounds"] == 1
         assert fixed[2]["fixed"] == "totally clean text"
         assert fixed[3]["fixed"] == "café ü" and fixed[3]["repair_rounds"] == 2
+
+
+class TestHtmlMainText:
+    def test_chrome_dropped_content_kept(self):
+        from nabu_spark.functions.html_text import extract_main_text
+
+        html = """<html><head><script>var x=1;</script><style>p{}</style></head>
+        <body><nav><a href="/">Home</a> <a href="/a">A</a> <a href="/b">B</a></nav>
+        <h1>A Real Headline About Something Important</h1>
+        <p>First real paragraph with plenty of informative content to keep.</p>
+        <p>Short.</p>
+        <ul><li><a href="/t1">tag one link</a> <a href="/t2">tag two link</a></li></ul>
+        <p>Second substantial paragraph that also carries enough prose to stay.</p>
+        <div><p><a href="/tos">Terms of Service and other legal footer links</a></p></div>
+        </body></html>"""
+        text, kept, dropped = extract_main_text(html)
+        assert text.split("\n\n") == [
+            "A Real Headline About Something Important",
+            "First real paragraph with plenty of informative content to keep.",
+            "Second substantial paragraph that also carries enough prose to stay.",
+        ]
+        assert kept == 3
+        assert dropped == 3  # short p, link-dense li, link-dense footer p
+
+    def test_nested_blocks_classified_once(self):
+        from nabu_spark.functions.html_text import extract_main_text
+
+        html = ("<body><blockquote><p>A nested paragraph inside a blockquote "
+                "with plenty of characters.</p></blockquote></body>")
+        text, kept, dropped = extract_main_text(html)
+        assert kept == 1 and dropped == 0
+        assert text.startswith("A nested paragraph")
+
+    def test_link_density_boundary(self):
+        from nabu_spark.functions.html_text import extract_main_text
+
+        # half the characters inside the anchor: density == 0.5 -> kept
+        inner = "x" * 30
+        html = f"<body><p>{inner}<a href='/'>{inner}</a></p></body>"
+        _, kept, _ = extract_main_text(html)
+        assert kept == 1
+        html = f"<body><p>{inner[:10]}<a href='/'>{inner}</a></p></body>"
+        _, kept, dropped = extract_main_text(html)
+        assert kept == 0 and dropped == 1
+
+    def test_entities_and_bytes_input(self):
+        from nabu_spark.functions.html_text import extract_main_text
+
+        html = b"<body><p>caf&eacute; &amp; cream &#8212; a fine pairing indeed</p></body>"
+        text, kept, _ = extract_main_text(html)
+        assert kept == 1
+        assert text == "café & cream — a fine pairing indeed"
+
+    def test_operator_error_rows(self, spark):
+        from nabu_spark.functions.html_text import pages_to_text
+
+        pages = spark.createDataFrame(
+            [("u1", b"<body><p>A normal paragraph with enough text to be kept here.</p></body>"),
+             ("u2", None)],
+            "url string, html binary",
+        )
+        out = {r["url"]: r for r in pages_to_text(pages).collect()}
+        assert out["u1"]["blocks_kept"] == 1
+        assert out["u2"]["main_text"] == "" and out["u2"]["blocks_kept"] == 0
