@@ -109,6 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--to-version", type=int, help="target (for: rollback)")
     sn.add_argument("--no-salt", action="store_true")
+
+    cu = sub.add_parser(
+        "curate",
+        help="webtext curation: pages (url, html) or docs (doc_id, text) -> "
+             "training-ready documents + funnel report",
+    )
+    src = cu.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet with (url, html binary)")
+    src.add_argument("--docs", help="parquet with (doc_id, text[, url])")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--lang", help="keep only this predicted language")
+    cu.add_argument("--near-dup-threshold", type=float, default=0.7)
+    cu.add_argument("--cap-per-host", type=int)
     return p
 
 
@@ -343,6 +356,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = spark.read.parquet(os.path.join(args.out, "same_as")).count()
         print(json.dumps({"cmd": "link", "same_as": n}))
+        return 0
+
+    if args.cmd == "curate":
+        from .curate import curate_corpus, docs_from_pages
+
+        if args.pages:
+            docs = docs_from_pages(spark.read.parquet(args.pages))
+        else:
+            docs = spark.read.parquet(args.docs)
+        curated, report = curate_corpus(
+            docs,
+            lang=args.lang,
+            near_dup_threshold=args.near_dup_threshold,
+            cap_per_host=args.cap_per_host,
+        )
+        out_path = os.path.join(args.out, "curated")
+        curated.write.mode("overwrite").parquet(out_path)
+        with open(os.path.join(args.out, "curate_report.json"), "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps({"cmd": "curate", **report}))
         return 0
 
     if args.cmd == "snap":

@@ -1,0 +1,93 @@
+"""End-to-end webtext curation funnel: pages/docs -> curated corpus.
+
+The flagship composition (nabu_spark/curate.py): main-text extraction,
+mojibake repair, hygiene, language/quality gates, exact + near-dup dedup,
+per-host cap — with a single-aggregation funnel report."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.curate import curate_corpus, curate_pages
+from nabu_spark.operators.encoding import corrupt_text
+
+VOCAB = ["river", "mountain", "forest", "valley", "stream", "meadow",
+         "canyon", "ridge", "lake", "marsh", "field", "grove"]
+
+
+def _text(seed: int, n: int = 80) -> str:
+    r = random.Random(seed)
+    return " ".join(r.choice(VOCAB) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"https://site{i % 4}.example.org/p/{i}", _text(i))
+            for i in range(20)]
+    rows += [
+        (100, "https://site0.example.org/p/100", _text(3)),   # exact dup of 3
+        (101, "https://site1.example.org/p/101",
+         _text(5) + " extra meadow words appended"),          # near dup of 5
+        (102, "https://site2.example.org/p/102", "short text"),  # gopher fail
+        (103, "https://site3.example.org/p/103",
+         corrupt_text(_text(9) + " café voilà")),  # mojibake near-dup of 9
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+class TestCurateCorpus:
+    def test_funnel_and_survivors(self, spark, corpus):
+        out, report = curate_corpus(corpus)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == list(range(20))
+        assert report["n_input"] == 24
+        assert report["n_mojibake_repaired"] == 1
+        assert report["n_quality_ok"] == 23          # 102 fails gopher
+        assert report["n_exact_unique"] == 22        # 100 removed
+        # 101 (textual near-dup) AND 103 (near-dup only AFTER mojibake
+        # repair — the repair stage is what makes it findable)
+        assert report["n_near_dup_removed"] == 2
+        assert report["n_curated"] == 20
+        assert report["lsh_dropped_buckets"] == 0
+
+    def test_cap_per_host(self, spark, corpus):
+        out, report = curate_corpus(corpus, cap_per_host=3)
+        per_host = (
+            out.withColumn("_h", F.parse_url(F.col("url"), F.lit("HOST")))
+            .groupBy("_h").count().collect()
+        )
+        assert all(r["count"] <= 3 for r in per_host)
+        assert report["n_curated"] == sum(r["count"] for r in per_host)
+
+    def test_pages_path(self, spark):
+        from nabu_spark.sources.documents import content_pages_from_documents
+
+        pages = content_pages_from_documents(spark, "/root/testdata/sf0.001")
+        out, report = curate_pages(spark, pages)
+        assert report["n_input"] == out.sparkSession.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).count()
+        # extraction keeps headline + body; ids are xxhash64(url), url kept
+        assert {"doc_id", "url", "text"} <= set(out.columns)
+        assert report["n_curated"] > 0
+
+
+class TestCurateCli:
+    def test_cli_roundtrip(self, spark, corpus, tmp_path, capsys):
+        from nabu_spark.cli import main
+
+        docs_path = str(tmp_path / "docs")
+        corpus.write.parquet(docs_path)
+        out = str(tmp_path / "curated_out")
+        rc = main(["curate", "--docs", docs_path, "--out", out])
+        assert rc == 0
+        printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert printed["n_curated"] == 20
+        curated = spark.read.parquet(f"{out}/curated")
+        assert curated.count() == 20
+        with open(f"{out}/curate_report.json") as fh:
+            assert json.load(fh)["n_input"] == 24
