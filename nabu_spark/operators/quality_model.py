@@ -72,10 +72,31 @@ def build_quality_pipeline(
 def train_quality_model(
     labeled: DataFrame, text_col: str = "text", *, num_features: int = 1 << 18
 ):
-    """Fit the classifier on (text, label) rows -> PipelineModel."""
-    return build_quality_pipeline(
-        text_col, num_features=num_features
-    ).fit(labeled)
+    """Fit the classifier on (text, label) rows -> PipelineModel.
+
+    The fitted model is round-tripped through disk to DROP the training
+    summary: LogisticRegressionModel.trainingSummary holds the
+    SparkSession, and the scoring UDF's closure serializes the whole model
+    — which explodes with NotSerializableException(ObservationManager) once
+    ANY Observation has been used in the session (the session's lazily
+    created observationManager field is not Serializable; Spark 4.1 classic
+    bug observed under test). Save/load is the supported way to detach the
+    summary, and the model artifact is tiny."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    model = build_quality_pipeline(text_col, num_features=num_features).fit(
+        labeled
+    )
+    tmp = tempfile.mkdtemp(prefix="quality_model_")
+    try:
+        path = f"{tmp}/model"
+        model.write().overwrite().save(path)
+        return PipelineModel.load(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(

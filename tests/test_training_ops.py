@@ -253,9 +253,14 @@ class TestMultimodal:
         media = synth_media(spark, 30).cache()
         decoded = decode_media(media).cache()
         assert decoded.filter(F.col("decode_error").isNotNull()).count() == 0
+        # id=7 is an odd audio row — now a REAL Ogg stream: width/height
+        # are rate/channels; id=3 (i%4==3 image) is still the FAKE format
         row = decoded.filter(F.col("media_id") == 7).first()
-        assert row["width"] == 16 + (7 % 8) * 16
-        assert row["height"] == 16 + (7 % 5) * 16
+        assert row["width"] == 8000 + (7 % 4) * 4000
+        assert row["height"] == 1
+        row = decoded.filter(F.col("media_id") == 3).first()
+        assert row["width"] == 16 + (3 % 8) * 16
+        assert row["height"] == 16 + (3 % 5) * 16
 
     def test_bad_blob_is_row_level_error(self, spark):
         bad = spark.createDataFrame(
