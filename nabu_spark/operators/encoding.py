@@ -75,9 +75,27 @@ def mojibake_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def fix_mojibake(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, fixed, repair_rounds): one Arrow pass, no shuffle. Rows the
-    repair does not apply to pass through unchanged (rounds=0)."""
+def fix_mojibake(
+    df: DataFrame, id_col: str, text_col: str, *, route_suspects: bool = True
+) -> DataFrame:
+    """(id, fixed, repair_rounds): narrow passes, no shuffle. Rows the
+    repair does not apply to pass through unchanged (rounds=0).
+
+    ``route_suspects`` (default): pure-ASCII rows — the overwhelming web
+    majority — bypass the Python pass entirely via a codegen pre-filter
+    (mojibake ALWAYS contains non-ASCII chars, so the route has zero false
+    negatives: fix_text on ASCII is the identity). Only the non-ASCII
+    minority crosses into Arrow."""
+    if route_suspects:
+        non_ascii = F.col(text_col).rlike(r"[^\x00-\x7F]")
+        clean = df.filter(~F.coalesce(non_ascii, F.lit(False))).select(
+            F.col(id_col),
+            F.col(text_col).alias("fixed"),
+            F.lit(0).alias("repair_rounds"),
+        )
+        sus = df.filter(F.coalesce(non_ascii, F.lit(False)))
+        fixed_sus = fix_mojibake(sus, id_col, text_col, route_suspects=False)
+        return clean.unionByName(fixed_sus)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

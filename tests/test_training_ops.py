@@ -1389,3 +1389,23 @@ class TestHtmlMainText:
         out = {r["url"]: r for r in pages_to_text(pages).collect()}
         assert out["u1"]["blocks_kept"] == 1
         assert out["u2"]["main_text"] == "" and out["u2"]["blocks_kept"] == 0
+
+
+class TestMojibakeRouting:
+    def test_ascii_rows_bypass_python(self, spark):
+        """route_suspects: pure-ASCII rows never enter the Arrow stage —
+        the physical plan's Python side sees only the non-ASCII branch."""
+        from nabu_spark.operators.encoding import fix_mojibake
+
+        df = spark.createDataFrame(
+            [(1, "ascii only"), (2, "cafÃ© suspect"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = fix_mojibake(df, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one MapInPandas node, fed by the non-ASCII filter
+        assert plan.count("MapInPandas") == 1
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["fixed"] == "ascii only" and rows[1]["repair_rounds"] == 0
+        assert rows[2]["fixed"] == "café suspect" and rows[2]["repair_rounds"] == 1
+        assert rows[3]["fixed"] is None and rows[3]["repair_rounds"] == 0
