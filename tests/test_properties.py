@@ -361,3 +361,96 @@ class TestBpeProperties:
             longer = {p: i for i, p in enumerate(merges)}
             for w, _ in freqs:
                 assert len(encode_word(w, longer)) <= len(encode_word(w, ranks))
+
+
+class TestContainerFuzz:
+    """Hostile-input properties for the round-4 container parsers and the
+    encoding repair: parsers either parse or raise MediaDecodeError —
+    never hang, loop, or throw anything else; repair never corrupts."""
+
+    @given(st.integers(1, 64), st.integers(1, 64), st.integers(1, 40),
+           st.integers(0, 1 << 31))
+    @settings(max_examples=30, deadline=None)
+    def test_mp4_roundtrip_any_shape(self, w, h, frames, i):
+        from nabu_spark.operators.multimodal import mp4_metadata, synth_mp4
+
+        m = mp4_metadata(synth_mp4(i, w, h, frames))
+        (t,) = m["tracks"]
+        assert (t["width"], t["height"], t["n_samples"]) == (w, h, frames)
+        assert m["mdat_bytes"] == w * h * frames
+        assert len(t["keyframe_offsets"]) == (frames + 7) // 8
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_mp4_parser_never_crashes(self, blob):
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            mp4_metadata,
+        )
+
+        try:
+            mp4_metadata(b"\x00\x00\x00\x10ftypisom" + blob)
+        except MediaDecodeError:
+            pass
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_ogg_parser_never_crashes(self, blob):
+        from nabu_spark.operators.multimodal import (
+            MediaDecodeError,
+            ogg_metadata,
+        )
+
+        try:
+            ogg_metadata(b"OggS" + blob)
+        except MediaDecodeError:
+            pass
+
+    @given(st.integers(6000, 48000), st.integers(1, 5000), st.integers(0, 1 << 31))
+    @settings(max_examples=30, deadline=None)
+    def test_ogg_roundtrip_any_shape(self, rate, n_samples, i):
+        from nabu_spark.operators.multimodal import ogg_metadata, synth_ogg
+
+        m = ogg_metadata(synth_ogg(i, rate, n_samples))
+        assert m["sample_rate"] == rate and m["n_samples"] == n_samples
+        assert m["payload_bytes"] == 2 * n_samples
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=500, deadline=None)
+    def test_fix_text_total_and_idempotent(self, s):
+        from nabu_spark.operators.encoding import fix_text
+
+        fixed, rounds = fix_text(s)
+        assert 0 <= rounds <= 3
+        # idempotent: a repaired string is a fixed point
+        assert fix_text(fixed)[0] == fixed
+        # ASCII is always untouched
+        if s.isascii():
+            assert fixed == s and rounds == 0
+
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2122,
+                               blacklist_characters="\x7f"),
+        max_size=80,
+    ))
+    @settings(max_examples=300, deadline=None)
+    def test_fix_text_inverts_corruption_when_encodable(self, s):
+        from nabu_spark.operators.encoding import corrupt_text, fix_text
+
+        try:
+            corrupted = corrupt_text(s)
+        except UnicodeDecodeError:
+            return  # hits a cp1252 hole — corrupter itself cannot produce it
+        fixed, _ = fix_text(corrupted)
+        # the repair must recover the original UNLESS the original was
+        # already a fixable-looking string (double-corruption ambiguity:
+        # fix may peel one extra layer, which is then also a fixed point)
+        assert fixed in (s, fix_text(s)[0])
+
+    @given(st.binary(min_size=0, max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_html_text_never_crashes(self, blob):
+        from nabu_spark.functions.html_text import extract_main_text
+
+        text, kept, dropped = extract_main_text(blob)
+        assert isinstance(text, str) and kept >= 0 and dropped >= 0
