@@ -613,6 +613,25 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard assignment by EXACT global running token total
+    (two-level prefix sum: range partition -> per-partition subtotal
+    offsets -> windowed cumsum; no single-partition window)."""
+    from nabu_spark.operators.shards import assign_shards
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")).alias("_raw"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("n_tokens"),
+    ).drop("_raw")
+    out = assign_shards(docs, target_tokens=5000)
+    return out.select("doc_id", "n_tokens", "shard").orderBy("doc_id")
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.textstats import winnowing_fingerprints
 
@@ -1247,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "clean_text": q_clean_text,
         "fix_mojibake": q_fix_mojibake,
+        "shard_assign": q_shard_assign,
         "html_main_text": q_html_main_text,
         "bbox_join": q_bbox_join,
         "cosine_topk": q_cosine_topk,
@@ -1586,6 +1606,19 @@ def oracle_sql() -> dict[str, str]:
                    2 AS blocks_kept,
                    2 AS blocks_dropped
             FROM documents ORDER BY url
+        """,
+        "shard_assign": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS int) AS n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - 1)
+                        / 5000) AS int) AS shard
+            FROM t ORDER BY doc_id
         """,
         "fix_mojibake": """
             -- repair must exactly invert the in-query corruption: the

@@ -562,3 +562,75 @@ class TestQualityModel:
         a = {r["doc_id"]: r["quality_prob"] for r in s1.collect()}
         b = {r["doc_id"]: r["quality_prob"] for r in s2.collect()}
         assert a == b
+
+
+class TestShardExport:
+    def _docs(self, spark, n=400):
+        from pyspark.sql import functions as F
+
+        return spark.range(0, n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text "), F.col("id")).alias("text"),
+            (F.col("id") % 97 + 10).alias("n_tokens"),
+        )
+
+    def test_assignment_matches_serial_cumsum(self, spark):
+        from nabu_spark.operators.shards import assign_shards
+
+        rows = assign_shards(
+            self._docs(spark), target_tokens=1000
+        ).orderBy("doc_id").collect()
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["shard"] == (cum - 1) // 1000
+
+    def test_partition_count_invariance(self, spark):
+        """The two-level prefix sum gives the SAME assignment at any
+        parallelism — the cluster-size-independence a reproducible corpus
+        build requires."""
+        from nabu_spark.operators.shards import assign_shards
+
+        docs = self._docs(spark)
+        a = {(r["doc_id"], r["shard"]) for r in
+             assign_shards(docs, target_tokens=777, num_partitions=1).collect()}
+        b = {(r["doc_id"], r["shard"]) for r in
+             assign_shards(docs, target_tokens=777, num_partitions=13).collect()}
+        assert a == b
+
+    def test_shard_fill_property(self, spark):
+        from pyspark.sql import functions as F
+
+        from nabu_spark.operators.shards import assign_shards
+
+        out = assign_shards(self._docs(spark), target_tokens=1000)
+        sums = (
+            out.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+            .orderBy("shard").collect()
+        )
+        max_doc = 97 + 10
+        for r in sums[:-1]:  # every shard but the last is full
+            assert 1000 - max_doc < r["t"] <= 1000 + max_doc
+
+    def test_write_jsonl_roundtrip(self, spark, tmp_path):
+        import gzip
+        import glob
+        import json
+
+        from nabu_spark.operators.shards import write_jsonl_shards
+
+        out = str(tmp_path / "shards")
+        manifest = write_jsonl_shards(
+            self._docs(spark, 120), out, target_tokens=1000
+        )
+        assert sum(s["rows"] for s in manifest["shards"]) == 120
+        files = glob.glob(f"{out}/data/shard=*/*.txt.gz")
+        assert files
+        seen = []
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                for line in fh:
+                    seen.append(json.loads(line))
+        assert len(seen) == 120
+        assert {d["id"] for d in seen} == set(range(120))
+        assert all(d["text"] == f"text {d['id']}" for d in seen)
