@@ -621,13 +621,12 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.lower("text"), "[^a-z0-9]+")).alias("_raw"),
         F.size(
             F.filter(
                 F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
             )
         ).alias("n_tokens"),
-    ).drop("_raw")
+    )
     out = assign_shards(docs, target_tokens=5000)
     return out.select("doc_id", "n_tokens", "shard").orderBy("doc_id")
 
