@@ -245,10 +245,9 @@ def strip_boilerplate(
     )
 
 
-def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Gopher-style filter rules (Rae et al. 2021, public) as pure codegen
-    exprs: token-count bounds, mean word length bounds, alphabetic-token
-    ratio, symbol ratio. Returns per-doc feature values + the pass flag."""
+def gopher_exprs(text_col: str) -> dict:
+    """The Gopher rule expressions as named Columns — reusable join-free
+    (the streaming funnel inlines them on its own frame)."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     mean_wl = F.when(
@@ -271,13 +270,27 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         & (alpha_ratio >= 0.8)
         & (symbol_ratio <= 0.1)
     )
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": mean_wl,
+        "alpha_ratio": alpha_ratio,
+        "symbol_ratio": symbol_ratio,
+        "gopher_pass": passed,
+    }
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style filter rules (Rae et al. 2021, public) as pure codegen
+    exprs: token-count bounds, mean word length bounds, alphabetic-token
+    ratio, symbol ratio. Returns per-doc feature values + the pass flag."""
+    e = gopher_exprs(text_col)
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        passed.alias("gopher_pass"),
+        e["n_tokens"].alias("n_tokens"),
+        F.round(e["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(e["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(e["symbol_ratio"], 4).alias("symbol_ratio"),
+        e["gopher_pass"].alias("gopher_pass"),
     )
 
 
