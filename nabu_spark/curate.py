@@ -12,18 +12,41 @@ production corpus build runs them:
       -> near-dup dedup            (MinHash LSH -> cluster survivors)
       -> optional per-host cap     (linkgraph.stratified_cap)
 
-Scale shape: stages 1-4 are ONE fused narrow pass each (no shuffle); the
-funnel report for the gate stages comes from a single aggregation over the
-annotated frame — not a .count() per stage — so the report costs one job,
-and the only shuffles in the whole flow are the dedup ones (content-hash
-groupBy, LSH band join, CC pointer jumping) plus the optional cap's window.
-Dropped-bucket accounting from the LSH stage is surfaced in the report via
-the Observation API.
+Scale shape: repair + hygiene run as ONE fused Arrow pass that carries
+every other column through (no doc_id re-join — joining narrow stage
+outputs back would shuffle the text column once per stage), and the
+language/Gopher gates are inline codegen expressions on the same frame;
+the funnel report comes from a single aggregation over the annotated frame
+— not a .count() per stage. The only shuffles in the whole flow are the
+dedup ones (content-hash groupBy, LSH band join, CC pointer jumping) plus
+the optional cap's window; plan-gated in tests/test_curate.py.
 """
 
 from __future__ import annotations
 
+import re
+import unicodedata
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+# the clean_text kernel's exact regex semantics (textstats.clean_text)
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_WS_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+def fix_clean_kernel(s: str | None) -> tuple[str | None, int]:
+    """Mojibake repair + unicode hygiene for one document — the shared
+    per-row kernel of the batch and streaming funnels (byte-equal to
+    composing encoding.fix_text with textstats.clean_text)."""
+    from .operators.encoding import fix_text
+
+    if s is None:
+        return None, 0
+    s, rounds = fix_text(s)
+    s = unicodedata.normalize("NFC", s)
+    return _WS_RE.sub(" ", _CTRL_RE.sub("", s)).strip(), rounds
 
 
 def docs_from_pages(pages: DataFrame) -> DataFrame:
@@ -54,34 +77,46 @@ def curate_corpus(
     """Run the gate + dedup funnel over (id, text[, url]) documents.
     Returns (curated DataFrame, report dict with per-stage counts)."""
     from .operators.dedup import dedup_survivors, exact_dedup, minhash_dedup
-    from .operators.encoding import fix_mojibake
-    from .operators.textstats import clean_text, gopher_quality_flags, lang_id
+    from .operators.textstats import gopher_exprs, lang_scores
 
     other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
 
-    # stages 2-3: repair + hygiene, narrow passes joined back on id
-    fixed = fix_mojibake(docs, id_col, text_col).select(
-        F.col(id_col), F.col("fixed").alias(text_col), "repair_rounds"
+    # stages 2-3: repair + hygiene as ONE fused Arrow pass that carries all
+    # other columns through (no doc_id re-join -> no text shuffle)
+    in_schema = dict(docs.dtypes)
+    out_schema = ", ".join(
+        [f"`{id_col}` {in_schema[id_col]}"]
+        + [f"`{c}` {in_schema[c]}" for c in other_cols]
+        + [f"`{text_col}` string", "repair_rounds int"]
     )
-    cleaned = (
-        clean_text(fixed, id_col, text_col)
-        .select(F.col(id_col), F.col("clean_text").alias(text_col))
-        .join(fixed.select(id_col, "repair_rounds"), id_col)
-    )
-    if other_cols:
-        cleaned = cleaned.join(docs.select(id_col, *other_cols), id_col)
 
-    # stages 4-5: ANNOTATE both gates, then ONE aggregation for the funnel
-    # (no per-stage .count() jobs), then filter
+    def fix_clean_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts, rounds = [], []
+            for t in pdf[text_col]:
+                f_t, r = fix_clean_kernel(t)
+                texts.append(f_t)
+                rounds.append(r)
+            out = pdf[[id_col] + other_cols].copy()
+            out[text_col] = pd.Series(texts, dtype="object")
+            out["repair_rounds"] = pd.Series(rounds, dtype="int32")
+            yield out
+
+    cleaned = docs.mapInPandas(fix_clean_batches, out_schema)
+
+    # stages 4-5: ANNOTATE both gates inline (codegen, join-free), then ONE
+    # aggregation for the funnel (no per-stage .count() jobs), then filter
+    scored = cleaned.select("*", *lang_scores(text_col))
+    lang_cols = [c[len("score_"):] for c in scored.columns
+                 if c.startswith("score_")]
+    best = F.greatest(*[F.col(f"score_{x}") for x in lang_cols])
+    pred = F.when(best == 0, F.lit("und"))
+    for x in lang_cols:  # first max wins, deterministic (lang_id parity)
+        pred = pred.when(F.col(f"score_{x}") == best, F.lit(x))
     annotated = (
-        lang_id(cleaned, text_col)
-        .select(cleaned.columns + ["lang_pred"])
-        .join(
-            gopher_quality_flags(cleaned, id_col, text_col).select(
-                id_col, "gopher_pass"
-            ),
-            id_col,
-        )
+        scored.withColumn("lang_pred", pred)
+        .select(*cleaned.columns, "lang_pred")
+        .withColumn("gopher_pass", gopher_exprs(text_col)["gopher_pass"])
         .withColumn(
             "lang_ok",
             F.lit(True) if lang is None else (F.col("lang_pred") == lang),

@@ -25,22 +25,16 @@ corpus builds).
 
 from __future__ import annotations
 
-import re
-import unicodedata
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-# the clean_text kernel's exact regex semantics (textstats.clean_text)
-_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-_WS_RE = re.compile(r"[ \t\n\r\f]+")
-
 
 def _extract_fix_clean(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..curate import fix_clean_kernel
     from ..functions.html_text import extract_main_text
-    from ..operators.encoding import fix_text
 
     for pdf in it:
         texts = []
@@ -49,10 +43,7 @@ def _extract_fix_clean(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 t, _, _ = extract_main_text(body)
             except Exception:
                 t = ""
-            t = fix_text(t)[0]
-            t = unicodedata.normalize("NFC", t)
-            t = _WS_RE.sub(" ", _CTRL_RE.sub("", t)).strip()
-            texts.append(t)
+            texts.append(fix_clean_kernel(t)[0])
         yield pd.DataFrame(
             {
                 "url": pdf["url"],

@@ -91,3 +91,52 @@ class TestCurateCli:
         assert curated.count() == 20
         with open(f"{out}/curate_report.json") as fh:
             assert json.load(fh)["n_input"] == 24
+
+
+class TestCurateFunnelPlan:
+    """The repair/hygiene/gate portion of the funnel must contain NO
+    shuffle: one fused Arrow pass + codegen expressions. (Joining the
+    narrow stage outputs back on doc_id would shuffle the text column
+    once per stage — the anti-pattern SCALING.md rules out.)"""
+
+    def test_fused_stage_plan_direct(self, spark, corpus):
+        """Direct probe: the cleaned+annotated frame (everything before
+        dedup) executes with zero Exchange."""
+        from pyspark.sql import functions as F
+
+        from nabu_spark.operators.textstats import gopher_exprs, lang_scores
+
+        # mirror curate's fused construction on the same corpus
+        from nabu_spark.curate import curate_corpus  # noqa: F401
+        import nabu_spark.curate as cur
+
+        docs = corpus
+        in_schema = dict(docs.dtypes)
+        other = [c for c in docs.columns if c not in ("doc_id", "text")]
+
+        import pandas as pd
+
+        def fb(it):
+            for pdf in it:
+                out = pdf[["doc_id"] + other].copy()
+                texts, rounds = [], []
+                for t in pdf["text"]:
+                    ft, r = cur.fix_clean_kernel(t)
+                    texts.append(ft)
+                    rounds.append(r)
+                out["text"] = pd.Series(texts, dtype="object")
+                out["repair_rounds"] = pd.Series(rounds, dtype="int32")
+                yield out
+
+        schema = ", ".join(
+            ["doc_id " + in_schema["doc_id"]]
+            + [f"{c} {in_schema[c]}" for c in other]
+            + ["text string", "repair_rounds int"]
+        )
+        cleaned = docs.mapInPandas(fb, schema)
+        annotated = cleaned.select("*", *lang_scores("text")).withColumn(
+            "gopher_pass", gopher_exprs("text")["gopher_pass"]
+        )
+        plan = annotated._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert plan.count("MapInPandas") == 1
