@@ -46,7 +46,10 @@ def fix_clean_kernel(s: str | None) -> tuple[str | None, int]:
         return None, 0
     s, rounds = fix_text(s)
     s = unicodedata.normalize("NFC", s)
-    return _WS_RE.sub(" ", _CTRL_RE.sub("", s)).strip(), rounds
+    # .strip(" "): F.trim strips ONLY ASCII spaces — a bare .strip() would
+    # also remove trailing NBSP/ideographic space and silently diverge from
+    # the gated clean_text operator (parity pinned in the streaming tests)
+    return _WS_RE.sub(" ", _CTRL_RE.sub("", s)).strip(" "), rounds
 
 
 def docs_from_pages(pages: DataFrame) -> DataFrame:
@@ -77,7 +80,7 @@ def curate_corpus(
     """Run the gate + dedup funnel over (id, text[, url]) documents.
     Returns (curated DataFrame, report dict with per-stage counts)."""
     from .operators.dedup import dedup_survivors, exact_dedup, minhash_dedup
-    from .operators.textstats import gopher_exprs, lang_scores
+    from .operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
 
     other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
 
@@ -107,14 +110,8 @@ def curate_corpus(
     # stages 4-5: ANNOTATE both gates inline (codegen, join-free), then ONE
     # aggregation for the funnel (no per-stage .count() jobs), then filter
     scored = cleaned.select("*", *lang_scores(text_col))
-    lang_cols = [c[len("score_"):] for c in scored.columns
-                 if c.startswith("score_")]
-    best = F.greatest(*[F.col(f"score_{x}") for x in lang_cols])
-    pred = F.when(best == 0, F.lit("und"))
-    for x in lang_cols:  # first max wins, deterministic (lang_id parity)
-        pred = pred.when(F.col(f"score_{x}") == best, F.lit(x))
     annotated = (
-        scored.withColumn("lang_pred", pred)
+        scored.withColumn("lang_pred", lang_pred_expr())
         .select(*cleaned.columns, "lang_pred")
         .withColumn("gopher_pass", gopher_exprs(text_col)["gopher_pass"])
         .withColumn(
@@ -150,10 +147,20 @@ def curate_corpus(
     )
     survivors = dedup_survivors(uniq, pairs, id_col)
 
+    # near-dup removal is well-defined before any cap shrinks the set
+    pre_cap = survivors
+    n_after_near_dup = None
+
     # stage 8: optional per-host cap
-    if cap_per_host is not None and host_col in survivors.columns:
+    if cap_per_host is not None:
+        if host_col not in survivors.columns:
+            raise ValueError(
+                f"cap_per_host requires a {host_col!r} column; "
+                f"have {survivors.columns}"
+            )
         from .operators.linkgraph import stratified_cap
 
+        n_after_near_dup = pre_cap.count()
         with_host = survivors.withColumn(
             "_host", F.parse_url(F.col(host_col), F.lit("HOST"))
         )
@@ -163,6 +170,12 @@ def curate_corpus(
 
     survivors = survivors.cache()
     n_out = survivors.count()
+    if n_after_near_dup is None:
+        n_after_near_dup = n_out
+    # counts are materialized; release the intermediate caches so repeated
+    # funnel runs in one session do not pin whole corpora in executor memory
+    annotated.unpersist()
+    uniq.unpersist()
     try:
         dropped = dict(obs.get)
     except Exception:
@@ -174,9 +187,7 @@ def curate_corpus(
         "n_lang_ok": funnel["n_lang_ok"],
         "n_quality_ok": funnel["n_quality_ok"],
         "n_exact_unique": n_exact_unique,
-        "n_near_dup_removed": n_exact_unique - n_out
-        if cap_per_host is None
-        else None,
+        "n_near_dup_removed": n_exact_unique - n_after_near_dup,
         "n_curated": n_out,
         "lsh_dropped_buckets": dropped.get("dropped_buckets"),
         "lsh_dropped_members": dropped.get("dropped_members"),

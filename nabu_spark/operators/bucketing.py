@@ -55,7 +55,10 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def is_bucketed_join_shuffle_free(joined: DataFrame) -> bool:
-    """True when the executed plan for ``joined`` contains no shuffle —
-    the co-location check callers can assert in their own pipelines."""
+    """True when the executed plan for ``joined`` contains no SHUFFLE —
+    the co-location check callers can assert in their own pipelines.
+    BroadcastExchange does not count: a broadcast join moves no corpus
+    rows, and a small dimension side broadcasting is exactly what should
+    happen next to a bucketed fact table."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" not in plan
+    return plan.count("Exchange") == plan.count("BroadcastExchange")

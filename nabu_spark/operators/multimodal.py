@@ -1488,7 +1488,12 @@ def _find_box(blob: bytes, start: int, end: int, path: list[bytes]):
 
 
 def _fullbox(blob: bytes, a: int):
-    """(version, payload_start_after_version_flags) of a full box."""
+    """(version, payload_start_after_version_flags) of a full box. Guarded:
+    an empty/truncated full box (payload ends at the blob boundary) must
+    surface as MediaDecodeError, never IndexError — decode_media only maps
+    MediaDecodeError/NotImplementedError to error rows."""
+    if a + 4 > len(blob):
+        raise MediaDecodeError("MP4 truncated full box header")
     return blob[a], a + 4
 
 
@@ -1500,6 +1505,8 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
     ver, p = _fullbox(blob, tk[0])
     # tkhd: ver0 has 4-byte times, ver1 8-byte; width/height are the LAST
     # two 16.16 fixed-point fields of the box
+    if tk[1] - tk[0] < 12:
+        raise MediaDecodeError("MP4 tkhd too short")
     width = int.from_bytes(blob[tk[1] - 8:tk[1] - 4], "big") >> 16
     height = int.from_bytes(blob[tk[1] - 4:tk[1]], "big") >> 16
     # hdlr: version/flags(4) + pre_defined(4) + handler_type(4)
@@ -1518,6 +1525,8 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
         sizes: list[int] = []
         if sz is not None:
             _, p = _fullbox(blob, sz[0])
+            if p + 8 > sz[1]:
+                raise MediaDecodeError("MP4 truncated stsz header")
             const_size = int.from_bytes(blob[p:p + 4], "big")
             n_samples = int.from_bytes(blob[p + 4:p + 8], "big")
             if const_size == 0:
@@ -1532,6 +1541,8 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
         sync: list[int] = []
         if ss is not None:
             _, p = _fullbox(blob, ss[0])
+            if p + 4 > ss[1]:
+                raise MediaDecodeError("MP4 truncated stss header")
             cnt = int.from_bytes(blob[p:p + 4], "big")
             if p + 4 + 4 * cnt > ss[1]:
                 raise MediaDecodeError("MP4 truncated stss table")
@@ -1543,6 +1554,8 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
         sc = _find_box(blob, sa, sb, [b"stsc"])
         if sync and co is not None and sc is not None:
             _, p = _fullbox(blob, co[0])
+            if p + 4 > co[1]:
+                raise MediaDecodeError("MP4 truncated stco header")
             n_chunks = int.from_bytes(blob[p:p + 4], "big")
             if p + 4 + 4 * n_chunks > co[1]:
                 raise MediaDecodeError("MP4 truncated stco table")
@@ -1551,6 +1564,8 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
                 for j in range(n_chunks)
             ]
             _, p = _fullbox(blob, sc[0])
+            if p + 4 > sc[1]:
+                raise MediaDecodeError("MP4 truncated stsc header")
             n_ent = int.from_bytes(blob[p:p + 4], "big")
             ents = []
             for j in range(n_ent):
@@ -1564,6 +1579,7 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
             # expand sample -> (chunk, index-in-chunk), then byte offset
             sample_pos: dict[int, int] = {}
             sample_no = 1
+            sync_set = set(sync)  # hoisted: O(1) membership in the hot loop
             for e_i, (first, per) in enumerate(ents):
                 last = (
                     ents[e_i + 1][0] - 1 if e_i + 1 < len(ents) else n_chunks
@@ -1571,7 +1587,7 @@ def _parse_track(blob: bytes, a: int, b: int) -> dict | None:
                 for chunk in range(first, last + 1):
                     off = chunk_offs[chunk - 1] if chunk <= n_chunks else 0
                     for k in range(per):
-                        if sample_no in set(sync):
+                        if sample_no in sync_set:
                             sample_pos[sample_no] = off
                         size_k = (
                             const_size if const_size else
@@ -1606,6 +1622,8 @@ def mp4_metadata(blob: bytes) -> dict:
     if mv is None:
         raise MediaDecodeError("MP4 missing moov/mvhd")
     ver, p = _fullbox(blob, mv[0])
+    if (mv[1] - p) < (28 if ver == 1 else 16):
+        raise MediaDecodeError("MP4 truncated mvhd")
     if ver == 1:
         timescale = int.from_bytes(blob[p + 16:p + 20], "big")
         duration = int.from_bytes(blob[p + 20:p + 28], "big")
@@ -1737,6 +1755,7 @@ def ogg_metadata(blob: bytes) -> dict:
     last_granule = 0
     payload_bytes = 0
     first = True
+    header_done = False
     while pos + 27 <= len(blob):
         if blob[pos:pos + 4] != b"OggS":
             raise MediaDecodeError("Ogg page desync")
@@ -1765,7 +1784,12 @@ def ogg_metadata(blob: bytes) -> dict:
             else:
                 raise MediaDecodeError("Ogg BOS packet is not Vorbis/Opus")
             first = False
+        elif not header_done and granule == 0:
+            # comment/setup header pages carry granule 0 before any audio
+            # finishes — real Vorbis always has them; they are NOT payload
+            pass
         else:
+            header_done = True
             payload_bytes += body_len
         if granule not in (0xFFFFFFFFFFFFFFFF,):
             last_granule = max(last_granule, granule)

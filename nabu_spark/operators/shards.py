@@ -41,6 +41,12 @@ def assign_shards(
         df.repartitionByRange(n_part, F.col(id_col))
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
+        # PINNED: repartitionByRange samples its boundaries per execution,
+        # and the subtotal job and the returned plan are separate
+        # executions — without persisting, rows could land in a different
+        # _pid than the one their offset was computed under. The persist
+        # materializes one boundary sample both jobs share.
+        .persist()
     )
     # tiny relation: one row per partition — prefix-sum on the driver
     subtotals = {

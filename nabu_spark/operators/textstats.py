@@ -85,15 +85,23 @@ def lang_scores(text_col: str) -> list[Column]:
     return cols
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word voting language ID; 'und' when nothing matches."""
-    scored = df.select("*", *lang_scores(text_col))
+def lang_pred_expr() -> Column:
+    """The language decision over existing ``score_<lang>`` columns:
+    'und' when every score is zero, else the FIRST language (in
+    LANG_MARKERS order) achieving the max — the single tie-break
+    definition shared by lang_id and both curation funnels."""
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.when(best == 0, F.lit("und"))
     for lang in langs:  # first max wins, deterministic order
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.withColumn("lang_pred", pred)
+    return pred
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word voting language ID; 'und' when nothing matches."""
+    scored = df.select("*", *lang_scores(text_col))
+    return scored.withColumn("lang_pred", lang_pred_expr())
 
 
 def fingerprint_exprs(text_col: str) -> Column:

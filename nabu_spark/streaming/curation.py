@@ -58,7 +58,7 @@ def curated_docs_stream(
 ) -> DataFrame:
     """pages stream (url, warc_ts, html) -> gated, exact-deduped curated
     docs stream (doc_id, url, warc_ts, text, lang_pred, n_tokens)."""
-    from ..operators.textstats import gopher_exprs, lang_scores
+    from ..operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
 
     docs = pages.select("url", "warc_ts", "html").mapInPandas(
         _extract_fix_clean, "url string, warc_ts timestamp, text string"
@@ -67,13 +67,8 @@ def curated_docs_stream(
     scored = docs.select(
         "url", "warc_ts", "text", *lang_scores("text")
     )
-    langs = [c[len("score_"):] for c in scored.columns if c.startswith("score_")]
-    best = F.greatest(*[F.col(f"score_{x}") for x in langs])
-    pred = F.when(best == 0, F.lit("und"))
-    for x in langs:  # first max wins, deterministic order (lang_id parity)
-        pred = pred.when(F.col(f"score_{x}") == best, F.lit(x))
     gated = (
-        scored.withColumn("lang_pred", pred)
+        scored.withColumn("lang_pred", lang_pred_expr())
         .select("url", "warc_ts", "text", "lang_pred")
         .withColumn("n_tokens", e["n_tokens"])
         .withColumn("gopher_pass", e["gopher_pass"])

@@ -1409,3 +1409,83 @@ class TestMojibakeRouting:
         assert rows[1]["fixed"] == "ascii only" and rows[1]["repair_rounds"] == 0
         assert rows[2]["fixed"] == "café suspect" and rows[2]["repair_rounds"] == 1
         assert rows[3]["fixed"] is None and rows[3]["repair_rounds"] == 0
+
+
+class TestReviewRegressions:
+    """Regressions pinned from the round-4 code review."""
+
+    def test_mp4_empty_fullbox_is_media_error(self):
+        import struct
+
+        import pytest
+
+        from nabu_spark.operators.multimodal import MediaDecodeError, mp4_metadata
+
+        # moov containing an 8-byte (empty-payload) mvhd at end of blob:
+        # previously IndexError escaped and would fail the whole Spark task
+        mvhd = struct.pack(">I", 8) + b"mvhd"
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        blob = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + moov
+        with pytest.raises(MediaDecodeError):
+            mp4_metadata(blob)
+
+    def test_ogg_comment_setup_pages_not_payload(self):
+        from nabu_spark.operators.multimodal import _ogg_page, ogg_metadata
+
+        vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+                     + (8000).to_bytes(4, "little") + b"\x00" * 12
+                     + b"\xb8" + b"\x01")
+        comment = b"\x03vorbis" + b"\x00" * 40   # granule 0: header page
+        setup = b"\x05vorbis" + b"\x00" * 200    # granule 0: header page
+        audio = b"\x11" * 300
+        blob = (
+            _ogg_page(1, 0, 0, vorbis_id, header_type=2)
+            + _ogg_page(1, 1, 0, comment)
+            + _ogg_page(1, 2, 0, setup)
+            + _ogg_page(1, 3, 160, audio, header_type=4)
+        )
+        m = ogg_metadata(blob)
+        assert m["payload_bytes"] == 300  # headers excluded
+        assert m["n_samples"] == 160
+
+    def test_fix_clean_kernel_trim_parity_on_nbsp(self, spark):
+        """F.trim strips only ASCII spaces; the kernel must match — a
+        trailing NBSP survives BOTH paths identically."""
+        from nabu_spark.curate import fix_clean_kernel
+        from nabu_spark.operators.textstats import clean_text
+
+        s = "text ends with nbsp "
+        kernel_out = fix_clean_kernel(s)[0]
+        df = spark.createDataFrame([(1, s)], "doc_id long, t string")
+        op_out = clean_text(df, "doc_id", "t").first()["clean_text"]
+        assert kernel_out == op_out == s
+
+    def test_curate_cap_without_host_column_raises(self, spark):
+        import pytest
+
+        from nabu_spark.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta " * 20)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="cap_per_host"):
+            curate_corpus(docs, cap_per_host=5)
+
+    def test_bucketed_check_ignores_broadcast(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from nabu_spark.operators.bucketing import (
+            is_bucketed_join_shuffle_free,
+            write_bucketed,
+        )
+
+        big = spark.range(0, 2000).select(F.col("id").alias("k"))
+        write_bucketed(big, "b_fact", key="k", buckets=4,
+                       path=str(tmp_path / "b_fact"))
+        small = spark.range(0, 10).select(F.col("id").alias("k"))
+        try:
+            j = spark.table("b_fact").join(F.broadcast(small), "k")
+            # broadcast moves no fact rows: still counts as shuffle-free
+            assert is_bucketed_join_shuffle_free(j)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_fact")
