@@ -31,7 +31,7 @@ from collections.abc import Iterator
 from datetime import datetime, timezone
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
@@ -241,17 +241,20 @@ def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
 
 def write_warc_fixture(
     path: str, n_pages: int, *, gzip_members: bool = False, start: int = 0
-) -> None:
+) -> list[tuple[int, str]]:
     """Serialize ``datagen.page_for`` pages into a spec-shaped WARC file so
-    the source can be tested end-to-end against known content."""
+    the source can be tested end-to-end against known content. Returns the
+    (byte_offset, url) of each record — the CDX-index view of the file."""
     import gzip as _gzip
     import io
 
     from ..datagen import page_for
 
     out = io.BytesIO()
+    offsets: list[tuple[int, str]] = []
     for i in range(start, start + n_pages):
         p = page_for(i)
+        offsets.append((out.tell(), p["url"]))
         body = p["html"]
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
@@ -273,3 +276,83 @@ def write_warc_fixture(
             out.write(rec)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+    return offsets
+
+
+def _record_at_offset(raw: bytes, offset: int, gzipped: bool) -> tuple[dict, bytes] | None:
+    """Parse the single WARC record starting at ``offset``: for the
+    Common-Crawl layout each record is its own gzip member, so a member
+    decompression (zlib wbits=31 stops at the member boundary) yields
+    exactly one record; uncompressed archives parse in place."""
+    import zlib
+
+    if offset < 0 or offset >= len(raw):
+        return None
+    if gzipped:
+        try:
+            d = zlib.decompressobj(wbits=31)
+            rec = d.decompress(raw[offset:])
+        except zlib.error:
+            return None
+    else:
+        rec = raw[offset:]
+    return next(iter_warc_records(rec), None)
+
+
+def fetch_from_plan(spark: SparkSession, plan: DataFrame, warc_dir: str) -> DataFrame:
+    """Execute a CDX fetch plan (``cdx.fetch_plan``: filename + sorted
+    offsets) against a directory of WARC archives: one binaryFile task per
+    archive (the Common-Crawl ~1 GB granularity), offsets visited in
+    ascending order, one page row per fetched record.
+
+    The plan side is index-derived and tiny next to the archives, so it
+    broadcasts; rows whose offset does not hold a response record surface
+    as error rows (url null, error set) — lineage, not task failures. On
+    real object storage the per-offset reads become range GETs; in Spark's
+    binaryFile model the archive is the task's input split either way."""
+    plan_small = plan.select(
+        F.col("filename"), F.col("offsets").cast("string").alias("_offsets")
+    )
+    files = spark.read.format("binaryFile").load(f"{warc_dir}/*")
+    joined = files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+        "content",
+    ).join(F.broadcast(plan_small), "filename")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("url", "warc_ts", "html", "filename", "offset", "error")}
+            for fname, content, offsets_s in zip(
+                pdf["filename"], pdf["content"], pdf["_offsets"]
+            ):
+                raw = bytes(content)
+                gzipped = raw[:2] == b"\x1f\x8b"
+                offs = [int(x) for x in str(offsets_s).split(",") if x != ""]
+                for off in sorted(offs):
+                    rec = _record_at_offset(raw, off, gzipped)
+                    page = _page_of(*rec) if rec is not None else None
+                    out["filename"].append(fname)
+                    out["offset"].append(off)
+                    if rec is None or page is None:
+                        out["url"].append(None)
+                        out["warc_ts"].append(None)
+                        out["html"].append(None)
+                        out["error"].append(
+                            "bad_offset" if rec is None else "not_a_response"
+                        )
+                        continue
+                    url, body = page
+                    out["url"].append(url)
+                    out["warc_ts"].append(
+                        _parse_warc_ts(rec[0].get("warc-date", ""))
+                    )
+                    out["html"].append(body)
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        fetch,
+        "url string, warc_ts timestamp, html binary, "
+        "filename string, offset long, error string",
+    )

@@ -73,3 +73,68 @@ class TestOps:
         }
         assert plan["w/0.warc.gz"] == (2, [0, 900])
         assert plan["w/1.warc.gz"] == (2, [100, 4000])
+
+
+class TestFetchFromPlan:
+    """CDX plan -> WARC record fetch: the glue between the index source and
+    the archive source (offset-addressed member decompression)."""
+
+    def _fixture(self, spark, tmp_path, gz):
+        from nabu_spark.sources.warc import write_warc_fixture
+
+        wdir = tmp_path / "warcs"
+        wdir.mkdir()
+        name = "0.warc.gz" if gz else "0.warc"
+        offs = write_warc_fixture(str(wdir / name), 6, gzip_members=gz)
+        name2 = "1.warc.gz" if gz else "1.warc"
+        offs2 = write_warc_fixture(str(wdir / name2), 4, gzip_members=gz,
+                                   start=100)
+        return wdir, {name: offs, name2: offs2}
+
+    @staticmethod
+    def _plan(spark, index, picks):
+        rows = [
+            (fname, ",".join(str(index[fname][i][0]) for i in idxs))
+            for fname, idxs in picks.items()
+        ]
+        return spark.createDataFrame(rows, "filename string, offsets string")
+
+    def _roundtrip(self, spark, tmp_path, gz):
+        from nabu_spark.sources.warc import fetch_from_plan
+
+        wdir, index = self._fixture(spark, tmp_path, gz)
+        picks = {list(index)[0]: [0, 2, 5], list(index)[1]: [1, 3]}
+        plan = self._plan(spark, index, picks)
+        got = fetch_from_plan(spark, plan, str(wdir)).collect()
+        assert all(r["error"] is None for r in got)
+        want_urls = {
+            index[f][i][1] for f, idxs in picks.items() for i in idxs
+        }
+        assert {r["url"] for r in got} == want_urls
+        # bodies are the generator pages, byte-exact
+        from nabu_spark.datagen import page_for
+
+        by_url = {r["url"]: bytes(r["html"]) for r in got}
+        for i in [0, 2, 5]:
+            p = page_for(i)
+            assert by_url[p["url"]] == p["html"]
+
+    def test_gzip_member_archives(self, spark, tmp_path):
+        self._roundtrip(spark, tmp_path, gz=True)
+
+    def test_plain_archives(self, spark, tmp_path):
+        self._roundtrip(spark, tmp_path, gz=False)
+
+    def test_bad_offset_is_error_row(self, spark, tmp_path):
+        from nabu_spark.sources.warc import fetch_from_plan
+
+        wdir, index = self._fixture(spark, tmp_path, True)
+        fname = list(index)[0]
+        plan = spark.createDataFrame(
+            [(fname, f"{index[fname][0][0]},99999999")],
+            "filename string, offsets string",
+        )
+        got = {r["offset"]: r for r in
+               fetch_from_plan(spark, plan, str(wdir)).collect()}
+        assert got[index[fname][0][0]]["error"] is None
+        assert got[99999999]["error"] == "bad_offset"
