@@ -310,9 +310,15 @@ def fetch_from_plan(spark: SparkSession, plan: DataFrame, warc_dir: str) -> Data
     as error rows (url null, error set) — lineage, not task failures. On
     real object storage the per-offset reads become range GETs; in Spark's
     binaryFile model the archive is the task's input split either way."""
-    plan_small = plan.select(
-        F.col("filename"), F.col("offsets").cast("string").alias("_offsets")
-    )
+    if dict(plan.dtypes).get("offsets", "").startswith("array"):
+        # fetch_plan's native shape: serialize to the comma form the Arrow
+        # stage parses (a bare string cast would render '[1, 2]')
+        off_str = F.concat_ws(
+            ",", F.transform("offsets", lambda x: x.cast("string"))
+        )
+    else:
+        off_str = F.col("offsets").cast("string")
+    plan_small = plan.select(F.col("filename"), off_str.alias("_offsets"))
     files = spark.read.format("binaryFile").load(f"{warc_dir}/*")
     joined = files.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),

@@ -138,3 +138,69 @@ class TestFetchFromPlan:
                fetch_from_plan(spark, plan, str(wdir)).collect()}
         assert got[index[fname][0][0]]["error"] is None
         assert got[99999999]["error"] == "bad_offset"
+
+
+class TestCdxToQuadsIntegration:
+    def test_index_to_plan_to_fetch_to_quads(self, spark, tmp_path):
+        """The full Common-Crawl front half: CDX index -> latest captures ->
+        digest dedup -> per-archive fetch plan -> offset-addressed record
+        fetch -> the fused KG pipeline, byte-exact against the generator."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from nabu_spark.datagen import page_for
+        from nabu_spark.pipeline import pages_to_quads_fused
+        from nabu_spark.sources.cdx import (
+            fetch_plan,
+            latest_captures,
+            parse_cdx,
+        )
+        from nabu_spark.sources.warc import fetch_from_plan, write_warc_fixture
+
+        wdir = tmp_path / "warcs"
+        wdir.mkdir()
+        offs0 = write_warc_fixture(str(wdir / "0.warc.gz"), 5, gzip_members=True)
+        offs1 = write_warc_fixture(str(wdir / "1.warc.gz"), 5, gzip_members=True,
+                                   start=5)
+        lines = []
+
+        def cdx_line(fname, off, url, ts, digest):
+            payload = {"url": url, "mime": "text/html", "status": "200",
+                       "digest": digest, "length": 1000, "offset": off,
+                       "filename": fname}
+            surt = "org,example)/" + url.rsplit("/", 1)[-1]
+            return f"{surt} {ts} {json.dumps(payload)}"
+
+        for off, url in offs0:
+            lines.append(cdx_line("0.warc.gz", off, url, "20240101000000",
+                                  "d" + url[-6:]))
+        for off, url in offs1:
+            lines.append(cdx_line("1.warc.gz", off, url, "20240101000000",
+                                  "d" + url[-6:]))
+        # a STALE duplicate capture of page 0 (older ts, same url) that
+        # latest_captures must drop — its offset points at page 1's record,
+        # so fetching it would produce the wrong body
+        lines.append(cdx_line("0.warc.gz", offs0[1][0], offs0[0][1],
+                              "20230101000000", "stale"))
+        captures = parse_cdx(
+            spark.createDataFrame([(l,) for l in lines], "value string")
+        )
+        latest = latest_captures(captures)
+        assert latest.count() == 10
+        plan = fetch_plan(latest)
+        pages = fetch_from_plan(spark, plan, str(wdir))
+        got = pages.collect()
+        assert all(r["error"] is None for r in got)
+        by_url = {r["url"]: bytes(r["html"]) for r in got}
+        assert len(by_url) == 10
+        for i in range(10):
+            p = page_for(i)
+            assert by_url[p["url"]] == p["html"]
+        quads = pages_to_quads_fused(
+            pages.select("url", "warc_ts", "html"), salt=False
+        )
+        good = quads.filter(F.col("error_code").isNull())
+        assert good.count() > 0
+        # provenance URNs derive from the fetched urls
+        assert good.filter(F.col("prov").startswith("<urn:iow:")).count() == good.count()
