@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lang", help="keep only this predicted language")
     cu.add_argument("--near-dup-threshold", type=float, default=0.7)
     cu.add_argument("--cap-per-host", type=int)
+    cu.add_argument(
+        "--shards-target-tokens", type=int,
+        help="also export gzipped JSONL training shards of ~N tokens each",
+    )
     return p
 
 
@@ -373,6 +377,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_path = os.path.join(args.out, "curated")
         curated.write.mode("overwrite").parquet(out_path)
+        if args.shards_target_tokens:
+            from .operators.shards import write_jsonl_shards
+
+            docs_out = spark.read.parquet(out_path)
+            if "n_tokens" not in docs_out.columns:
+                docs_out = docs_out.withColumn(
+                    "n_tokens",
+                    F.size(F.split(F.col("text"), "\\s+")),
+                )
+            manifest = write_jsonl_shards(
+                docs_out, os.path.join(args.out, "shards"),
+                target_tokens=args.shards_target_tokens,
+            )
+            report["n_shards"] = len(manifest["shards"])
         with open(os.path.join(args.out, "curate_report.json"), "w") as fh:
             json.dump(report, fh, indent=1)
         print(json.dumps({"cmd": "curate", **report}))

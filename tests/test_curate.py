@@ -92,6 +92,25 @@ class TestCurateCli:
         with open(f"{out}/curate_report.json") as fh:
             assert json.load(fh)["n_input"] == 24
 
+    def test_cli_with_shard_export(self, spark, corpus, tmp_path, capsys):
+        import glob
+
+        from nabu_spark.cli import main
+
+        docs_path = str(tmp_path / "docs2")
+        corpus.write.parquet(docs_path)
+        out = str(tmp_path / "curated_shards")
+        rc = main(["curate", "--docs", docs_path, "--out", out,
+                   "--shards-target-tokens", "500"])
+        assert rc == 0
+        printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert printed["n_shards"] >= 2
+        files = glob.glob(f"{out}/shards/data/shard=*/*.txt.gz")
+        assert files
+        with open(f"{out}/shards/manifest.json") as fh:
+            m = json.load(fh)
+        assert sum(s["rows"] for s in m["shards"]) == 20
+
 
 class TestCurateFunnelPlan:
     """The repair/hygiene/gate portion of the funnel must contain NO
