@@ -1,0 +1,916 @@
+"""SPARQL SELECT subset over quad tables, compiled to Catalyst plans.
+
+The reference ships its graph to an external triplestore and queries it with
+SPARQL there (studied: /root/reference/internal/synchronizer — the release
+path's downstream consumer is a SPARQL endpoint); this repo keeps the query
+surface native: a from-scratch SPARQL parser whose algebra runs directly on
+the (subj, pred, obj, prov) quad DataFrames the pipeline materializes.
+
+Supported grammar (SPARQL 1.1 SELECT subset):
+
+    PREFIX pfx: <iri>
+    SELECT [DISTINCT] (?v ... | * | (AGG(expr) AS ?alias) ...)
+    WHERE { triple patterns with ';'/',' lists, FILTER(expr),
+            OPTIONAL { ... }, { ... } UNION { ... },
+            GRAPH ?g|<iri> { ... }, BIND(expr AS ?v) }
+    [GROUP BY ?v ...] [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
+
+FILTER / BIND expressions: && || ! = != < <= > >= + - * /, regex(), str(),
+lang(), datatype(), bound(), isIRI(), isLiteral(), isBlank(), strlen(),
+contains(), strstarts(), strends(), ucase(), lcase().
+Aggregates: COUNT(*/?v/DISTINCT ?v), SUM, AVG, MIN, MAX over numeric terms.
+
+One parse, two evaluators:
+
+- ``sparql_query(df, text)`` — DataFrame backend. Each triple pattern is a
+  filtered projection of the quad table (constant positions become column
+  predicates that push down to the parquet scan); each shared variable
+  becomes an equi-join that Catalyst/AQE is free to reorder, broadcast, or
+  skew-split. OPTIONAL compiles to a left join, UNION to unionByName,
+  aggregates to a hash aggregate. At 100 TB this is the right shape: the
+  plan is N filtered scans of one columnar table joined on term strings —
+  no driver-side iteration, no per-row Python.
+- ``sparql_eval_local(triples, text)`` — in-memory evaluator over one small
+  graph (a per-document subgraph). Used by the SHACL engine for sh:sparql
+  constraints (per-focus-node, inside mapInPandas) and by the test suite as
+  an independent cross-check of the DataFrame compiler.
+
+Terms are N-Triples strings ('<iri>', '"lit"', '"lit"@en', '"1"^^<dt>',
+'_:b0') exactly as produced by operators/triples.py. Comparison semantics
+(documented subset of SPARQL operator mapping): a comparison runs in numeric
+mode when either operand is statically numeric (numeric constant, arithmetic,
+strlen, aggregate), in string mode when either operand is a string-returning
+function (str/lang/datatype/ucase/lcase), and otherwise compares full term
+strings. Lexical forms are compared raw (no escape processing) — identical
+in both evaluators. IRI constants in expressions compare by full term.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRI><[A-Za-z][\w+.-]*:[^<>"{}|^`\s]*>)
+    | (?P<STRING>"(?:[^"\\]|\\.)*"(?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*|\^\^<[^<>\s]+>)?)
+    | (?P<VAR>[?$][A-Za-z_]\w*)
+    | (?P<NUM>-?\d+(?:\.\d+)?)
+    | (?P<PNAME>[A-Za-z_][\w-]*:[\w.-]*)
+    | (?P<NAME>[A-Za-z_]\w*)
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/+\-=<>!])
+    """,
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlError(f"cannot tokenize at: {text[pos:pos + 30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            toks.append((kind, m.group()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+# term atoms: ('var', name) | ('term', nt_string)
+# group items: ('triple', s, p, o) | ('filter', expr) | ('optional', Group)
+#            | ('union', [Group, ...]) | ('graph', atom, Group)
+#            | ('bind', expr, varname)
+# exprs: ('var', v) | ('const', nt) | ('num', value) | ('and'|'or', a, b)
+#      | ('not', a) | ('cmp', op, a, b) | ('arith', op, a, b)
+#      | ('call', name, [args])
+
+
+@dataclass
+class Group:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class Agg:
+    func: str          # count/sum/avg/min/max
+    arg: object        # expr or None for COUNT(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass
+class Query:
+    select: list        # of ('var', name) | Agg;  [] means SELECT *
+    distinct: bool
+    where: Group
+    group_by: list[str]
+    order_by: list[tuple[str, bool]]   # (var, ascending)
+    limit: int | None
+    offset: int
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token plumbing -----------------------------------------------------
+    def _peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("EOF", "")
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, val: str):
+        kind, v = self._next()
+        if v != val and not (kind == "NAME" and v.upper() == val.upper()):
+            raise SparqlError(f"expected {val!r}, got {v!r}")
+        return v
+
+    def _kw(self, word: str) -> bool:
+        kind, v = self._peek()
+        if kind == "NAME" and v.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    # -- terms --------------------------------------------------------------
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlError(f"unknown prefix {pfx!r}")
+        return f"<{self.prefixes[pfx]}{local}>"
+
+    def _term_atom(self):
+        kind, v = self._next()
+        if kind == "VAR":
+            return ("var", v[1:])
+        if kind == "IRI":
+            return ("term", v)
+        if kind == "STRING":
+            return ("term", v)
+        if kind == "NUM":
+            dt = "double" if "." in v else "integer"
+            return ("term", f'"{v}"^^<http://www.w3.org/2001/XMLSchema#{dt}>')
+        if kind == "PNAME":
+            return ("term", self._expand_pname(v))
+        if kind == "NAME" and v == "a":
+            return ("term", RDF_TYPE)
+        raise SparqlError(f"expected term, got {v!r}")
+
+    # -- query --------------------------------------------------------------
+    def parse(self) -> Query:
+        while self._kw("PREFIX"):
+            kind, pname = self._next()
+            if kind != "PNAME" or not pname.endswith(":"):
+                raise SparqlError(f"bad PREFIX name {pname!r}")
+            kind, iri = self._next()
+            if kind != "IRI":
+                raise SparqlError(f"bad PREFIX iri {iri!r}")
+            self.prefixes[pname[:-1]] = iri[1:-1]
+        if not self._kw("SELECT"):
+            raise SparqlError("only SELECT queries are supported")
+        distinct = self._kw("DISTINCT")
+        select: list = []
+        while True:
+            kind, v = self._peek()
+            if kind == "VAR":
+                self.i += 1
+                select.append(("var", v[1:]))
+            elif v == "*":
+                self.i += 1
+                select = []
+            elif v == "(":
+                self.i += 1
+                select.append(self._agg_spec())
+                self._expect(")")
+            else:
+                break
+        if not self._kw("WHERE"):
+            raise SparqlError("expected WHERE")
+        where = self._group()
+        group_by: list[str] = []
+        if self._kw("GROUP"):
+            self._expect("BY")
+            while self._peek()[0] == "VAR":
+                group_by.append(self._next()[1][1:])
+        order_by: list[tuple[str, bool]] = []
+        if self._kw("ORDER"):
+            self._expect("BY")
+            while True:
+                kind, v = self._peek()
+                if kind == "NAME" and v.upper() in ("ASC", "DESC"):
+                    self.i += 1
+                    asc = v.upper() == "ASC"
+                    self._expect("(")
+                    var = self._next()[1][1:]
+                    self._expect(")")
+                    order_by.append((var, asc))
+                elif kind == "VAR":
+                    self.i += 1
+                    order_by.append((v[1:], True))
+                else:
+                    break
+        limit = None
+        offset = 0
+        # LIMIT/OFFSET accepted in either order (SPARQL allows both)
+        for _ in range(2):
+            if self._kw("LIMIT"):
+                limit = int(self._next()[1])
+            elif self._kw("OFFSET"):
+                offset = int(self._next()[1])
+        if self._peek()[0] != "EOF":
+            raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
+        return Query(select, distinct, where, group_by, order_by, limit, offset)
+
+    def _agg_spec(self) -> Agg:
+        kind, fn = self._next()
+        fn = fn.upper()
+        if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+            raise SparqlError(f"unsupported aggregate {fn!r}")
+        self._expect("(")
+        distinct = self._kw("DISTINCT")
+        if self._peek()[1] == "*":
+            self.i += 1
+            arg = None
+        else:
+            arg = self._expr()
+        self._expect(")")
+        self._expect("AS")
+        kind, v = self._next()
+        if kind != "VAR":
+            raise SparqlError("aggregate needs AS ?alias")
+        return Agg(fn.lower(), arg, distinct, v[1:])
+
+    # -- group patterns -----------------------------------------------------
+    def _group(self) -> Group:
+        self._expect("{")
+        g = Group()
+        while True:
+            kind, v = self._peek()
+            if v == "}":
+                self.i += 1
+                return g
+            if kind == "NAME" and v.upper() == "FILTER":
+                self.i += 1
+                self._expect("(")
+                g.items.append(("filter", self._expr()))
+                self._expect(")")
+            elif kind == "NAME" and v.upper() == "OPTIONAL":
+                self.i += 1
+                g.items.append(("optional", self._group()))
+            elif kind == "NAME" and v.upper() == "BIND":
+                self.i += 1
+                self._expect("(")
+                e = self._expr()
+                self._expect("AS")
+                var = self._next()[1][1:]
+                self._expect(")")
+                g.items.append(("bind", e, var))
+            elif kind == "NAME" and v.upper() == "GRAPH":
+                self.i += 1
+                atom = self._term_atom()
+                g.items.append(("graph", atom, self._group()))
+            elif v == "{":
+                # nested group, possibly a UNION chain; a single-branch
+                # "union" is just the nested group evaluated with its own
+                # filter scope, so one representation covers both
+                branches = [self._group()]
+                while self._kw("UNION"):
+                    branches.append(self._group())
+                g.items.append(("union", branches))
+            else:
+                self._triples_block(g)
+            # optional '.' separators
+            while self._peek()[1] == ".":
+                self.i += 1
+
+    def _triples_block(self, g: Group) -> None:
+        s = self._term_atom()
+        while True:
+            p = self._term_atom()
+            while True:
+                o = self._term_atom()
+                g.items.append(("triple", s, p, o))
+                if self._peek()[1] == ",":
+                    self.i += 1
+                    continue
+                break
+            if self._peek()[1] == ";":
+                self.i += 1
+                if self._peek()[1] in (".", "}", ";"):
+                    continue
+                continue
+            break
+
+    # -- expressions --------------------------------------------------------
+    def _expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        while self._peek()[1] == "||":
+            self.i += 1
+            e = ("or", e, self._and())
+        return e
+
+    def _and(self):
+        e = self._cmp()
+        while self._peek()[1] == "&&":
+            self.i += 1
+            e = ("and", e, self._cmp())
+        return e
+
+    def _cmp(self):
+        e = self._add()
+        if self._peek()[1] in ("=", "!=", "<", "<=", ">", ">="):
+            op = self._next()[1]
+            return ("cmp", op, e, self._add())
+        return e
+
+    def _add(self):
+        e = self._mul()
+        while self._peek()[1] in ("+", "-"):
+            op = self._next()[1]
+            e = ("arith", op, e, self._mul())
+        return e
+
+    def _mul(self):
+        e = self._unary()
+        while self._peek()[1] in ("*", "/"):
+            op = self._next()[1]
+            e = ("arith", op, e, self._unary())
+        return e
+
+    _FUNCS = {
+        "REGEX", "STR", "LANG", "DATATYPE", "BOUND", "ISIRI", "ISURI",
+        "ISLITERAL", "ISBLANK", "STRLEN", "CONTAINS", "STRSTARTS",
+        "STRENDS", "UCASE", "LCASE",
+    }
+
+    def _unary(self):
+        kind, v = self._peek()
+        if v == "!":
+            self.i += 1
+            return ("not", self._unary())
+        if v == "(":
+            self.i += 1
+            e = self._expr()
+            self._expect(")")
+            return e
+        if kind == "NAME" and v.upper() in self._FUNCS:
+            self.i += 1
+            self._expect("(")
+            args = [self._expr()]
+            while self._peek()[1] == ",":
+                self.i += 1
+                args.append(self._expr())
+            self._expect(")")
+            return ("call", v.upper().replace("ISURI", "ISIRI"), args)
+        if kind == "NUM":
+            self.i += 1
+            return ("num", float(v) if "." in v else int(v))
+        atom = self._term_atom()
+        return atom if atom[0] == "var" else ("const", atom[1])
+
+
+def parse_sparql(text: str) -> Query:
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# shared term helpers (python side)
+# ---------------------------------------------------------------------------
+
+_LIT_RE = re.compile(r'^"(.*)"(?:@([A-Za-z0-9-]+)|\^\^<([^<>]*)>)?$', re.S)
+
+
+def term_lex(t):
+    """Lexical form: IRI content, literal lexical form (raw), bnode label.
+    Non-string values (numerics produced by BIND arithmetic / aggregates)
+    pass through unchanged."""
+    if not isinstance(t, str):
+        return t
+    if t.startswith("<") and t.endswith(">"):
+        return t[1:-1]
+    m = _LIT_RE.match(t)
+    return m.group(1) if m else t
+
+
+def term_num(t) -> float | None:
+    if t is None:
+        return None
+    if isinstance(t, (int, float)):
+        return float(t)
+    try:
+        return float(term_lex(t))
+    except (ValueError, TypeError):
+        return None
+
+
+def term_lang(t: str) -> str:
+    m = _LIT_RE.match(t)
+    return (m.group(2) or "") if m else ""
+
+
+def term_datatype(t: str) -> str | None:
+    m = _LIT_RE.match(t)
+    if not m:
+        return None
+    if m.group(3):
+        return m.group(3)
+    if m.group(2):
+        return RDF_LANGSTRING
+    return XSD_STRING
+
+
+# static "kind" of an expression, used to pick the comparison mode
+def _expr_kind(e) -> str:
+    tag = e[0]
+    if tag == "num" or (tag == "arith") or (tag == "call" and e[1] == "STRLEN"):
+        return "num"
+    if tag == "const":
+        return "num" if term_num(e[1]) is not None and e[1].startswith('"') and (
+            "XMLSchema#integer" in e[1] or "XMLSchema#double" in e[1]
+            or "XMLSchema#decimal" in e[1]) else "term"
+    if tag == "call" and e[1] in ("STR", "LANG", "DATATYPE", "UCASE", "LCASE"):
+        return "str"
+    return "term"
+
+
+def _cmp_mode(a, b) -> str:
+    ka, kb = _expr_kind(a), _expr_kind(b)
+    if "num" in (ka, kb):
+        return "num"
+    if "str" in (ka, kb):
+        return "str"
+    return "term"
+
+
+# ---------------------------------------------------------------------------
+# DataFrame backend
+# ---------------------------------------------------------------------------
+
+def _c_lex(c: Column) -> Column:
+    return (
+        F.when(c.startswith("<"), c.substr(F.lit(2), F.length(c) - 2))
+        .when(c.startswith('"'),
+              F.regexp_extract(c, r'^"(.*)"(?:@[A-Za-z0-9-]+|\^\^<[^<>]*>)?$', 1))
+        .otherwise(c)
+    )
+
+
+def _c_num(c: Column) -> Column:
+    return _c_lex(c).cast("double")
+
+
+def _c_lang(c: Column) -> Column:
+    return F.regexp_extract(c, r'@([A-Za-z0-9-]+)$', 1)
+
+
+def _c_datatype(c: Column) -> Column:
+    return (
+        F.when(~c.startswith('"'), F.lit(None).cast("string"))
+        .when(c.rlike(r'\^\^<[^<>]*>$'), F.regexp_extract(c, r'\^\^<([^<>]*)>$', 1))
+        .when(c.rlike(r'@[A-Za-z0-9-]+$'), F.lit(RDF_LANGSTRING))
+        .otherwise(F.lit(XSD_STRING))
+    )
+
+
+class _DfCompiler:
+    def __init__(self, quads: DataFrame, graph_col: str | None):
+        self.quads = quads
+        self.graph_col = graph_col
+
+    # expression -> Column in a given mode ('term'|'str'|'num'|'bool')
+    def expr(self, e, want: str = "bool") -> Column:
+        tag = e[0]
+        if tag == "var":
+            c = F.col(e[1])
+            if want == "num":
+                return _c_num(c)
+            if want == "str":
+                return _c_lex(c)
+            return c
+        if tag == "const":
+            if want == "num":
+                return F.lit(term_num(e[1]))
+            if want == "str":
+                return F.lit(term_lex(e[1]))
+            return F.lit(e[1])
+        if tag == "num":
+            return F.lit(e[1]).cast("double")
+        if tag == "and":
+            return self.expr(e[1], "bool") & self.expr(e[2], "bool")
+        if tag == "or":
+            return self.expr(e[1], "bool") | self.expr(e[2], "bool")
+        if tag == "not":
+            return ~self.expr(e[1], "bool")
+        if tag == "cmp":
+            op, a, b = e[1], e[2], e[3]
+            mode = _cmp_mode(a, b)
+            ca, cb = self.expr(a, mode), self.expr(b, mode)
+            return {
+                "=": ca == cb, "!=": ca != cb, "<": ca < cb,
+                "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb,
+            }[op]
+        if tag == "arith":
+            op, ca, cb = e[1], self.expr(e[2], "num"), self.expr(e[3], "num")
+            return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[op]
+        if tag == "call":
+            return self._call(e[1], e[2], want)
+        raise SparqlError(f"bad expr {e!r}")
+
+    def _call(self, fn: str, args: list, want: str) -> Column:
+        if fn == "BOUND":
+            return self.expr(args[0], "term").isNotNull()
+        if fn == "REGEX":
+            pat = term_lex(args[1][1])
+            flags = term_lex(args[2][1]) if len(args) > 2 else ""
+            if "i" in flags:
+                pat = "(?i)" + pat
+            return self.expr(args[0], "str").rlike(pat)
+        a0 = args[0]
+        if fn in ("ISIRI", "ISLITERAL", "ISBLANK"):
+            c = self.expr(a0, "term")
+            return {
+                "ISIRI": c.startswith("<"),
+                "ISLITERAL": c.startswith('"'),
+                "ISBLANK": c.startswith("_:"),
+            }[fn]
+        if fn == "STR":
+            return self.expr(a0, "str")
+        if fn == "LANG":
+            return _c_lang(self.expr(a0, "term"))
+        if fn == "DATATYPE":
+            return _c_datatype(self.expr(a0, "term"))
+        if fn == "STRLEN":
+            return F.length(self.expr(a0, "str")).cast("double")
+        if fn in ("UCASE", "LCASE"):
+            c = self.expr(a0, "str")
+            return F.upper(c) if fn == "UCASE" else F.lower(c)
+        if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
+            ca, cb = self.expr(a0, "str"), self.expr(args[1], "str")
+            return {
+                "CONTAINS": ca.contains(cb),
+                "STRSTARTS": ca.startswith(cb),
+                "STRENDS": ca.endswith(cb),
+            }[fn]
+        raise SparqlError(f"unsupported function {fn}")
+
+    # one triple pattern -> DataFrame of its variable bindings
+    def pattern(self, s, p, o, graph) -> DataFrame:
+        df = self.quads
+        cols = [("subj", s), ("pred", p), ("obj", o)]
+        if graph is not None:
+            if self.graph_col is None:
+                raise SparqlError("GRAPH used but quads have no graph column")
+            cols.append((self.graph_col, graph))
+        proj: dict[str, str] = {}
+        for col, atom in cols:
+            if atom[0] == "term":
+                df = df.filter(F.col(col) == atom[1])
+            else:
+                var = atom[1]
+                if var in proj:   # repeated var inside one pattern
+                    df = df.filter(F.col(col) == F.col(proj[var]))
+                else:
+                    proj[var] = col
+        return df.select(*[F.col(c).alias(v) for v, c in proj.items()])
+
+    def group(self, g: Group, graph=None) -> DataFrame:
+        acc: DataFrame | None = None
+        filters = []
+        for item in g.items:
+            tag = item[0]
+            if tag == "triple":
+                acc = self._join(acc, self.pattern(item[1], item[2], item[3], graph))
+            elif tag == "filter":
+                filters.append(item[1])
+            elif tag == "optional":
+                right = self.group(item[1], graph)
+                acc = self._join(acc, right, how="left")
+            elif tag == "union":
+                branches = [self.group(b, graph) for b in item[1]]
+                u = branches[0]
+                for b in branches[1:]:
+                    u = u.unionByName(b, allowMissingColumns=True)
+                acc = self._join(acc, u)
+            elif tag == "graph":
+                acc = self._join(acc, self.group(item[2], item[1]))
+            elif tag == "bind":
+                if acc is None:
+                    raise SparqlError("BIND before any pattern")
+                acc = acc.withColumn(item[2], self.expr(item[1], "term"))
+            else:
+                raise SparqlError(f"bad group item {tag}")
+        if acc is None:
+            raise SparqlError("empty group")
+        for fe in filters:
+            acc = acc.filter(self.expr(fe, "bool"))
+        return acc
+
+    def _join(self, acc: DataFrame | None, df: DataFrame, how: str = "inner") -> DataFrame:
+        if acc is None:
+            return df
+        shared = [c for c in acc.columns if c in df.columns]
+        if not shared:
+            return acc.crossJoin(df) if how == "inner" else acc.join(df, how="left")
+        return acc.join(df, on=shared, how=how)
+
+
+def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> DataFrame:
+    """Run a SPARQL SELECT over a quad DataFrame with columns
+    (subj, pred, obj[, graph_col]). Returns one column per selected
+    variable/aggregate alias; cells are N-Triples term strings (aggregates:
+    native numerics).
+
+    Known divergence from full SPARQL (documented, shared with tests): a
+    UNION branch that leaves a variable unbound which earlier patterns in
+    the same group DID bind joins as NULL (row dropped) rather than as
+    "compatible with anything" — keep shared variables bound in every
+    branch."""
+    q = parse_sparql(text)
+    if graph_col is None and "prov" in quads.columns:
+        graph_col = "prov"
+    comp = _DfCompiler(quads, graph_col)
+    df = comp.group(q.where)
+    has_agg = any(isinstance(s, Agg) for s in q.select)
+    if has_agg or q.group_by:
+        keys = [F.col(v) for v in q.group_by]
+        aggs = []
+        for s in q.select:
+            if not isinstance(s, Agg):
+                continue
+            if s.func == "count":
+                if s.arg is None:
+                    aggs.append(F.count(F.lit(1)).alias(s.alias))
+                elif s.distinct:
+                    aggs.append(F.countDistinct(comp.expr(s.arg, "term")).alias(s.alias))
+                else:
+                    aggs.append(F.count(comp.expr(s.arg, "term")).alias(s.alias))
+            else:
+                c = comp.expr(s.arg, "num")
+                fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[s.func]
+                aggs.append(fn(c).alias(s.alias))
+        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        out_cols = q.group_by + [s.alias for s in q.select if isinstance(s, Agg)]
+        sel_order = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] or out_cols
+        df = df.select(*sel_order)
+    else:
+        if q.select:
+            df = df.select(*[s[1] for s in q.select])
+    if q.distinct:
+        df = df.distinct()
+    if q.order_by:
+        df = df.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                          for v, asc in q.order_by])
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# local (in-memory) backend — per-graph, used by SHACL sh:sparql
+# ---------------------------------------------------------------------------
+
+
+class _LocalEval:
+    def __init__(self, triples: list[tuple]):
+        # triples: (s, p, o) or (s, p, o, g)
+        self.triples = triples
+
+    def expr(self, e, row: dict, want: str = "bool"):
+        tag = e[0]
+        if tag == "var":
+            t = row.get(e[1])
+            if t is None:
+                return None
+            if want == "num":
+                return term_num(t)
+            if want == "str":
+                return term_lex(t)
+            return t
+        if tag == "const":
+            if want == "num":
+                return term_num(e[1])
+            if want == "str":
+                return term_lex(e[1])
+            return e[1]
+        if tag == "num":
+            return float(e[1])
+        if tag == "and":
+            return bool(self.expr(e[1], row)) and bool(self.expr(e[2], row))
+        if tag == "or":
+            return bool(self.expr(e[1], row)) or bool(self.expr(e[2], row))
+        if tag == "not":
+            return not self.expr(e[1], row)
+        if tag == "cmp":
+            op, a, b = e[1], e[2], e[3]
+            mode = _cmp_mode(a, b)
+            va, vb = self.expr(a, row, mode), self.expr(b, row, mode)
+            if va is None or vb is None:
+                return False
+            return {
+                "=": va == vb, "!=": va != vb, "<": va < vb,
+                "<=": va <= vb, ">": va > vb, ">=": va >= vb,
+            }[op]
+        if tag == "arith":
+            va, vb = self.expr(e[2], row, "num"), self.expr(e[3], row, "num")
+            if va is None or vb is None:
+                return None
+            return {"+": va + vb, "-": va - vb, "*": va * vb,
+                    "/": va / vb if vb else None}[e[1]]
+        if tag == "call":
+            return self._call(e[1], e[2], row, want)
+        raise SparqlError(f"bad expr {e!r}")
+
+    def _call(self, fn, args, row, want):
+        if fn == "BOUND":
+            return self.expr(args[0], row, "term") is not None
+        if fn == "REGEX":
+            v = self.expr(args[0], row, "str")
+            if v is None:
+                return False
+            pat = term_lex(args[1][1])
+            flags = re.I if len(args) > 2 and "i" in term_lex(args[2][1]) else 0
+            return re.search(pat, v, flags) is not None
+        v = self.expr(args[0], row, "term")
+        if fn in ("ISIRI", "ISLITERAL", "ISBLANK"):
+            if v is None:
+                return False
+            return {"ISIRI": v.startswith("<"), "ISLITERAL": v.startswith('"'),
+                    "ISBLANK": v.startswith("_:")}[fn]
+        if v is None:
+            return None
+        if fn == "STR":
+            return term_lex(v)
+        if fn == "LANG":
+            return term_lang(v)
+        if fn == "DATATYPE":
+            return term_datatype(v)
+        if fn == "STRLEN":
+            return float(len(term_lex(v)))
+        if fn == "UCASE":
+            return term_lex(v).upper()
+        if fn == "LCASE":
+            return term_lex(v).lower()
+        if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
+            b = self.expr(args[1], row, "str")
+            a = term_lex(v)
+            return {"CONTAINS": b in a, "STRSTARTS": a.startswith(b),
+                    "STRENDS": a.endswith(b)}[fn]
+        raise SparqlError(f"unsupported function {fn}")
+
+    def _match(self, atom, value, row, out):
+        if atom[0] == "term":
+            return atom[1] == value
+        var = atom[1]
+        bound = out.get(var, row.get(var))
+        if bound is not None:
+            return bound == value
+        out[var] = value
+        return True
+
+    def pattern(self, s, p, o, graph, rows: list[dict]) -> list[dict]:
+        out = []
+        for row in rows:
+            for t in self.triples:
+                nb: dict = {}
+                if not self._match(s, t[0], row, nb):
+                    continue
+                if not self._match(p, t[1], row, nb):
+                    continue
+                if not self._match(o, t[2], row, nb):
+                    continue
+                if graph is not None:
+                    if len(t) < 4:
+                        continue
+                    if not self._match(graph, t[3], row, nb):
+                        continue
+                out.append({**row, **nb})
+        return out
+
+    def group(self, g: Group, rows: list[dict], graph=None) -> list[dict]:
+        filters = []
+        for item in g.items:
+            tag = item[0]
+            if tag == "triple":
+                rows = self.pattern(item[1], item[2], item[3], graph, rows)
+            elif tag == "filter":
+                filters.append(item[1])
+            elif tag == "optional":
+                nxt = []
+                for row in rows:
+                    matched = self.group(item[1], [row], graph)
+                    nxt.extend(matched if matched else [row])
+                rows = nxt
+            elif tag == "union":
+                nxt = []
+                for b in item[1]:
+                    nxt.extend(self.group(b, rows, graph))
+                rows = nxt
+            elif tag == "graph":
+                rows = self.group(item[2], rows, item[1])
+            elif tag == "bind":
+                # fresh dicts: row objects may be aliased across UNION
+                # branches / OPTIONAL pass-throughs
+                rows = [{**row, item[2]: self.expr(item[1], row, "term")}
+                        for row in rows]
+        return [r for r in rows if all(self.expr(f, r) for f in filters)]
+
+
+def sparql_eval_local(
+    triples: list[tuple], text: str, bindings: dict[str, str] | None = None
+) -> list[dict]:
+    """Evaluate a SPARQL SELECT over an in-memory triple list (3- or
+    4-tuples). ``bindings`` pre-binds variables (SHACL's $this). Returns a
+    list of {var: term} dicts restricted to the SELECT list, in a
+    deterministic order."""
+    q = parse_sparql(text)
+    ev = _LocalEval(triples)
+    rows = ev.group(q.where, [dict(bindings or {})])
+    has_agg = any(isinstance(s, Agg) for s in q.select)
+    if has_agg or q.group_by:
+        groups: dict[tuple, list[dict]] = {}
+        for r in rows:
+            key = tuple(r.get(v) for v in q.group_by)
+            groups.setdefault(key, []).append(r)
+        out_rows = []
+        for key, members in groups.items():
+            row = dict(zip(q.group_by, key))
+            for s in q.select:
+                if not isinstance(s, Agg):
+                    continue
+                if s.func == "count":
+                    if s.arg is None:
+                        row[s.alias] = len(members)
+                    else:
+                        vals = [ev.expr(s.arg, m, "term") for m in members]
+                        vals = [v for v in vals if v is not None]
+                        row[s.alias] = len(set(vals)) if s.distinct else len(vals)
+                else:
+                    nums = [ev.expr(s.arg, m, "num") for m in members]
+                    nums = [n for n in nums if n is not None]
+                    if not nums:
+                        row[s.alias] = None
+                    elif s.func == "sum":
+                        row[s.alias] = sum(nums)
+                    elif s.func == "avg":
+                        row[s.alias] = sum(nums) / len(nums)
+                    elif s.func == "min":
+                        row[s.alias] = min(nums)
+                    else:
+                        row[s.alias] = max(nums)
+            out_rows.append(row)
+        rows = out_rows
+        sel = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] \
+            or (q.group_by + [s.alias for s in q.select if isinstance(s, Agg)])
+    else:
+        sel = [s[1] for s in q.select] if q.select else sorted(
+            {k for r in rows for k in r}
+        )
+    rows = [{v: r.get(v) for v in sel} for r in rows]
+    if q.distinct:
+        seen = set()
+        uniq = []
+        for r in rows:
+            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        rows = uniq
+    for var, asc in reversed(q.order_by):
+        rows.sort(key=lambda r: (r.get(var) is None, r.get(var)), reverse=not asc)
+    if q.offset:
+        rows = rows[q.offset:]
+    if q.limit is not None:
+        rows = rows[: q.limit]
+    return rows

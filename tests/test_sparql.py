@@ -1,0 +1,251 @@
+"""SPARQL subset engine: parser, both evaluators, and their agreement.
+
+The DataFrame compiler and the in-memory evaluator share one parse; every
+semantic test here runs the SAME query through both backends over the SAME
+graph and asserts identical result multisets — the strongest cheap check
+that the Catalyst compilation implements the documented semantics.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from nabu_spark.sparql import (
+    SparqlError,
+    parse_sparql,
+    sparql_eval_local,
+    sparql_query,
+    term_datatype,
+    term_lang,
+    term_lex,
+    term_num,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def iri(x):
+    return f"<urn:t:{x}>"
+
+
+def num(n):
+    return f'"{n}"^^<{XSD}integer>'
+
+
+def small_graph():
+    """Deterministic mixed graph: people with ages, names, knows-links."""
+    t = []
+    for i in range(8):
+        s = iri(f"p{i}")
+        t.append((s, iri("age"), num(20 + i * 3)))
+        t.append((s, iri("name"), f'"Person {i}"'))
+        if i % 2 == 0:
+            t.append((s, iri("lang"), '"hallo"@de'))
+        if i:
+            t.append((s, iri("knows"), iri(f"p{i - 1}")))
+        if i % 3 == 0:
+            t.append((s, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                      iri("Admin")))
+    t.append(("_:b0", iri("age"), num(99)))
+    return t
+
+
+def both(spark, triples, query):
+    """Run via both backends; return (df_rows, local_rows) as sorted tuples."""
+    local = sparql_eval_local(triples, query)
+    df = spark.createDataFrame(
+        [(s, p, o) for s, p, o in triples], "subj string, pred string, obj string"
+    )
+    out = sparql_query(df, query)
+    cols = out.columns
+    df_rows = sorted(
+        tuple(None if v is None else v for v in (r[c] for c in cols))
+        for r in out.collect()
+    )
+    local_rows = sorted(tuple(r.get(c) for c in cols) for r in local)
+    return df_rows, local_rows
+
+
+AGREEMENT_QUERIES = [
+    # plain BGP + join
+    "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:knows ?o . ?o t:age ?a }",
+    # constant subject + predicate list syntax
+    'PREFIX t: <urn:t:> SELECT ?n ?a WHERE { t:p3 t:name ?n ; t:age ?a }',
+    # numeric FILTER with arithmetic
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a FILTER(?a > 20 + 6) }",
+    # term equality + !=
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(?n != "Person 3") }',
+    # regex + str()
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(regex(?n, "son [0-2]$")) }',
+    # lang() / datatype()
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:lang ?l FILTER(lang(?l) = "de") }',
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+    f'FILTER(datatype(?a) = "{XSD}integer") }}',
+    # isIRI / isBlank on subjects
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a FILTER(isBlank(?s)) }",
+    # OPTIONAL with bound() test
+    "PREFIX t: <urn:t:> SELECT ?s ?l WHERE { ?s t:age ?a "
+    "OPTIONAL { ?s t:lang ?l } }",
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+    "OPTIONAL { ?s t:lang ?l } FILTER(!bound(?l)) }",
+    # UNION (both branches bind ?s only)
+    "PREFIX t: <urn:t:> SELECT DISTINCT ?s WHERE { { ?s a t:Admin } UNION "
+    '{ ?s t:lang "hallo"@de } }',
+    # rdf:type via 'a' keyword
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s a t:Admin }",
+    # repeated variable within one pattern (self-loop check -> empty)
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:knows ?s }",
+    # two-hop chain
+    "PREFIX t: <urn:t:> SELECT ?a ?c WHERE { ?a t:knows ?b . ?b t:knows ?c }",
+    # BIND + filter on computed value
+    "PREFIX t: <urn:t:> SELECT ?s ?d WHERE { ?s t:age ?a "
+    "BIND(?a * 2 AS ?d) FILTER(?d >= 70) }",
+    # aggregates
+    "PREFIX t: <urn:t:> SELECT (COUNT(*) AS ?n) (SUM(?a) AS ?tot) WHERE "
+    "{ ?s t:age ?a }",
+    "PREFIX t: <urn:t:> SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s t:knows ?o } "
+    "GROUP BY ?o ORDER BY ?o",
+    # DISTINCT + ORDER + LIMIT/OFFSET
+    "PREFIX t: <urn:t:> SELECT DISTINCT ?p WHERE { ?s ?p ?o } ORDER BY ?p "
+    "LIMIT 3 OFFSET 1",
+    # strstarts / strlen / ucase
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(strstarts(str(?n), "Person")) }',
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(strlen(?n) > 7) }",
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(ucase(?n) = "PERSON 4") }',
+    # || and ! combinations
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+    "FILTER(?a < 23 || !(?a < 35)) }",
+]
+
+
+class TestAgreement:
+    @pytest.mark.parametrize("q", AGREEMENT_QUERIES)
+    def test_backends_agree(self, spark, q):
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+
+    def test_agg_values(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT (COUNT(*) AS ?n) (SUM(?a) AS ?tot) "
+             "(MIN(?a) AS ?lo) (MAX(?a) AS ?hi) (AVG(?a) AS ?mean) "
+             "WHERE { ?s t:age ?a FILTER(isIRI(?s)) }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        ages = [20 + i * 3 for i in range(8)]
+        n, tot, lo, hi, mean = df_rows[0]
+        assert (n, tot, lo, hi) == (8, float(sum(ages)), 20.0, 41.0)
+        assert mean == pytest.approx(sum(ages) / 8)
+
+    def test_random_graphs_agree(self, spark):
+        rng = random.Random(42)
+        preds = [iri(p) for p in ("a", "b", "c")]
+        nodes = [iri(f"n{i}") for i in range(6)]
+        queries = [
+            "PREFIX t: <urn:t:> SELECT ?x ?y WHERE { ?x t:a ?y . ?y t:b ?z }",
+            "PREFIX t: <urn:t:> SELECT ?x WHERE { ?x t:a ?y "
+            "OPTIONAL { ?y t:c ?z } FILTER(bound(?z)) }",
+            "PREFIX t: <urn:t:> SELECT DISTINCT ?x WHERE "
+            "{ { ?x t:a ?y } UNION { ?x t:b ?y } }",
+            "PREFIX t: <urn:t:> SELECT ?x (COUNT(?y) AS ?deg) WHERE "
+            "{ ?x ?p ?y } GROUP BY ?x",
+        ]
+        for trial in range(5):
+            triples = list({
+                (rng.choice(nodes), rng.choice(preds),
+                 rng.choice(nodes + [num(rng.randint(0, 9))]))
+                for _ in range(25)
+            })
+            for q in queries:
+                df_rows, local_rows = both(spark, triples, q)
+                assert df_rows == local_rows, f"trial {trial}: {q}"
+
+
+class TestGraphScope:
+    def test_graph_constant_and_var(self, spark):
+        quads = [
+            (iri("s1"), iri("p"), num(1), "<urn:g:a>"),
+            (iri("s2"), iri("p"), num(2), "<urn:g:b>"),
+            (iri("s3"), iri("p"), num(3), "<urn:g:a>"),
+        ]
+        df = spark.createDataFrame(
+            quads, "subj string, pred string, obj string, prov string"
+        )
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE "
+             "{ GRAPH <urn:g:a> { ?s t:p ?o } } ORDER BY ?s")
+        got = [r.s for r in sparql_query(df, q).collect()]
+        assert got == [iri("s1"), iri("s3")]
+        local = sparql_eval_local(quads, q)
+        assert [r["s"] for r in local] == got
+
+        q2 = ("PREFIX t: <urn:t:> SELECT ?g (COUNT(*) AS ?n) WHERE "
+              "{ GRAPH ?g { ?s t:p ?o } } GROUP BY ?g ORDER BY ?g")
+        got2 = [(r.g, r.n) for r in sparql_query(df, q2).collect()]
+        assert got2 == [("<urn:g:a>", 2), ("<urn:g:b>", 1)]
+
+
+class TestParser:
+    def test_rejects_non_select(self):
+        with pytest.raises(SparqlError):
+            parse_sparql("ASK { ?s ?p ?o }")
+
+    def test_rejects_unknown_prefix(self):
+        with pytest.raises(SparqlError):
+            parse_sparql("SELECT ?s WHERE { ?s x:p ?o }")
+
+    def test_rejects_trailing_garbage(self):
+        with pytest.raises(SparqlError):
+            parse_sparql("SELECT ?s WHERE { ?s ?p ?o } SHAZAM")
+
+    def test_object_list_and_pred_list(self):
+        q = parse_sparql(
+            'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:a "x", "y" ; t:b ?o }'
+        )
+        triples = [i for i in q.where.items if i[0] == "triple"]
+        assert len(triples) == 3
+        assert triples[0][3] == ("term", '"x"')
+        assert triples[1][3] == ("term", '"y"')
+        assert triples[2][2] == ("term", "<urn:t:b>")
+
+    def test_numeric_literal_forms(self):
+        q = parse_sparql("SELECT ?s WHERE { ?s <urn:p> 5 . ?s <urn:q> 2.5 }")
+        t1, t2 = [i for i in q.where.items if i[0] == "triple"]
+        assert "integer" in t1[3][1] and "double" in t2[3][1]
+
+    def test_term_helpers(self):
+        assert term_lex("<urn:x>") == "urn:x"
+        assert term_lex('"ab"@en') == "ab"
+        assert term_lex(f'"7"^^<{XSD}integer>') == "7"
+        assert term_num(f'"7.5"^^<{XSD}double>') == 7.5
+        assert term_num('"x"') is None
+        assert term_lang('"a"@en-GB') == "en-GB"
+        assert term_datatype('"a"') == f"{XSD}string"
+        assert term_datatype('"a"@en').endswith("langString")
+        assert term_datatype("<urn:x>") is None
+
+
+class TestPlanShape:
+    def test_constant_positions_push_to_scan(self, spark, tmp_path):
+        """Constant predicate/object filters must reach the parquet scan as
+        pushed filters — at 100 TB each triple pattern is a pruned scan, not
+        a full-table read."""
+        path = str(tmp_path / "quads")
+        spark.createDataFrame(
+            [(iri(f"s{i}"), iri("p" if i % 2 else "q"), num(i)) for i in range(64)],
+            "subj string, pred string, obj string",
+        ).write.parquet(path)
+        df = spark.read.parquet(path)
+        q = "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:p ?o }"
+        plan = sparql_query(df, q)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,<urn:t:p>)" in plan
+
+    def test_join_is_equijoin_not_cartesian(self, spark):
+        df = spark.createDataFrame(
+            [(s, p, o) for s, p, o in small_graph()],
+            "subj string, pred string, obj string",
+        )
+        q = ("PREFIX t: <urn:t:> SELECT ?a ?c WHERE "
+             "{ ?a t:knows ?b . ?b t:knows ?c }")
+        plan = sparql_query(df, q)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
