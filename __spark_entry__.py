@@ -1225,6 +1225,111 @@ def q_cdx_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("filename")
 
 
+def _doc_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quads derived from the documents table (one pass:
+    struct-array explode, no union of scans): per doc a lang literal, a
+    source IRI, a typed char count, and a prev-doc link — enough join/typed
+    structure to exercise the SPARQL engine end-to-end."""
+    docs = _load(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">"))
+    pairs = F.array(
+        F.struct(
+            F.lit("<urn:p:lang>").alias("pred"),
+            F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("obj"),
+        ),
+        F.struct(
+            F.lit("<urn:p:source>").alias("pred"),
+            F.concat(F.lit("<urn:src:"), F.col("source"), F.lit(">")).alias("obj"),
+        ),
+        F.struct(
+            F.lit("<urn:p:nchars>").alias("pred"),
+            F.concat(
+                F.lit('"'),
+                F.col("n_chars"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            ).alias("obj"),
+        ),
+        F.struct(
+            F.lit("<urn:p:prev>").alias("pred"),
+            F.when(
+                F.col("doc_id") > 0,
+                F.concat(F.lit("<urn:doc:"), F.col("doc_id") - 1, F.lit(">")),
+            ).alias("obj"),
+        ),
+    )
+    return (
+        docs.select(subj.alias("subj"), F.explode(pairs).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+        .filter(F.col("obj").isNotNull())
+    )
+
+
+def q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BGP with a 3-pattern join, numeric + term filters, ORDER BY —
+    compiled to filtered scans + equi-joins by nabu_spark.sparql."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?doc ?lang ?n WHERE {
+          ?doc p:lang ?lang .
+          ?doc p:nchars ?n .
+          ?doc p:source <urn:src:src3> .
+          FILTER(?n >= 300 && ?lang != "de")
+        } ORDER BY ?doc
+        """,
+    )
+
+
+def q_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL (left-join) semantics: English docs with the language of
+    their predecessor doc when one exists."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?doc ?prevlang WHERE {
+          ?doc p:lang "en" .
+          OPTIONAL { ?doc p:prev ?prev . ?prev p:lang ?prevlang }
+        } ORDER BY ?doc
+        """,
+    )
+
+
+def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + COUNT/SUM aggregates over a two-pattern join."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?lang (COUNT(*) AS ?n) (SUM(?nc) AS ?total) WHERE {
+          ?doc p:lang ?lang . ?doc p:nchars ?nc .
+        } GROUP BY ?lang ORDER BY ?lang
+        """,
+    )
+
+
+def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION + DISTINCT (set semantics across branches)."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT DISTINCT ?doc WHERE {
+          { ?doc p:lang "de" } UNION { ?doc p:source <urn:src:src7> }
+        } ORDER BY ?doc
+        """,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1258,6 +1363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canon": q_sameas_canon,
         "cdx_latest": q_cdx_latest,
         "cdx_plan": q_cdx_plan,
+        "sparql_bgp": q_sparql_bgp,
+        "sparql_optional": q_sparql_optional,
+        "sparql_agg": q_sparql_agg,
+        "sparql_union": q_sparql_union,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2334,4 +2443,39 @@ def oracle_sql() -> dict[str, str]:
         # this corpus (see queries above), so the exact top-k is their oracle
         "lsh_topk": _EXACT_TOPK_SQL,
         "ivf_topk": _EXACT_TOPK_SQL,
+        # SPARQL oracles: independent hand-written SQL restating each
+        # query's semantics directly over documents (the quads are a pure
+        # function of that table), so the compiler's join/filter/agg
+        # algebra is checked end-to-end, not round-tripped
+        "sparql_bgp": """
+            SELECT '<urn:doc:' || doc_id || '>' AS doc,
+                   '"' || lang || '"' AS lang,
+                   '"' || n_chars ||
+                     '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+            FROM documents
+            WHERE source = 'src3' AND n_chars >= 300 AND lang <> 'de'
+            ORDER BY doc
+        """,
+        "sparql_optional": """
+            SELECT '<urn:doc:' || d.doc_id || '>' AS doc,
+                   '"' || p.lang || '"' AS prevlang
+            FROM documents d
+            LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+            WHERE d.lang = 'en'
+            ORDER BY doc
+        """,
+        "sparql_agg": """
+            SELECT '"' || lang || '"' AS lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) AS total
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "sparql_union": """
+            SELECT '<urn:doc:' || doc_id || '>' AS doc
+            FROM documents WHERE lang = 'de'
+            UNION
+            SELECT '<urn:doc:' || doc_id || '>' AS doc
+            FROM documents WHERE source = 'src7'
+            ORDER BY doc
+        """,
     }

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -148,6 +149,14 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = ent.queries()
+    # CHECK_ONLY=q1,q2 restricts the run (fast iteration on new queries)
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        wanted = set(only.split(","))
+        missing = wanted - qs.keys()
+        if missing:
+            raise SystemExit(f"CHECK_ONLY names unknown queries: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in wanted}
     oracles = ent.oracle_sql()
     failed = []
     for name, fn in qs.items():
