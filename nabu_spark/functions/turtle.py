@@ -25,6 +25,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<iri><[^>]*>)
+  | (?P<longstring>"{3}(?:(?:"|"")?(?:[^"\\]|\\.))*"{3})
+  | (?P<sqlongstring>'{3}(?:(?:'|'')?(?:[^'\\]|\\.))*'{3})
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<sqstring>'(?:[^'\\]|\\.)*')
   | (?P<dtsep>\^\^)
@@ -123,8 +125,9 @@ class _Parser:
         text = tok.group(0)
         if kind == "iri":
             return self._resolve_iri(text)
-        if kind in ("string", "sqstring"):
-            lex = _unescape(text[1:-1])
+        if kind in ("string", "sqstring", "longstring", "sqlongstring"):
+            raw = text[3:-3] if kind.endswith("longstring") else text[1:-1]
+            lex = _unescape(raw)
             term = '"' + lex.replace("\\", "\\\\").replace('"', '\\"') + '"'
             nxt = self._peek()
             if nxt is not None and nxt.lastgroup == "dtsep":

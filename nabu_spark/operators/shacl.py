@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.ntriples import unescape_literal
+from ..sparql import parse_sparql, sparql_eval_local
 from ..functions.turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, parse_turtle
 
 SH = "http://www.w3.org/ns/shacl#"
@@ -104,6 +105,9 @@ class NodeShape:
     cls: str | None = None        # node-level sh:class (focus must be typed C)
     datatype: str | None = None   # node-level sh:datatype
     node_kind: str | None = None  # node-level sh:nodeKind
+    # sh:sparql SELECT-based constraints: (parsed query, message | None);
+    # each solution with $this pre-bound to the focus node is a violation
+    sparql_constraints: list = field(default_factory=list)
 
 
 class ShapesGraph:
@@ -206,6 +210,16 @@ class ShapesGraph:
         shape.node_kind = nk[0] if nk else None
         closed = self._objs(s, _sh("closed"))
         shape.closed = bool(closed) and closed[0].startswith('"true"')
+        for c in self._objs(s, _sh("sparql")):
+            sel = self._objs(c, _sh("select"))
+            if not sel:
+                continue
+            # _literal_parts already unescapes the stored literal
+            text = self._sparql_prefix_header(c) + _literal_parts(sel[0])[0]
+            msg = self._objs(c, _sh("message"))
+            shape.sparql_constraints.append(
+                (parse_sparql(text), _literal_parts(msg[0])[0] if msg else None)
+            )
         for head in self._objs(s, _sh("ignoredProperties")):
             shape.ignored_props.extend(self._list_items(head))
         for ps in self._objs(s, _sh("property")):
@@ -256,6 +270,22 @@ class ShapesGraph:
             prop.message = unescape_literal(msg[0][1:-1]) if msg else None
             shape.properties.append(prop)
         return shape
+
+    def _sparql_prefix_header(self, constraint_node: str) -> str:
+        """sh:prefixes -> sh:declare [sh:prefix, sh:namespace] entries,
+        rendered as PREFIX lines prepended to the sh:select text (SHACL-SPARQL
+        §5.2.1). The select string may also carry its own PREFIX lines."""
+        lines = []
+        for onto in self._objs(constraint_node, _sh("prefixes")):
+            for decl in self._objs(onto, _sh("declare")):
+                pfx = self._objs(decl, _sh("prefix"))
+                ns = self._objs(decl, _sh("namespace"))
+                if pfx and ns:
+                    lines.append(
+                        f"PREFIX {_literal_parts(pfx[0])[0]}: "
+                        f"<{_literal_parts(ns[0])[0]}>\n"
+                    )
+        return "".join(lines)
 
     def node_shape(self, shape_id: str) -> NodeShape:
         """A shape referenced by sh:node — may be an inline bnode shape that
@@ -381,6 +411,8 @@ def _literal_parts(term: str) -> tuple[str, str]:
 
 class _GraphIndex:
     def __init__(self, triples):
+        triples = list(triples)
+        self.triples = triples  # raw view for sh:sparql evaluation
         self.po: dict[str, dict[str, list[str]]] = {}
         self.types: dict[str, list[str]] = {}
         self.by_pred: dict[str, list[tuple[str, str]]] = {}
@@ -438,6 +470,18 @@ def _validate_node(
             out.append((node, "", "Xone",
                         f"node conforms to {n_ok} sh:xone members of {shape.shape_id}, not exactly 1",
                         sev))
+    for pq, message in shape.sparql_constraints:
+        # SHACL-SPARQL SELECT constraint: every solution with $this bound to
+        # the focus node is one violation; ?path/?value enrich the result
+        for row in sparql_eval_local(g.triples, pq, bindings={"this": node}):
+            val = row.get("value")
+            out.append((
+                node,
+                str(row.get("path") or ""),
+                "SPARQLConstraint",
+                message or ("sparql constraint" + (f" value {val}" if val else "")),
+                sev,
+            ))
     if shape.closed:
         # sh:closed: only predicates that are simple forward paths of this
         # shape's property shapes, plus sh:ignoredProperties, may appear on

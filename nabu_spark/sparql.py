@@ -848,13 +848,16 @@ class _LocalEval:
 
 
 def sparql_eval_local(
-    triples: list[tuple], text: str, bindings: dict[str, str] | None = None
+    triples: list[tuple],
+    text: str | Query,
+    bindings: dict[str, str] | None = None,
 ) -> list[dict]:
     """Evaluate a SPARQL SELECT over an in-memory triple list (3- or
-    4-tuples). ``bindings`` pre-binds variables (SHACL's $this). Returns a
-    list of {var: term} dicts restricted to the SELECT list, in a
+    4-tuples). ``bindings`` pre-binds variables (SHACL's $this); ``text``
+    may be a pre-parsed Query so per-focus-node callers parse once. Returns
+    a list of {var: term} dicts restricted to the SELECT list, in a
     deterministic order."""
-    q = parse_sparql(text)
+    q = text if isinstance(text, Query) else parse_sparql(text)
     ev = _LocalEval(triples)
     rows = ev.group(q.where, [dict(bindings or {})])
     has_agg = any(isinstance(s, Agg) for s in q.select)

@@ -622,3 +622,101 @@ ex:Q a sh:NodeShape ;
         conforms, res = validate_graph(sg, self._ds([True, True, True]))
         assert not conforms
         assert any(r[2] == "QualifiedMaxCount" for r in res)
+
+
+class TestSparqlConstraints:
+    """sh:sparql SELECT-based constraints (SHACL-SPARQL §5), evaluated with
+    the in-process nabu_spark.sparql evaluator — the last SHACL construct
+    family the engine lacked."""
+
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    SHAPES = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:LabelMatchesName a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:sparql [
+        sh:message "alternateName must differ from name" ;
+        sh:prefixes ex:onto ;
+        sh:select """SELECT $this ?value WHERE {
+            $this schema:name ?value .
+            $this schema:alternateName ?value .
+        }""" ;
+    ] .
+
+ex:onto sh:declare [ sh:prefix "schema" ;
+                     sh:namespace "https://schema.org/" ] .
+'''
+
+    def _place(self, name, alt):
+        return [
+            ("<http://d.org/p>", self.RDF_TYPE, "<https://schema.org/Place>"),
+            ("<http://d.org/p>", "<https://schema.org/name>", f'"{name}"'),
+            ("<http://d.org/p>", "<https://schema.org/alternateName>", f'"{alt}"'),
+        ]
+
+    def test_violation_when_names_equal(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        sg = parse_shapes(self.SHAPES)
+        conforms, res = validate_graph(sg, self._place("Springfield", "Springfield"),
+                                       precheck=False)
+        assert not conforms
+        (row,) = res
+        assert row[2] == "SPARQLConstraint"
+        assert row[3] == "alternateName must differ from name"
+        assert row[0] == "<http://d.org/p>"
+
+    def test_conforms_when_names_differ(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        sg = parse_shapes(self.SHAPES)
+        conforms, res = validate_graph(sg, self._place("Springfield", "Greendale"),
+                                       precheck=False)
+        assert conforms, res
+
+    def test_inline_prefixes_and_filter(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        shapes = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:ShortName a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:severity sh:Warning ;
+    sh:sparql [
+        sh:select """PREFIX schema: <https://schema.org/>
+          SELECT $this ?value WHERE {
+            $this schema:name ?value .
+            FILTER(strlen(?value) > 10)
+          }""" ;
+    ] .
+'''
+        sg = parse_shapes(shapes)
+        conforms, res = validate_graph(
+            sg, self._place("A very long place name", "x"), precheck=False
+        )
+        assert not conforms
+        assert res[0][2] == "SPARQLConstraint"
+        assert res[0][4] == "Warning"
+        assert 'A very long place name' in res[0][3]
+        conforms, _ = validate_graph(sg, self._place("Short", "x"), precheck=False)
+        assert conforms
+
+
+class TestTurtleLongStrings:
+    def test_long_string_literal_with_newlines_and_quotes(self):
+        from nabu_spark.functions.turtle import parse_turtle
+
+        triples = parse_turtle(
+            '@prefix ex: <http://t.org/> .\n'
+            'ex:s ex:p """line1\nline2 "quoted" end""" .'
+        )
+        ((s, p, o),) = triples
+        # newlines stay raw inside the stored term; quotes are escaped
+        assert o == '"line1\nline2 \\"quoted\\" end"'
