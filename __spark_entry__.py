@@ -1264,6 +1264,71 @@ def _doc_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFrame:
+    """Per-doc 4-triple graph containing two linked blank nodes, with
+    configurable bnode names and triple order — two variants of the same
+    isomorphism class for the RDFC invariance gate."""
+    prov = F.concat(F.lit("<urn:g:"), F.col("doc_id"), F.lit(">"))
+    entries = [
+        F.struct(
+            F.lit(bn1).alias("subj"),
+            F.lit("<urn:p:lang>").alias("pred"),
+            F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("obj"),
+        ),
+        F.struct(
+            F.lit(bn1).alias("subj"),
+            F.lit("<urn:p:next>").alias("pred"),
+            F.lit(bn2).alias("obj"),
+        ),
+        F.struct(
+            F.lit(bn2).alias("subj"),
+            F.lit("<urn:p:n>").alias("pred"),
+            F.concat(
+                F.lit('"'),
+                F.col("n_chars"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            ).alias("obj"),
+        ),
+        F.struct(
+            F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias("subj"),
+            F.lit("<urn:p:root>").alias("pred"),
+            F.lit(bn1).alias("obj"),
+        ),
+    ]
+    if reverse:
+        entries = list(reversed(entries))
+    return docs.select(
+        prov.alias("prov"), F.explode(F.array(*entries)).alias("t")
+    ).select("prov", "t.subj", "t.pred", "t.obj")
+
+
+def q_rdfc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFC-1.0 canonicalization (W3C rdf-canon) as a distributed per-graph
+    operator: each doc graph is built TWICE — different blank-node names,
+    reversed triple order — canonicalized, and the canonical sha256 of the
+    two variants compared. The oracle asserts the invariance property
+    (equal hashes, 4 canonical quads) for every graph, which only holds if
+    the canonical labeling is a true function of the isomorphism class."""
+    from nabu_spark.operators.graphops import canonical_quads
+
+    docs = _load(spark, sf_dir, "documents")
+    va = canonical_quads(_bnode_variant(docs, "_:a", "_:b", False))
+    vb = canonical_quads(_bnode_variant(docs, "_:zz9", "_:q", True))
+    a = va.groupBy("prov").agg(
+        F.first("graph_sha256").alias("ha"), F.count("*").alias("n_quads")
+    )
+    b = vb.groupBy("prov").agg(F.first("graph_sha256").alias("hb"))
+    return (
+        a.join(b, "prov")
+        .select(
+            "prov",
+            (F.col("ha") == F.col("hb")).alias("hashes_equal"),
+            "n_quads",
+        )
+        .orderBy("prov")
+    )
+
+
 def q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL BGP with a 3-pattern join, numeric + term filters, ORDER BY —
     compiled to filtered scans + equi-joins by nabu_spark.sparql."""
@@ -1363,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canon": q_sameas_canon,
         "cdx_latest": q_cdx_latest,
         "cdx_plan": q_cdx_plan,
+        "rdfc_canon": q_rdfc_canon,
         "sparql_bgp": q_sparql_bgp,
         "sparql_optional": q_sparql_optional,
         "sparql_agg": q_sparql_agg,
@@ -2447,6 +2513,12 @@ def oracle_sql() -> dict[str, str]:
         # query's semantics directly over documents (the quads are a pure
         # function of that table), so the compiler's join/filter/agg
         # algebra is checked end-to-end, not round-tripped
+        "rdfc_canon": """
+            SELECT '<urn:g:' || doc_id || '>' AS prov,
+                   TRUE AS hashes_equal,
+                   CAST(4 AS BIGINT) AS n_quads
+            FROM documents ORDER BY prov
+        """,
         "sparql_bgp": """
             SELECT '<urn:doc:' || doc_id || '>' AS doc,
                    '"' || lang || '"' AS lang,
