@@ -1302,6 +1302,22 @@ def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFr
     ).select("prov", "t.subj", "t.pred", "t.obj")
 
 
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT: instantiate a new graph from matched bindings (the KG
+    transformation surface — e.g. ontology remapping before bulk-load)."""
+    from nabu_spark.sparql import sparql_query
+
+    out = sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        CONSTRUCT { ?doc <urn:out:lang> ?lang . ?doc <urn:out:src> ?src }
+        WHERE { ?doc p:lang ?lang . ?doc p:source ?src }
+        """,
+    )
+    return out.orderBy("subj", "pred", "obj")
+
+
 def q_rdfc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFC-1.0 canonicalization (W3C rdf-canon) as a distributed per-graph
     operator: each doc graph is built TWICE — different blank-node names,
@@ -1433,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional": q_sparql_optional,
         "sparql_agg": q_sparql_agg,
         "sparql_union": q_sparql_union,
+        "sparql_construct": q_sparql_construct,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2549,5 +2566,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
             ORDER BY doc
+        """,
+        "sparql_construct": """
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:out:lang>' AS pred,
+                   '"' || lang || '"' AS obj
+            FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:out:src>' AS pred,
+                   '<urn:src:' || source || '>' AS obj
+            FROM documents
+            ORDER BY subj, pred, obj
         """,
     }

@@ -10,6 +10,7 @@ Supported grammar (SPARQL 1.1 SELECT subset):
 
     PREFIX pfx: <iri>
     SELECT [DISTINCT] (?v ... | * | (AGG(expr) AS ?alias) ...)
+    CONSTRUCT { template triples }   (emits the distinct instantiated graph)
     WHERE { triple patterns with ';'/',' lists, FILTER(expr),
             OPTIONAL { ... }, { ... } UNION { ... },
             GRAPH ?g|<iri> { ... }, BIND(expr AS ?v) }
@@ -128,6 +129,7 @@ class Query:
     order_by: list[tuple[str, bool]]   # (var, ascending)
     limit: int | None
     offset: int
+    construct: list | None = None      # template triples for CONSTRUCT
 
 
 class _Parser:
@@ -193,24 +195,32 @@ class _Parser:
             if kind != "IRI":
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
             self.prefixes[pname[:-1]] = iri[1:-1]
-        if not self._kw("SELECT"):
-            raise SparqlError("only SELECT queries are supported")
-        distinct = self._kw("DISTINCT")
+        construct = None
+        distinct = False
         select: list = []
-        while True:
-            kind, v = self._peek()
-            if kind == "VAR":
-                self.i += 1
-                select.append(("var", v[1:]))
-            elif v == "*":
-                self.i += 1
-                select = []
-            elif v == "(":
-                self.i += 1
-                select.append(self._agg_spec())
-                self._expect(")")
-            else:
-                break
+        if self._kw("CONSTRUCT"):
+            tmpl = self._group()
+            construct = [it for it in tmpl.items if it[0] == "triple"]
+            if len(construct) != len(tmpl.items):
+                raise SparqlError("CONSTRUCT template must contain only triples")
+        elif self._kw("SELECT"):
+            distinct = self._kw("DISTINCT")
+            while True:
+                kind, v = self._peek()
+                if kind == "VAR":
+                    self.i += 1
+                    select.append(("var", v[1:]))
+                elif v == "*":
+                    self.i += 1
+                    select = []
+                elif v == "(":
+                    self.i += 1
+                    select.append(self._agg_spec())
+                    self._expect(")")
+                else:
+                    break
+        else:
+            raise SparqlError("only SELECT and CONSTRUCT queries are supported")
         if not self._kw("WHERE"):
             raise SparqlError("expected WHERE")
         where = self._group()
@@ -246,7 +256,8 @@ class _Parser:
                 offset = int(self._next()[1])
         if self._peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
-        return Query(select, distinct, where, group_by, order_by, limit, offset)
+        return Query(select, distinct, where, group_by, order_by, limit, offset,
+                     construct)
 
     def _agg_spec(self) -> Agg:
         kind, fn = self._next()
@@ -660,6 +671,27 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
         graph_col = "prov"
     comp = _DfCompiler(quads, graph_col)
     df = comp.group(q.where)
+    if q.construct is not None:
+        # solution modifiers apply to the bindings, then each template
+        # triple is instantiated per solution; output is the distinct graph
+        if q.order_by:
+            df = df.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                              for v, asc in q.order_by])
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+
+        def tcol(atom) -> Column:
+            return F.lit(atom[1]) if atom[0] == "term" else F.col(atom[1])
+
+        out = None
+        for _, s, p, o in q.construct:
+            part = df.select(
+                tcol(s).alias("subj"), tcol(p).alias("pred"), tcol(o).alias("obj")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.na.drop().distinct()
     has_agg = any(isinstance(s, Agg) for s in q.select)
     if has_agg or q.group_by:
         keys = [F.col(v) for v in q.group_by]
@@ -860,6 +892,26 @@ def sparql_eval_local(
     q = text if isinstance(text, Query) else parse_sparql(text)
     ev = _LocalEval(triples)
     rows = ev.group(q.where, [dict(bindings or {})])
+    if q.construct is not None:
+        for var, asc in reversed(q.order_by):
+            rows.sort(key=lambda r: (r.get(var) is None, r.get(var)),
+                      reverse=not asc)
+        if q.offset:
+            rows = rows[q.offset:]
+        if q.limit is not None:
+            rows = rows[: q.limit]
+        seen = set()
+        out = []
+        for r in rows:
+            for _, s, p, o in q.construct:
+                vals = tuple(
+                    a[1] if a[0] == "term" else r.get(a[1]) for a in (s, p, o)
+                )
+                if None in vals or vals in seen:
+                    continue
+                seen.add(vals)
+                out.append(dict(zip(("subj", "pred", "obj"), vals)))
+        return out
     has_agg = any(isinstance(s, Agg) for s in q.select)
     if has_agg or q.group_by:
         groups: dict[tuple, list[dict]] = {}

@@ -249,3 +249,47 @@ class TestPlanShape:
         plan = sparql_query(df, q)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "Join" in plan
+
+
+class TestConstruct:
+    Q = (
+        "PREFIX t: <urn:t:> CONSTRUCT { ?s <urn:out:knows2> ?c . "
+        "?s <urn:out:tag> \"hop\" } WHERE { ?s t:knows ?b . ?b t:knows ?c }"
+    )
+
+    def test_backends_agree(self, spark):
+        triples = small_graph()
+        local = sparql_eval_local(triples, self.Q)
+        df = spark.createDataFrame(
+            [(s, p, o) for s, p, o in triples],
+            "subj string, pred string, obj string",
+        )
+        out = sparql_query(df, self.Q)
+        assert out.columns == ["subj", "pred", "obj"]
+        df_rows = sorted((r.subj, r.pred, r.obj) for r in out.collect())
+        local_rows = sorted((r["subj"], r["pred"], r["obj"]) for r in local)
+        assert df_rows == local_rows
+        # template dedup: the "hop" tag appears once per subject even though
+        # several ?c solutions share a subject... (p_i knows-chain: one path
+        # each) — and constants instantiate verbatim
+        assert ('<urn:t:p7>', '<urn:out:tag>', '"hop"') in df_rows
+
+    def test_optional_unbound_template_rows_dropped(self, spark):
+        triples = [
+            (iri("s1"), iri("p"), iri("s2")),
+            (iri("s2"), iri("name"), '"n2"'),
+        ]
+        q = ("PREFIX t: <urn:t:> CONSTRUCT { ?a <urn:out:n> ?n } WHERE "
+             "{ ?a t:p ?b OPTIONAL { ?a t:name ?n } }")
+        local = sparql_eval_local(triples, q)
+        assert local == []  # s1 has no name -> ?n unbound -> no triple
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        assert sparql_query(df, q).count() == 0
+
+    def test_rejects_filter_in_template(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "CONSTRUCT { ?s <urn:p> ?o FILTER(?o > 1) } WHERE { ?s <urn:p> ?o }"
+            )
