@@ -1302,6 +1302,31 @@ def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFr
     ).select("prov", "t.subj", "t.pred", "t.obj")
 
 
+def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path transitive closure (p+) compiled to the pointer-
+    doubling join fixpoint: ancestor counts along a segmented prev-chain
+    (blocks of 32, so closure size stays O(N*block) and rounds O(log block)
+    — the shape a real KG ancestor query has at scale). Oracle: ancestors
+    of doc i are exactly i % 32."""
+    from nabu_spark.sparql import sparql_query
+
+    docs = _load(spark, sf_dir, "documents")
+    chain = docs.filter(F.col("doc_id") % 32 != 0).select(
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias("subj"),
+        F.lit("<urn:p:prev>").alias("pred"),
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id") - 1, F.lit(">")).alias("obj"),
+    )
+    return sparql_query(
+        chain,
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?doc (COUNT(?anc) AS ?n_anc) WHERE {
+          ?doc p:prev+ ?anc
+        } GROUP BY ?doc ORDER BY ?doc
+        """,
+    )
+
+
 def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT: instantiate a new graph from matched bindings (the KG
     transformation surface — e.g. ontology remapping before bulk-load)."""
@@ -1450,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg": q_sparql_agg,
         "sparql_union": q_sparql_union,
         "sparql_construct": q_sparql_construct,
+        "sparql_path": q_sparql_path,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2565,6 +2591,12 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
+            ORDER BY doc
+        """,
+        "sparql_path": """
+            SELECT '<urn:doc:' || doc_id || '>' AS doc,
+                   CAST(doc_id % 32 AS BIGINT) AS n_anc
+            FROM documents WHERE doc_id % 32 > 0
             ORDER BY doc
         """,
         "sparql_construct": """

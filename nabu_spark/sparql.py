@@ -13,7 +13,10 @@ Supported grammar (SPARQL 1.1 SELECT subset):
     CONSTRUCT { template triples }   (emits the distinct instantiated graph)
     WHERE { triple patterns with ';'/',' lists, FILTER(expr),
             OPTIONAL { ... }, { ... } UNION { ... },
-            GRAPH ?g|<iri> { ... }, BIND(expr AS ?v) }
+            GRAPH ?g|<iri> { ... }, BIND(expr AS ?v),
+            property paths in predicate position: ^p, p1/p2, p1|p2,
+            p+, p*, p? and (...) grouping — SET semantics; closures
+            compile to a frontier-BFS join fixpoint }
     [GROUP BY ?v ...] [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
 
 FILTER / BIND expressions: && || ! = != < <= > >= + - * /, regex(), str(),
@@ -75,7 +78,7 @@ _TOKEN_RE = re.compile(
     | (?P<NUM>-?\d+(?:\.\d+)?)
     | (?P<PNAME>[A-Za-z_][\w-]*:[\w.-]*)
     | (?P<NAME>[A-Za-z_]\w*)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/+\-=<>!])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/+\-=<>!|^?])
     """,
     re.X,
 )
@@ -321,10 +324,59 @@ class _Parser:
             while self._peek()[1] == ".":
                 self.i += 1
 
+    # -- property paths ------------------------------------------------------
+    # ast: ('p', '<iri>') | ('inv', ast) | ('seq', [ast...]) | ('alt', [ast...])
+    #    | ('plus', ast) | ('star', ast) | ('opt', ast)
+
+    def _path(self):
+        alts = [self._path_seq()]
+        while self._peek()[1] == "|":
+            self.i += 1
+            alts.append(self._path_seq())
+        return alts[0] if len(alts) == 1 else ("alt", alts)
+
+    def _path_seq(self):
+        elts = [self._path_elt()]
+        while self._peek()[1] == "/":
+            self.i += 1
+            elts.append(self._path_elt())
+        return elts[0] if len(elts) == 1 else ("seq", elts)
+
+    def _path_elt(self):
+        p = self._path_primary()
+        mod = self._peek()[1]
+        if mod in ("+", "*", "?"):
+            self.i += 1
+            p = ({"+": "plus", "*": "star", "?": "opt"}[mod], p)
+        return p
+
+    def _path_primary(self):
+        kind, v = self._peek()
+        if v == "^":
+            self.i += 1
+            return ("inv", self._path_primary())
+        if v == "(":
+            self.i += 1
+            p = self._path()
+            self._expect(")")
+            return p
+        atom = self._term_atom()
+        if atom[0] != "term" or not atom[1].startswith("<"):
+            raise SparqlError(f"path element must be an IRI, got {atom!r}")
+        return ("p", atom[1])
+
+    def _pred_slot(self):
+        """Predicate position: a plain variable, or a property path. A
+        trivial one-IRI path collapses to an ordinary term atom."""
+        if self._peek()[0] == "VAR":
+            return self._term_atom()
+        p = self._path()
+        return ("term", p[1]) if p[0] == "p" else ("path", p)
+
     def _triples_block(self, g: Group) -> None:
         s = self._term_atom()
         while True:
-            p = self._term_atom()
+            p = self._pred_slot()
             while True:
                 o = self._term_atom()
                 g.items.append(("triple", s, p, o))
@@ -614,13 +666,120 @@ class _DfCompiler:
                     proj[var] = col
         return df.select(*[F.col(c).alias(v) for v, c in proj.items()])
 
+    # -- property paths -----------------------------------------------------
+    _CLOSURE_MAX_ITERS = 32
+
+    def _graph_quads(self, graph) -> DataFrame:
+        if graph is None:
+            return self.quads
+        if graph[0] == "term":
+            return self.quads.filter(F.col(self.graph_col) == graph[1])
+        raise SparqlError("property paths inside GRAPH ?var are not supported")
+
+    def _path_pairs(self, ast, graph) -> DataFrame:
+        """Evaluate a path expression to its (__src, __dst) pair relation.
+        Closures (+/*) are the standard frontier-BFS fixpoint: each round is
+        one equi-join + subtract, frontiers localCheckpoint-ed so lineage
+        stays bounded — the same shape sameas_closure uses at 100 TB."""
+        tag = ast[0]
+        if tag == "p":
+            return self._graph_quads(graph).filter(F.col("pred") == ast[1]).select(
+                F.col("subj").alias("__src"), F.col("obj").alias("__dst")
+            )
+        if tag == "inv":
+            return self._path_pairs(ast[1], graph).select(
+                F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+            )
+        if tag == "seq":
+            out = None
+            for elt in ast[1]:
+                nxt = self._path_pairs(elt, graph)
+                if out is None:
+                    out = nxt
+                else:
+                    out = (
+                        out.select("__src", F.col("__dst").alias("__m"))
+                        .join(nxt.select(F.col("__src").alias("__m"), "__dst"),
+                              on="__m")
+                        .select("__src", "__dst")
+                    )
+            return out
+        if tag == "alt":
+            out = None
+            for elt in ast[1]:
+                nxt = self._path_pairs(elt, graph)
+                out = nxt if out is None else out.unionByName(nxt)
+            return out
+        if tag == "opt":
+            return self._path_pairs(ast[1], graph).unionByName(
+                self._identity_pairs(graph)
+            ).distinct()
+        if tag in ("plus", "star"):
+            # pointer-doubling fixpoint: result ∘ result each round, so a
+            # diameter-D graph converges in ceil(log2 D) joins (a 500-hop
+            # chain takes 9 rounds, not 500); localCheckpoint bounds lineage
+            base = self._path_pairs(ast[1], graph).distinct()
+            result = base.localCheckpoint(eager=True)
+            for _ in range(self._CLOSURE_MAX_ITERS):
+                stepped = (
+                    result.select("__src", F.col("__dst").alias("__m"))
+                    .join(result.select(F.col("__src").alias("__m"), "__dst"),
+                          on="__m")
+                    .select("__src", "__dst")
+                    .distinct()
+                )
+                new = stepped.subtract(result)
+                if new.isEmpty():
+                    break
+                result = result.unionByName(new).distinct().localCheckpoint(
+                    eager=True
+                )
+            else:
+                raise SparqlError(
+                    f"path closure did not converge in {self._CLOSURE_MAX_ITERS} rounds"
+                )
+            if tag == "star":
+                result = result.unionByName(self._identity_pairs(graph)).distinct()
+            return result
+        raise SparqlError(f"bad path {ast!r}")
+
+    def _identity_pairs(self, graph) -> DataFrame:
+        # SPARQL zero-length path: every term occurring in the graph
+        q = self._graph_quads(graph)
+        u = q.select(F.col("subj").alias("__n")).unionByName(
+            q.select(F.col("obj").alias("__n"))
+        ).distinct()
+        return u.select(F.col("__n").alias("__src"), F.col("__n").alias("__dst"))
+
+    def path_pattern(self, s, ast, o, graph) -> DataFrame:
+        # path patterns evaluate with SET semantics on both backends
+        df = self._path_pairs(ast, graph).distinct()
+        proj: dict[str, str] = {}
+        for atom, col in ((s, "__src"), (o, "__dst")):
+            if atom[0] == "term":
+                df = df.filter(F.col(col) == atom[1])
+            else:
+                var = atom[1]
+                if var in proj:
+                    df = df.filter(F.col(col) == F.col(proj[var]))
+                else:
+                    proj[var] = col
+        return df.select(*[F.col(c).alias(v) for v, c in proj.items()])
+
     def group(self, g: Group, graph=None) -> DataFrame:
         acc: DataFrame | None = None
         filters = []
         for item in g.items:
             tag = item[0]
             if tag == "triple":
-                acc = self._join(acc, self.pattern(item[1], item[2], item[3], graph))
+                if item[2][0] == "path":
+                    acc = self._join(
+                        acc, self.path_pattern(item[1], item[2][1], item[3], graph)
+                    )
+                else:
+                    acc = self._join(
+                        acc, self.pattern(item[1], item[2], item[3], graph)
+                    )
             elif tag == "filter":
                 filters.append(item[1])
             elif tag == "optional":
@@ -850,12 +1009,86 @@ class _LocalEval:
                 out.append({**row, **nb})
         return out
 
+    # -- property paths (mirrors _DfCompiler._path_pairs) -------------------
+    def _graph_triples(self, graph):
+        if graph is None:
+            return self.triples
+        if graph[0] == "term":
+            return [t for t in self.triples if len(t) > 3 and t[3] == graph[1]]
+        raise SparqlError("property paths inside GRAPH ?var are not supported")
+
+    def _path_pairs(self, ast, graph) -> set:
+        tag = ast[0]
+        if tag == "p":
+            return {(t[0], t[2]) for t in self._graph_triples(graph)
+                    if t[1] == ast[1]}
+        if tag == "inv":
+            return {(d, s) for s, d in self._path_pairs(ast[1], graph)}
+        if tag == "seq":
+            pairs = None
+            for elt in ast[1]:
+                nxt = self._path_pairs(elt, graph)
+                if pairs is None:
+                    pairs = nxt
+                else:
+                    by_src: dict = {}
+                    for s, d in nxt:
+                        by_src.setdefault(s, []).append(d)
+                    pairs = {(s, d2) for s, d in pairs for d2 in by_src.get(d, ())}
+            return pairs
+        if tag == "alt":
+            out: set = set()
+            for elt in ast[1]:
+                out |= self._path_pairs(elt, graph)
+            return out
+        if tag == "opt":
+            return self._path_pairs(ast[1], graph) | self._identity_pairs(graph)
+        if tag in ("plus", "star"):
+            base = self._path_pairs(ast[1], graph)
+            result = set(base)
+            while True:
+                by_src: dict = {}
+                for s, d in result:
+                    by_src.setdefault(s, []).append(d)
+                stepped = {(s, d2) for s, d in result for d2 in by_src.get(d, ())}
+                new = stepped - result
+                if not new:
+                    break
+                result |= new
+            if tag == "star":
+                result |= self._identity_pairs(graph)
+            return result
+        raise SparqlError(f"bad path {ast!r}")
+
+    def _identity_pairs(self, graph) -> set:
+        terms = set()
+        for t in self._graph_triples(graph):
+            terms.add(t[0])
+            terms.add(t[2])
+        return {(x, x) for x in terms}
+
+    def path_rows(self, s, ast, o, graph, rows: list[dict]) -> list[dict]:
+        pairs = self._path_pairs(ast, graph)
+        out = []
+        for row in rows:
+            for src, dst in pairs:
+                nb: dict = {}
+                if not self._match(s, src, row, nb):
+                    continue
+                if not self._match(o, dst, row, nb):
+                    continue
+                out.append({**row, **nb})
+        return out
+
     def group(self, g: Group, rows: list[dict], graph=None) -> list[dict]:
         filters = []
         for item in g.items:
             tag = item[0]
             if tag == "triple":
-                rows = self.pattern(item[1], item[2], item[3], graph, rows)
+                if item[2][0] == "path":
+                    rows = self.path_rows(item[1], item[2][1], item[3], graph, rows)
+                else:
+                    rows = self.pattern(item[1], item[2], item[3], graph, rows)
             elif tag == "filter":
                 filters.append(item[1])
             elif tag == "optional":

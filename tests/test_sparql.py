@@ -293,3 +293,75 @@ class TestConstruct:
             parse_sparql(
                 "CONSTRUCT { ?s <urn:p> ?o FILTER(?o > 1) } WHERE { ?s <urn:p> ?o }"
             )
+
+
+PATH_QUERIES = [
+    # inverse
+    "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s ^t:knows ?o }",
+    # sequence
+    "PREFIX t: <urn:t:> SELECT ?s ?n WHERE { ?s t:knows/t:name ?n }",
+    # alternative
+    "PREFIX t: <urn:t:> SELECT ?s ?v WHERE { ?s (t:name|t:lang) ?v }",
+    # one-or-more closure from a constant start
+    "PREFIX t: <urn:t:> SELECT ?o WHERE { t:p7 t:knows+ ?o } ORDER BY ?o",
+    # zero-or-more with both endpoints constrained by a second pattern
+    "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:knows* ?o . ?o a t:Admin }",
+    # zero-or-one
+    "PREFIX t: <urn:t:> SELECT ?o WHERE { t:p2 t:knows? ?o }",
+    # sequence of inverse + closure, grouped
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { t:p0 (^t:knows)+ ?s }",
+    # path into an aggregate
+    "PREFIX t: <urn:t:> SELECT (COUNT(*) AS ?n) WHERE { t:p7 t:knows+ ?o }",
+]
+
+
+class TestPropertyPaths:
+    @pytest.mark.parametrize("q", PATH_QUERIES)
+    def test_backends_agree(self, spark, q):
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+
+    def test_closure_values(self, spark):
+        # knows-chain p7 -> p6 -> ... -> p0
+        local = sparql_eval_local(
+            small_graph(),
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { t:p7 t:knows+ ?o } ORDER BY ?o",
+        )
+        assert [r["o"] for r in local] == [iri(f"p{i}") for i in range(7)]
+
+    def test_star_includes_zero_length(self):
+        local = sparql_eval_local(
+            small_graph(),
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { t:p2 t:knows* ?o } ORDER BY ?o",
+        )
+        assert [r["o"] for r in local] == [iri("p0"), iri("p1"), iri("p2")]
+
+    def test_cycle_terminates(self, spark):
+        cyc = [
+            (iri("a"), iri("n"), iri("b")),
+            (iri("b"), iri("n"), iri("c")),
+            (iri("c"), iri("n"), iri("a")),
+        ]
+        q = ("PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:n+ ?o } "
+             "ORDER BY ?s ?o")
+        df_rows, local_rows = both(spark, cyc, q)
+        assert df_rows == local_rows
+        assert len(df_rows) == 9  # complete closure of a 3-cycle
+
+    def test_var_predicate_still_plain(self, spark):
+        q = "PREFIX t: <urn:t:> SELECT DISTINCT ?p WHERE { t:p3 ?p ?o }"
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert (iri("knows"),) in df_rows
+
+    def test_path_in_graph_var_rejected(self, spark):
+        df = spark.createDataFrame(
+            [(iri("a"), iri("p"), iri("b"), "<urn:g>")],
+            "subj string, pred string, obj string, prov string",
+        )
+        with pytest.raises(SparqlError):
+            sparql_query(
+                df,
+                "PREFIX t: <urn:t:> SELECT ?s WHERE "
+                "{ GRAPH ?g { ?s t:p+ ?o } }",
+            ).collect()
