@@ -5,6 +5,7 @@
     geo      quads -> geoparquet table                            [nabu geoparquet]
     pull     release dir -> local dir with bytesum skip           [nabu pull]
     link     quads + known-iris dict -> owl:sameAs quads          [north-star]
+    query    SPARQL SELECT/CONSTRUCT over a quads table           [north-star]
 
 Run via ``spark-submit --py-files dist/nabu_spark.zip jobs/run.py <cmd> ...``
 (see scripts/build_dist.sh) or plain ``python -m nabu_spark.cli <cmd> ...``.
@@ -126,6 +127,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--shards-target-tokens", type=int,
         help="also export gzipped JSONL training shards of ~N tokens each",
     )
+
+    qy = sub.add_parser(
+        "query",
+        help="run a SPARQL SELECT/CONSTRUCT over a quads parquet table",
+    )
+    qy.add_argument("--quads", required=True, help="parquet with (subj, pred, obj[, prov])")
+    qsrc = qy.add_mutually_exclusive_group(required=True)
+    qsrc.add_argument("--sparql", help="inline query text")
+    qsrc.add_argument("--sparql-file", help="path to a .rq file")
+    qy.add_argument("--out", help="write results as parquet (default: print)")
+    qy.add_argument("--limit", type=int, default=50,
+                    help="max rows to print when --out is not given")
     return p
 
 
@@ -394,6 +407,28 @@ def main(argv: list[str] | None = None) -> int:
         with open(os.path.join(args.out, "curate_report.json"), "w") as fh:
             json.dump(report, fh, indent=1)
         print(json.dumps({"cmd": "curate", **report}))
+        return 0
+
+    if args.cmd == "query":
+        from .sparql import sparql_query
+
+        text = args.sparql
+        if text is None:
+            with open(args.sparql_file) as fh:
+                text = fh.read()
+        quads = spark.read.parquet(args.quads)
+        if "error_code" in quads.columns:
+            quads = quads.filter(F.col("error_code").isNull())
+        out = sparql_query(quads, text)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"cmd": "query", "rows": n, "cols": out.columns}))
+        else:
+            rows = out.limit(args.limit).collect()
+            for r in rows:
+                print("\t".join("" if r[c] is None else str(r[c]) for c in out.columns))
+            print(json.dumps({"cmd": "query", "rows_printed": len(rows), "cols": out.columns}))
         return 0
 
     if args.cmd == "snap":

@@ -171,3 +171,42 @@ def test_cli_bulk_then_release(spark, tmp_path):
     assert payload["quads"] > 0
     graphs = os.listdir(os.path.join(run_dir, "graphs"))
     assert any("bulksrc" in g for g in graphs)
+
+
+@pytest.mark.slow
+def test_cli_query(spark, tmp_path):
+    quads = spark.createDataFrame(
+        [
+            ("<urn:d:1>", "<urn:p:lang>", '"en"', "<urn:g:1>"),
+            ("<urn:d:2>", "<urn:p:lang>", '"de"', "<urn:g:2>"),
+            ("<urn:d:1>", "<urn:p:links>", "<urn:d:2>", "<urn:g:1>"),
+        ],
+        "subj string, pred string, obj string, prov string",
+    )
+    qpath = str(tmp_path / "quads")
+    quads.write.parquet(qpath)
+    rq = tmp_path / "q.rq"
+    rq.write_text(
+        "PREFIX p: <urn:p:> SELECT ?d ?l WHERE "
+        '{ ?d p:links ?o . ?o p:lang ?l } ORDER BY ?d'
+    )
+    out = str(tmp_path / "res")
+    code, stdout = run_cli(
+        ["query", "--quads", qpath, "--sparql-file", str(rq), "--out", out]
+    )
+    assert code == 0, stdout
+    payload = json.loads(stdout.strip().splitlines()[-1])
+    assert payload == {"cmd": "query", "rows": 1, "cols": ["d", "l"]}
+    row = spark.read.parquet(out).first()
+    assert (row.d, row.l) == ("<urn:d:1>", '"de"')
+
+    # inline CONSTRUCT printed to stdout
+    code, stdout = run_cli(
+        ["query", "--quads", qpath, "--sparql",
+         "PREFIX p: <urn:p:> CONSTRUCT { ?d <urn:out:l> ?l } "
+         "WHERE { ?d p:lang ?l }"]
+    )
+    assert code == 0, stdout
+    lines = stdout.strip().splitlines()
+    assert any("<urn:out:l>" in ln for ln in lines)
+    assert json.loads(lines[-1])["cols"] == ["subj", "pred", "obj"]
