@@ -1302,6 +1302,23 @@ def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFr
     ).select("prov", "t.subj", "t.pred", "t.obj")
 
 
+def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS + MINUS (anti-join compilation on shared vars)."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?doc ?lang WHERE {
+          ?doc p:lang ?lang .
+          FILTER NOT EXISTS { ?doc p:source <urn:src:src5> }
+          MINUS { ?doc p:lang "de" }
+        } ORDER BY ?doc
+        """,
+    )
+
+
 def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path transitive closure (p+) compiled to the pointer-
     doubling join fixpoint: ancestor counts along a segmented prev-chain
@@ -1476,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": q_sparql_union,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
+        "sparql_negation": q_sparql_negation,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2591,6 +2609,13 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
+            ORDER BY doc
+        """,
+        "sparql_negation": """
+            SELECT '<urn:doc:' || doc_id || '>' AS doc,
+                   '"' || lang || '"' AS lang
+            FROM documents
+            WHERE source <> 'src5' AND lang <> 'de'
             ORDER BY doc
         """,
         "sparql_path": """

@@ -14,6 +14,8 @@ Supported grammar (SPARQL 1.1 SELECT subset):
     WHERE { triple patterns with ';'/',' lists, FILTER(expr),
             OPTIONAL { ... }, { ... } UNION { ... },
             GRAPH ?g|<iri> { ... }, BIND(expr AS ?v),
+            FILTER [NOT] EXISTS { ... } and MINUS { ... } (compiled to
+            left-semi / left-anti joins on the shared variables),
             property paths in predicate position: ^p, p1/p2, p1|p2,
             p+, p*, p? and (...) grouping — SET semantics; closures
             compile to a frontier-BFS join fixpoint }
@@ -292,12 +294,24 @@ class _Parser:
                 return g
             if kind == "NAME" and v.upper() == "FILTER":
                 self.i += 1
-                self._expect("(")
-                g.items.append(("filter", self._expr()))
-                self._expect(")")
+                nk, nv = self._peek()
+                if nk == "NAME" and nv.upper() == "EXISTS":
+                    self.i += 1
+                    g.items.append(("exists", self._group(), True))
+                elif nk == "NAME" and nv.upper() == "NOT":
+                    self.i += 1
+                    self._expect("EXISTS")
+                    g.items.append(("exists", self._group(), False))
+                else:
+                    self._expect("(")
+                    g.items.append(("filter", self._expr()))
+                    self._expect(")")
             elif kind == "NAME" and v.upper() == "OPTIONAL":
                 self.i += 1
                 g.items.append(("optional", self._group()))
+            elif kind == "NAME" and v.upper() == "MINUS":
+                self.i += 1
+                g.items.append(("minus", self._group()))
             elif kind == "NAME" and v.upper() == "BIND":
                 self.i += 1
                 self._expect("(")
@@ -785,6 +799,29 @@ class _DfCompiler:
             elif tag == "optional":
                 right = self.group(item[1], graph)
                 acc = self._join(acc, right, how="left")
+            elif tag == "exists":
+                # (NOT) EXISTS: semi/anti join on the shared variables; with
+                # no shared vars the inner group is a constant relation and
+                # the test degenerates to its (non-)emptiness
+                if acc is None:
+                    raise SparqlError("FILTER EXISTS before any pattern")
+                sub = self.group(item[1], graph)
+                shared = [c for c in acc.columns if c in sub.columns]
+                if shared:
+                    how = "left_semi" if item[2] else "left_anti"
+                    acc = acc.join(sub, on=shared, how=how)
+                else:
+                    if sub.isEmpty() == item[2]:
+                        acc = acc.limit(0)
+            elif tag == "minus":
+                # MINUS: anti join on shared vars; disjoint domains remove
+                # nothing (SPARQL §8.3)
+                if acc is None:
+                    raise SparqlError("MINUS before any pattern")
+                sub = self.group(item[1], graph)
+                shared = [c for c in acc.columns if c in sub.columns]
+                if shared:
+                    acc = acc.join(sub, on=shared, how="left_anti")
             elif tag == "union":
                 branches = [self.group(b, graph) for b in item[1]]
                 u = branches[0]
@@ -1097,6 +1134,25 @@ class _LocalEval:
                     matched = self.group(item[1], [row], graph)
                     nxt.extend(matched if matched else [row])
                 rows = nxt
+            elif tag == "exists":
+                rows = [
+                    row for row in rows
+                    if bool(self.group(item[1], [dict(row)], graph)) == item[2]
+                ]
+            elif tag == "minus":
+                sols = self.group(item[1], [{}], graph)
+
+                def _removed(row: dict) -> bool:
+                    for s in sols:
+                        shared = [
+                            k for k in row
+                            if k in s and row[k] is not None and s[k] is not None
+                        ]
+                        if shared and all(row[k] == s[k] for k in shared):
+                            return True
+                    return False
+
+                rows = [row for row in rows if not _removed(row)]
             elif tag == "union":
                 nxt = []
                 for b in item[1]:

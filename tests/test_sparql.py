@@ -365,3 +365,49 @@ class TestPropertyPaths:
                 "PREFIX t: <urn:t:> SELECT ?s WHERE "
                 "{ GRAPH ?g { ?s t:p+ ?o } }",
             ).collect()
+
+
+class TestNegation:
+    def test_not_exists_agreement(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+             "FILTER NOT EXISTS { ?x t:knows ?s } }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        # p7 is the chain head (nobody knows p7); the lone bnode also unknown
+        assert (iri("p7"),) in df_rows and ("_:b0",) in df_rows
+
+    def test_exists_agreement(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+             "FILTER EXISTS { ?s t:lang ?l } }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert df_rows == sorted((iri(f"p{i}"),) for i in range(0, 8, 2))
+
+    def test_minus_agreement(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+             "MINUS { ?s a t:Admin } }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        # admins are p0, p3, p6; bnode row survives
+        assert ("_:b0",) in df_rows
+        assert (iri("p3"),) not in df_rows
+        assert len(df_rows) == 6
+
+    def test_minus_disjoint_domain_removes_nothing(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+             "MINUS { ?x t:name ?n } }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert len(df_rows) == 9  # all age-bearing nodes kept
+
+    def test_uncorrelated_exists_emptiness(self, spark):
+        # no shared vars: EXISTS over an empty inner group kills everything
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+             "FILTER EXISTS { ?x <urn:t:nope> ?y } }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows == []
+        q2 = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+              "FILTER NOT EXISTS { ?x <urn:t:nope> ?y } }")
+        df_rows, local_rows = both(spark, small_graph(), q2)
+        assert df_rows == local_rows
+        assert len(df_rows) == 9
