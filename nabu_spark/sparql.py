@@ -11,11 +11,16 @@ Supported grammar (SPARQL 1.1 SELECT subset):
     PREFIX pfx: <iri>
     SELECT [DISTINCT] (?v ... | * | (AGG(expr) AS ?alias) ...)
     CONSTRUCT { template triples }   (emits the distinct instantiated graph)
+    ASK [WHERE] { ... }              (one boolean row)
     WHERE { triple patterns with ';'/',' lists, FILTER(expr),
             OPTIONAL { ... }, { ... } UNION { ... },
             GRAPH ?g|<iri> { ... }, BIND(expr AS ?v),
             FILTER [NOT] EXISTS { ... } and MINUS { ... } (compiled to
             left-semi / left-anti joins on the shared variables),
+            VALUES ?v { ... } / VALUES (?v ?w) { (...) ... } inline data
+            (UNDEF wildcards fully honored in the local evaluator; in the
+            DataFrame backend an UNDEF cell on a join-shared variable
+            drops the row — keep UNDEF off shared variables),
             property paths in predicate position: ^p, p1/p2, p1|p2,
             p+, p*, p? and (...) grouping — SET semantics; closures
             compile to a frontier-BFS join fixpoint }
@@ -135,6 +140,7 @@ class Query:
     limit: int | None
     offset: int
     construct: list | None = None      # template triples for CONSTRUCT
+    ask: bool = False                  # ASK query: result is one boolean
 
 
 class _Parser:
@@ -201,8 +207,15 @@ class _Parser:
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
             self.prefixes[pname[:-1]] = iri[1:-1]
         construct = None
+        ask = False
         distinct = False
         select: list = []
+        if self._kw("ASK"):
+            self._kw("WHERE")
+            where = self._group()
+            if self._peek()[0] != "EOF":
+                raise SparqlError("ASK takes no solution modifiers")
+            return Query([], False, where, [], [], None, 0, None, True)
         if self._kw("CONSTRUCT"):
             tmpl = self._group()
             construct = [it for it in tmpl.items if it[0] == "triple"]
@@ -225,7 +238,7 @@ class _Parser:
                 else:
                     break
         else:
-            raise SparqlError("only SELECT and CONSTRUCT queries are supported")
+            raise SparqlError("only SELECT, CONSTRUCT and ASK are supported")
         if not self._kw("WHERE"):
             raise SparqlError("expected WHERE")
         where = self._group()
@@ -312,6 +325,9 @@ class _Parser:
             elif kind == "NAME" and v.upper() == "MINUS":
                 self.i += 1
                 g.items.append(("minus", self._group()))
+            elif kind == "NAME" and v.upper() == "VALUES":
+                self.i += 1
+                g.items.append(self._values_block())
             elif kind == "NAME" and v.upper() == "BIND":
                 self.i += 1
                 self._expect("(")
@@ -337,6 +353,45 @@ class _Parser:
             # optional '.' separators
             while self._peek()[1] == ".":
                 self.i += 1
+
+    def _values_block(self):
+        """VALUES ?v { t ... }  |  VALUES (?v ?w) { (t t) (UNDEF t) ... }"""
+        kind, v = self._peek()
+        if kind == "VAR":
+            self.i += 1
+            vars_ = [v[1:]]
+            self._expect("{")
+            rows = []
+            while self._peek()[1] != "}":
+                rows.append((self._values_term(),))
+            self.i += 1
+        elif v == "(":
+            self.i += 1
+            vars_ = []
+            while self._peek()[0] == "VAR":
+                vars_.append(self._next()[1][1:])
+            self._expect(")")
+            self._expect("{")
+            rows = []
+            while self._peek()[1] == "(":
+                self.i += 1
+                row = tuple(self._values_term() for _ in vars_)
+                self._expect(")")
+                rows.append(row)
+            self._expect("}")
+        else:
+            raise SparqlError("bad VALUES block")
+        return ("values", vars_, rows)
+
+    def _values_term(self):
+        kind, v = self._peek()
+        if kind == "NAME" and v.upper() == "UNDEF":
+            self.i += 1
+            return None
+        atom = self._term_atom()
+        if atom[0] != "term":
+            raise SparqlError("VALUES entries must be constants or UNDEF")
+        return atom[1]
 
     # -- property paths ------------------------------------------------------
     # ast: ('p', '<iri>') | ('inv', ast) | ('seq', [ast...]) | ('alt', [ast...])
@@ -834,6 +889,13 @@ class _DfCompiler:
                 if acc is None:
                     raise SparqlError("BIND before any pattern")
                 acc = acc.withColumn(item[2], self.expr(item[1], "term"))
+            elif tag == "values":
+                vars_, vrows = item[1], item[2]
+                vdf = self.quads.sparkSession.createDataFrame(
+                    [tuple(r) for r in vrows],
+                    ", ".join(f"{v} string" for v in vars_),
+                )
+                acc = self._join(acc, vdf)
             else:
                 raise SparqlError(f"bad group item {tag}")
         if acc is None:
@@ -867,6 +929,10 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
         graph_col = "prov"
     comp = _DfCompiler(quads, graph_col)
     df = comp.group(q.where)
+    if q.ask:
+        return quads.sparkSession.createDataFrame(
+            [(not df.isEmpty(),)], "ask boolean"
+        )
     if q.construct is not None:
         # solution modifiers apply to the bindings, then each template
         # triple is instantiated per solution; output is the distinct graph
@@ -1165,6 +1231,26 @@ class _LocalEval:
                 # branches / OPTIONAL pass-throughs
                 rows = [{**row, item[2]: self.expr(item[1], row, "term")}
                         for row in rows]
+            elif tag == "values":
+                vars_, vrows = item[1], item[2]
+                nxt = []
+                for row in rows:
+                    for vr in vrows:
+                        nb: dict = {}
+                        ok = True
+                        for var, val in zip(vars_, vr):
+                            if val is None:  # UNDEF constrains nothing
+                                continue
+                            bound = nb.get(var, row.get(var))
+                            if bound is not None:
+                                if bound != val:
+                                    ok = False
+                                    break
+                            else:
+                                nb[var] = val
+                        if ok:
+                            nxt.append({**row, **nb})
+                rows = nxt
         return [r for r in rows if all(self.expr(f, r) for f in filters)]
 
 
@@ -1181,6 +1267,8 @@ def sparql_eval_local(
     q = text if isinstance(text, Query) else parse_sparql(text)
     ev = _LocalEval(triples)
     rows = ev.group(q.where, [dict(bindings or {})])
+    if q.ask:
+        return [{"ask": bool(rows)}]
     if q.construct is not None:
         for var, asc in reversed(q.order_by):
             rows.sort(key=lambda r: (r.get(var) is None, r.get(var)),

@@ -187,7 +187,7 @@ class TestGraphScope:
 class TestParser:
     def test_rejects_non_select(self):
         with pytest.raises(SparqlError):
-            parse_sparql("ASK { ?s ?p ?o }")
+            parse_sparql("DESCRIBE <urn:t:p1>")
 
     def test_rejects_unknown_prefix(self):
         with pytest.raises(SparqlError):
@@ -411,3 +411,41 @@ class TestNegation:
         df_rows, local_rows = both(spark, small_graph(), q2)
         assert df_rows == local_rows
         assert len(df_rows) == 9
+
+
+class TestValuesAndAsk:
+    def test_values_single_var_agreement(self, spark):
+        q = ('PREFIX t: <urn:t:> SELECT ?s ?a WHERE { '
+             'VALUES ?s { t:p1 t:p4 } ?s t:age ?a } ORDER BY ?s')
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert [r[0] for r in df_rows] == [iri("p1"), iri("p4")]
+
+    def test_values_tuple_form_agreement(self, spark):
+        q = ('PREFIX t: <urn:t:> SELECT ?s ?n WHERE { '
+             '?s t:name ?n VALUES (?s ?n) { (t:p2 "Person 2") (t:p3 "nope") } }')
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert df_rows == [(iri("p2"), '"Person 2"')]
+
+    def test_values_undef_local(self):
+        q = ('PREFIX t: <urn:t:> SELECT ?s ?a WHERE { '
+             'VALUES (?s ?a) { (t:p1 UNDEF) } ?s t:age ?a }')
+        local = sparql_eval_local(small_graph(), q)
+        assert local == [{"s": iri("p1"), "a": num(23)}]
+
+    def test_ask(self, spark):
+        triples = small_graph()
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        q_yes = "PREFIX t: <urn:t:> ASK { ?s t:knows ?o }"
+        q_no = "PREFIX t: <urn:t:> ASK WHERE { ?s <urn:t:nope> ?o }"
+        assert sparql_query(df, q_yes).first().ask is True
+        assert sparql_query(df, q_no).first().ask is False
+        assert sparql_eval_local(triples, q_yes) == [{"ask": True}]
+        assert sparql_eval_local(triples, q_no) == [{"ask": False}]
+
+    def test_ask_rejects_modifiers(self):
+        with pytest.raises(SparqlError):
+            parse_sparql("ASK { ?s ?p ?o } LIMIT 1")
