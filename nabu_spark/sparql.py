@@ -141,6 +141,8 @@ class Query:
     offset: int
     construct: list | None = None      # template triples for CONSTRUCT
     ask: bool = False                  # ASK query: result is one boolean
+    describe: list | None = None       # atoms to describe (vars/terms)
+    having: object | None = None       # filter over grouped output
 
 
 class _Parser:
@@ -216,6 +218,21 @@ class _Parser:
             if self._peek()[0] != "EOF":
                 raise SparqlError("ASK takes no solution modifiers")
             return Query([], False, where, [], [], None, 0, None, True)
+        if self._kw("DESCRIBE"):
+            describe = []
+            while self._peek()[0] in ("VAR", "IRI", "PNAME"):
+                describe.append(self._term_atom())
+            if not describe:
+                raise SparqlError("DESCRIBE needs at least one var/IRI")
+            where = Group()
+            if self._kw("WHERE"):
+                where = self._group()
+            elif any(a[0] == "var" for a in describe):
+                raise SparqlError("DESCRIBE ?var needs a WHERE group")
+            if self._peek()[0] != "EOF":
+                raise SparqlError("DESCRIBE takes no solution modifiers")
+            return Query([], False, where, [], [], None, 0, None, False,
+                         describe)
         if self._kw("CONSTRUCT"):
             tmpl = self._group()
             construct = [it for it in tmpl.items if it[0] == "triple"]
@@ -243,10 +260,15 @@ class _Parser:
             raise SparqlError("expected WHERE")
         where = self._group()
         group_by: list[str] = []
+        having = None
         if self._kw("GROUP"):
             self._expect("BY")
             while self._peek()[0] == "VAR":
                 group_by.append(self._next()[1][1:])
+            if self._kw("HAVING"):
+                self._expect("(")
+                having = self._expr()
+                self._expect(")")
         order_by: list[tuple[str, bool]] = []
         if self._kw("ORDER"):
             self._expect("BY")
@@ -275,7 +297,7 @@ class _Parser:
         if self._peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
         return Query(select, distinct, where, group_by, order_by, limit, offset,
-                     construct)
+                     construct, False, None, having)
 
     def _agg_spec(self) -> Agg:
         kind, fn = self._next()
@@ -609,6 +631,9 @@ def _cmp_mode(a, b) -> str:
 # ---------------------------------------------------------------------------
 
 def _c_lex(c: Column) -> Column:
+    # cast first: HAVING / post-aggregate references hand us native numeric
+    # columns, for which the lexical form is just their string rendering
+    c = c.cast("string")
     return (
         F.when(c.startswith("<"), c.substr(F.lit(2), F.length(c) - 2))
         .when(c.startswith('"'),
@@ -618,7 +643,10 @@ def _c_lex(c: Column) -> Column:
 
 
 def _c_num(c: Column) -> Column:
-    return _c_lex(c).cast("double")
+    # try_cast, not cast: ANSI mode (Spark 4 default) would THROW on
+    # non-numeric lexical forms; the SPARQL semantics (and the local
+    # evaluator) want null -> comparison false / aggregate skip
+    return _c_lex(c).try_cast("double")
 
 
 def _c_lang(c: Column) -> Column:
@@ -928,6 +956,31 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
     if graph_col is None and "prov" in quads.columns:
         graph_col = "prov"
     comp = _DfCompiler(quads, graph_col)
+    if q.describe is not None:
+        # node set = explicit IRIs + bindings of the described vars;
+        # result = semi-join of the quads on subject membership
+        nodes = None
+        if any(a[0] == "var" for a in q.describe):
+            sol = comp.group(q.where)
+            for a in q.describe:
+                if a[0] == "var":
+                    part = sol.select(F.col(a[1]).alias("__n"))
+                    nodes = part if nodes is None else nodes.unionByName(part)
+        consts = [a[1] for a in q.describe if a[0] == "term"]
+        if consts:
+            cdf = quads.sparkSession.createDataFrame(
+                [(c,) for c in consts], "__n string"
+            )
+            nodes = cdf if nodes is None else nodes.unionByName(cdf)
+        return (
+            quads.join(
+                nodes.distinct().hint("broadcast"),
+                quads["subj"] == F.col("__n"),
+                "left_semi",
+            )
+            .select("subj", "pred", "obj")
+            .distinct()
+        )
     df = comp.group(q.where)
     if q.ask:
         return quads.sparkSession.createDataFrame(
@@ -973,6 +1026,8 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
                 fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[s.func]
                 aggs.append(fn(c).alias(s.alias))
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        if q.having is not None:
+            df = df.filter(comp.expr(q.having, "bool"))
         out_cols = q.group_by + [s.alias for s in q.select if isinstance(s, Agg)]
         sel_order = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] or out_cols
         df = df.select(*sel_order)
@@ -1266,6 +1321,15 @@ def sparql_eval_local(
     deterministic order."""
     q = text if isinstance(text, Query) else parse_sparql(text)
     ev = _LocalEval(triples)
+    if q.describe is not None:
+        nodes = {a[1] for a in q.describe if a[0] == "term"}
+        if any(a[0] == "var" for a in q.describe):
+            sol = ev.group(q.where, [dict(bindings or {})])
+            for a in q.describe:
+                if a[0] == "var":
+                    nodes |= {r[a[1]] for r in sol if r.get(a[1]) is not None}
+        out = sorted({(t[0], t[1], t[2]) for t in triples if t[0] in nodes})
+        return [dict(zip(("subj", "pred", "obj"), t)) for t in out]
     rows = ev.group(q.where, [dict(bindings or {})])
     if q.ask:
         return [{"ask": bool(rows)}]
@@ -1322,6 +1386,8 @@ def sparql_eval_local(
                     else:
                         row[s.alias] = max(nums)
             out_rows.append(row)
+        if q.having is not None:
+            out_rows = [r for r in out_rows if ev.expr(q.having, r)]
         rows = out_rows
         sel = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] \
             or (q.group_by + [s.alias for s in q.select if isinstance(s, Agg)])

@@ -187,7 +187,7 @@ class TestGraphScope:
 class TestParser:
     def test_rejects_non_select(self):
         with pytest.raises(SparqlError):
-            parse_sparql("DESCRIBE <urn:t:p1>")
+            parse_sparql("DELETE WHERE { ?s ?p ?o }")
 
     def test_rejects_unknown_prefix(self):
         with pytest.raises(SparqlError):
@@ -480,3 +480,50 @@ class TestBucketedStarJoin:
             assert out.count() == 4  # the even-numbered people carry t:lang
         finally:
             spark.sql("DROP TABLE IF EXISTS sparql_quads_b")
+
+
+class TestDescribeAndHaving:
+    def test_describe_iri(self, spark):
+        triples = small_graph()
+        q = "DESCRIBE <urn:t:p3>"
+        local = sparql_eval_local(triples, q)
+        assert {r["pred"] for r in local} == {
+            iri("age"), iri("name"), iri("knows"),
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        }
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        got = sorted((r.subj, r.pred, r.obj)
+                     for r in sparql_query(df, q).collect())
+        assert got == [(r["subj"], r["pred"], r["obj"]) for r in local]
+
+    def test_describe_var_with_where(self, spark):
+        triples = small_graph()
+        q = ('PREFIX t: <urn:t:> DESCRIBE ?s WHERE '
+             '{ ?s t:age ?a FILTER(?a > 38) }')  # p7 (41) and _:b0 (99)
+        local = sparql_eval_local(triples, q)
+        assert {r["subj"] for r in local} == {iri("p7"), "_:b0"}
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        assert sparql_query(df, q).count() == len(local)
+
+    def test_describe_var_requires_where(self):
+        with pytest.raises(SparqlError):
+            parse_sparql("DESCRIBE ?x")
+
+    def test_having_agreement(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?o (COUNT(?s) AS ?n) WHERE "
+             "{ ?s ?p ?o } GROUP BY ?o HAVING(?n >= 2) ORDER BY ?o")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert all(n >= 2 for _, n in df_rows)
+        assert (iri("Admin"), 3) in df_rows
+
+    def test_having_on_sum(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?p (SUM(?a) AS ?tot) WHERE "
+             "{ ?s ?p ?a } GROUP BY ?p HAVING(?tot > 200) ORDER BY ?p")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert [p for p, _ in df_rows] == [iri("age")]
