@@ -817,20 +817,21 @@ class _DfCompiler:
             # chain takes 9 rounds, not 500); localCheckpoint bounds lineage
             base = self._path_pairs(ast[1], graph).distinct()
             result = base.localCheckpoint(eager=True)
+            prev = result.count()
             for _ in range(self._CLOSURE_MAX_ITERS):
-                stepped = (
+                doubled = (
                     result.select("__src", F.col("__dst").alias("__m"))
                     .join(result.select(F.col("__src").alias("__m"), "__dst"),
                           on="__m")
                     .select("__src", "__dst")
+                    .unionByName(result)
                     .distinct()
+                    .localCheckpoint(eager=True)
                 )
-                new = stepped.subtract(result)
-                if new.isEmpty():
+                cnt = doubled.count()  # cheap: counts the checkpointed blocks
+                if cnt == prev:
                     break
-                result = result.unionByName(new).distinct().localCheckpoint(
-                    eager=True
-                )
+                result, prev = doubled, cnt
             else:
                 raise SparqlError(
                     f"path closure did not converge in {self._CLOSURE_MAX_ITERS} rounds"
