@@ -81,11 +81,15 @@ class _Canonicalizer:
     default graph of a per-document dataset)."""
 
     def __init__(self, triples: list[tuple[str, str, str]], max_degree: int = 8):
-        self.triples = triples
+        # an RDF graph is a SET of triples: dedupe, and mention each quad
+        # once per bnode even for self-loops (_:b p _:b) — the spec's
+        # quad-mention map is a set, and double-counting would corrupt the
+        # first-degree hashes vs conformant implementations
+        self.triples = sorted(set(triples))
         self.max_degree = max_degree
         self.bnode_quads: dict[str, list[tuple[str, str, str]]] = {}
-        for t in triples:
-            for term in (t[0], t[2]):
+        for t in self.triples:
+            for term in {t[0], t[2]}:
                 if _is_bnode(term):
                     self.bnode_quads.setdefault(term, []).append(t)
         self.canonical = _Issuer("c14n")

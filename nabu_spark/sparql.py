@@ -16,14 +16,17 @@ Supported grammar (SPARQL 1.1 SELECT subset):
             OPTIONAL { ... }, { ... } UNION { ... },
             GRAPH ?g|<iri> { ... }, BIND(expr AS ?v),
             FILTER [NOT] EXISTS { ... } and MINUS { ... } (compiled to
-            left-semi / left-anti joins on the shared variables),
+            left-semi / left-anti joins on the shared variables; as with
+            UNION, a shared variable left UNBOUND by an OPTIONAL joins as
+            null — spec treats it as free — so keep EXISTS/MINUS shared
+            variables bound),
             VALUES ?v { ... } / VALUES (?v ?w) { (...) ... } inline data
             (UNDEF wildcards fully honored in the local evaluator; in the
             DataFrame backend an UNDEF cell on a join-shared variable
             drops the row — keep UNDEF off shared variables),
             property paths in predicate position: ^p, p1/p2, p1|p2,
             p+, p*, p? and (...) grouping — SET semantics; closures
-            compile to a frontier-BFS join fixpoint }
+            compile to a pointer-doubling join fixpoint }
     [GROUP BY ?v ...] [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
 
 FILTER / BIND expressions: && || ! = != < <= > >= + - * /, regex(), str(),
@@ -309,6 +312,8 @@ class _Parser:
         if self._peek()[1] == "*":
             self.i += 1
             arg = None
+            if distinct:
+                raise SparqlError("COUNT(DISTINCT *) is not supported")
         else:
             arg = self._expr()
         self._expect(")")
@@ -475,12 +480,14 @@ class _Parser:
                     self.i += 1
                     continue
                 break
-            if self._peek()[1] == ";":
+            if self._peek()[1] != ";":
+                break
+            # consume ';' separators (empty items and a trailing ';' are
+            # legal Turtle/SPARQL); stop at the statement terminator
+            while self._peek()[1] == ";":
                 self.i += 1
-                if self._peek()[1] in (".", "}", ";"):
-                    continue
-                continue
-            break
+            if self._peek()[1] in (".", "}") or self._peek()[0] == "EOF":
+                break
 
     # -- expressions --------------------------------------------------------
     def _expr(self):
@@ -509,9 +516,18 @@ class _Parser:
 
     def _add(self):
         e = self._mul()
-        while self._peek()[1] in ("+", "-"):
-            op = self._next()[1]
-            e = ("arith", op, e, self._mul())
+        while True:
+            kind, v = self._peek()
+            if v in ("+", "-"):
+                op = self._next()[1]
+                e = ("arith", op, e, self._mul())
+            elif kind == "NUM" and v.startswith("-"):
+                # '?a-1' lexes as VAR NUM(-1): SPARQL folds the negative
+                # literal into the additive chain (grammar note 'ab-1')
+                self.i += 1
+                e = ("arith", "+", e, ("num", float(v) if "." in v else int(v)))
+            else:
+                break
         return e
 
     def _mul(self):
@@ -545,7 +561,12 @@ class _Parser:
                 self.i += 1
                 args.append(self._expr())
             self._expect(")")
-            return ("call", v.upper().replace("ISURI", "ISIRI"), args)
+            fname = v.upper().replace("ISURI", "ISIRI")
+            if fname == "REGEX" and any(a[0] != "const" for a in args[1:]):
+                # both backends read the pattern/flags at compile time; a
+                # variable here would silently match the variable's NAME
+                raise SparqlError("regex pattern/flags must be constant strings")
+            return ("call", fname, args)
         if kind == "NUM":
             self.i += 1
             return ("num", float(v) if "." in v else int(v))
@@ -701,7 +722,11 @@ class _DfCompiler:
             }[op]
         if tag == "arith":
             op, ca, cb = e[1], self.expr(e[2], "num"), self.expr(e[3], "num")
-            return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[op]
+            if op == "/":
+                # SPARQL: division by zero is an expression error (null),
+                # not IEEE Infinity — matches the local evaluator
+                return F.when(cb != 0, ca / cb)
+            return {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
         if tag == "call":
             return self._call(e[1], e[2], want)
         raise SparqlError(f"bad expr {e!r}")
@@ -775,9 +800,10 @@ class _DfCompiler:
 
     def _path_pairs(self, ast, graph) -> DataFrame:
         """Evaluate a path expression to its (__src, __dst) pair relation.
-        Closures (+/*) are the standard frontier-BFS fixpoint: each round is
-        one equi-join + subtract, frontiers localCheckpoint-ed so lineage
-        stays bounded — the same shape sameas_closure uses at 100 TB."""
+        Closures (+/*) run a pointer-doubling fixpoint: result joins
+        itself each round, so a diameter-D graph converges in ceil(log2 D)
+        rounds, each localCheckpoint-ed so lineage stays bounded — the
+        distributed transitive-closure shape that survives 100 TB."""
         tag = ast[0]
         if tag == "p":
             return self._graph_quads(graph).filter(F.col("pred") == ast[1]).select(
@@ -1076,18 +1102,33 @@ class _LocalEval:
             return e[1]
         if tag == "num":
             return float(e[1])
+        # three-valued logic (None = error/unknown), matching both SPARQL
+        # error propagation and Spark SQL null semantics: a top-level FILTER
+        # keeps a row only on True, so None is falsy there — but under '!'
+        # an error stays an error instead of flipping to True
         if tag == "and":
-            return bool(self.expr(e[1], row)) and bool(self.expr(e[2], row))
+            a, b = self.expr(e[1], row), self.expr(e[2], row)
+            if a is False or b is False:
+                return False
+            if a is None or b is None:
+                return None
+            return True
         if tag == "or":
-            return bool(self.expr(e[1], row)) or bool(self.expr(e[2], row))
+            a, b = self.expr(e[1], row), self.expr(e[2], row)
+            if a is True or b is True:
+                return True
+            if a is None or b is None:
+                return None
+            return False
         if tag == "not":
-            return not self.expr(e[1], row)
+            a = self.expr(e[1], row)
+            return None if a is None else not a
         if tag == "cmp":
             op, a, b = e[1], e[2], e[3]
             mode = _cmp_mode(a, b)
             va, vb = self.expr(a, row, mode), self.expr(b, row, mode)
             if va is None or vb is None:
-                return False
+                return None
             return {
                 "=": va == vb, "!=": va != vb, "<": va < vb,
                 "<=": va <= vb, ">": va > vb, ">=": va >= vb,
@@ -1108,14 +1149,14 @@ class _LocalEval:
         if fn == "REGEX":
             v = self.expr(args[0], row, "str")
             if v is None:
-                return False
+                return None  # error propagates (Spark: rlike(null) is null)
             pat = term_lex(args[1][1])
             flags = re.I if len(args) > 2 and "i" in term_lex(args[2][1]) else 0
-            return re.search(pat, v, flags) is not None
+            return re.search(pat, str(v), flags) is not None
         v = self.expr(args[0], row, "term")
         if fn in ("ISIRI", "ISLITERAL", "ISBLANK"):
             if v is None:
-                return False
+                return None
             return {"ISIRI": v.startswith("<"), "ISLITERAL": v.startswith('"'),
                     "ISBLANK": v.startswith("_:")}[fn]
         if v is None:
@@ -1336,7 +1377,7 @@ def sparql_eval_local(
         return [{"ask": bool(rows)}]
     if q.construct is not None:
         for var, asc in reversed(q.order_by):
-            rows.sort(key=lambda r: (r.get(var) is None, r.get(var)),
+            rows.sort(key=lambda r: (r.get(var) is not None, r.get(var)),
                       reverse=not asc)
         if q.offset:
             rows = rows[q.offset:]
@@ -1407,7 +1448,9 @@ def sparql_eval_local(
                 uniq.append(r)
         rows = uniq
     for var, asc in reversed(q.order_by):
-        rows.sort(key=lambda r: (r.get(var) is None, r.get(var)), reverse=not asc)
+        # unbound sorts lowest (spec; Spark ASC = NULLS FIRST)
+        rows.sort(key=lambda r: (r.get(var) is not None, r.get(var)),
+                  reverse=not asc)
     if q.offset:
         rows = rows[q.offset:]
     if q.limit is not None:

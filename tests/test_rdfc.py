@@ -204,3 +204,30 @@ class TestDistributedOperator:
         ok = [r for r in out if r.prov == "<urn:g:ok>"]
         assert len(bad) == 1 and bad[0].error_code == "canon_blowup"
         assert len(ok) == 1 and ok[0].subj == "_:c14n0"
+
+
+class TestSelfLoopsAndDuplicates:
+    """Review-fix pins: the quad-mention map is a SET — self-loops and
+    duplicate input triples must not double-serialize into the hashes."""
+
+    def test_self_loop_canonicalizes(self):
+        t = [("_:b", "<urn:p>", "_:b")]
+        assert canonical_ntriples(t) == "_:c14n0 <urn:p> _:c14n0 .\n"
+        # invariant under renaming, like every other graph
+        assert canonical_ntriples([("_:zz", "<urn:p>", "_:zz")]) == \
+            canonical_ntriples(t)
+
+    def test_self_loop_hash_equals_manual_first_degree(self):
+        # with the mention-set fix, the first-degree hash of _:b serializes
+        # the self-loop quad ONCE: sha256('_:a <urn:p> _:a .\n')
+        import hashlib
+
+        expected = hashlib.sha256(b"_:a <urn:p> _:a .\n").hexdigest()
+        from nabu_spark.functions.rdfc import _Canonicalizer
+
+        c = _Canonicalizer([("_:b", "<urn:p>", "_:b")])
+        assert c._hash_first_degree("_:b") == expected
+
+    def test_duplicate_input_triples_do_not_change_hashes(self):
+        base = [("_:x", "<urn:p>", "_:y"), ("_:y", "<urn:q>", '"v"')]
+        assert canonical_graph_hash(base * 3) == canonical_graph_hash(base)

@@ -527,3 +527,70 @@ class TestDescribeAndHaving:
         df_rows, local_rows = both(spark, small_graph(), q)
         assert df_rows == local_rows
         assert [p for p, _ in df_rows] == [iri("age")]
+
+
+class TestReviewFixes:
+    """Regression pins for the round-4 code-review findings."""
+
+    def test_trailing_semicolon_accepted(self):
+        q = parse_sparql(
+            "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:p ?o ; . }"
+        )
+        assert sum(1 for i in q.where.items if i[0] == "triple") == 1
+        q2 = parse_sparql(
+            "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:p ?o ;; t:q ?r }"
+        )
+        assert sum(1 for i in q2.where.items if i[0] == "triple") == 2
+
+    def test_unspaced_negative_literal_subtraction(self, spark):
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
+             "FILTER(?a-1 > 40) }")  # only _:b0 (99); p7 is 41-1=40
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows == [("_:b0",)]
+
+    def test_regex_variable_pattern_rejected(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "SELECT ?s WHERE { ?s <urn:p> ?o FILTER(regex(?o, ?pat)) }"
+            )
+
+    def test_count_distinct_star_rejected(self):
+        with pytest.raises(SparqlError):
+            parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
+
+    def test_division_by_zero_is_error_both_backends(self, spark):
+        triples = [
+            (iri("a"), iri("v"), num(4)),
+            (iri("b"), iri("v"), num(0)),
+        ]
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:v ?x "
+             "FILTER(8 / ?x > 0) }")
+        df_rows, local_rows = both(spark, triples, q)
+        assert df_rows == local_rows == [(iri("a"),)]
+
+    def test_not_over_error_drops_row_both_backends(self, spark):
+        triples = [
+            (iri("a"), iri("v"), '"not a number"'),
+            (iri("b"), iri("v"), num(3)),
+        ]
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:v ?x "
+             "FILTER(!(?x > 5)) }")
+        df_rows, local_rows = both(spark, triples, q)
+        # error stays error under '!': only the genuinely-small number passes
+        assert df_rows == local_rows == [(iri("b"),)]
+
+    def test_order_by_nulls_first_on_asc(self, spark):
+        triples = [
+            (iri("a"), iri("p"), iri("b")),
+            (iri("b"), iri("name"), '"B"'),
+            (iri("b"), iri("p"), iri("c")),
+        ]
+        q = ("PREFIX t: <urn:t:> SELECT ?s ?n WHERE { ?s t:p ?o "
+             "OPTIONAL { ?s t:name ?n } } ORDER BY ?n LIMIT 1")
+        local = sparql_eval_local(triples, q)
+        assert local == [{"s": iri("a"), "n": None}]  # unbound sorts lowest
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        row = sparql_query(df, q).first()
+        assert (row.s, row.n) == (iri("a"), None)
