@@ -1302,6 +1302,31 @@ def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFr
     ).select("prov", "t.subj", "t.pred", "t.obj")
 
 
+def q_nquads_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads line parse (pure-JVM regex source): lines with space-bearing
+    language-tagged literals and optional graph labels, parsed back to
+    fields; oracle reconstructs the fields directly."""
+    from nabu_spark.sources.nquads import parse_nquads
+
+    docs = _load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(
+            F.lit("<urn:doc:"), F.col("doc_id"),
+            F.lit('> <urn:p:src> "source '), F.col("source"), F.lit('"@en'),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" <urn:g:"), F.col("doc_id") % 7, F.lit(">")),
+            ).otherwise(F.lit("")),
+            F.lit(" ."),
+        ).alias("value")
+    )
+    return (
+        parse_nquads(lines)
+        .select("subj", "pred", "obj", "prov")
+        .orderBy("subj")
+    )
+
+
 def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER NOT EXISTS + MINUS (anti-join compilation on shared vars)."""
     from nabu_spark.sparql import sparql_query
@@ -1494,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
         "sparql_negation": q_sparql_negation,
+        "nquads_parse": q_nquads_parse,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2610,6 +2636,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
             ORDER BY doc
+        """,
+        "nquads_parse": """
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:p:src>' AS pred,
+                   '"source ' || source || '"@en' AS obj,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '<urn:g:' || (doc_id % 7) || '>' END AS prov
+            FROM documents ORDER BY subj
         """,
         "sparql_negation": """
             SELECT '<urn:doc:' || doc_id || '>' AS doc,

@@ -132,7 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
         "query",
         help="run a SPARQL SELECT/CONSTRUCT over a quads parquet table",
     )
-    qy.add_argument("--quads", required=True, help="parquet with (subj, pred, obj[, prov])")
+    qin = qy.add_mutually_exclusive_group(required=True)
+    qin.add_argument("--quads", help="parquet with (subj, pred, obj[, prov])")
+    qin.add_argument("--nquads", help=".nq/.nt text files (gzip ok)")
     qsrc = qy.add_mutually_exclusive_group(required=True)
     qsrc.add_argument("--sparql", help="inline query text")
     qsrc.add_argument("--sparql-file", help="path to a .rq file")
@@ -416,7 +418,12 @@ def main(argv: list[str] | None = None) -> int:
         if text is None:
             with open(args.sparql_file) as fh:
                 text = fh.read()
-        quads = spark.read.parquet(args.quads)
+        if args.nquads:
+            from .sources.nquads import read_nquads
+
+            quads = read_nquads(spark, args.nquads)
+        else:
+            quads = spark.read.parquet(args.quads)
         if "error_code" in quads.columns:
             quads = quads.filter(F.col("error_code").isNull())
         out = sparql_query(quads, text)
