@@ -720,3 +720,48 @@ class TestTurtleLongStrings:
         ((s, p, o),) = triples
         # newlines stay raw inside the stored term; quotes are escaped
         assert o == '"line1\nline2 \\"quoted\\" end"'
+
+
+class TestSparqlConstraintDistributed:
+    def test_sh_sparql_through_quads_operator(self, spark):
+        """sh:sparql constraints (compiled Query dataclasses) must survive
+        closure pickling into the distributed mapInPandas evaluator."""
+        from nabu_spark.operators.shacl import shacl_validate_quads
+
+        shapes = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:NoSelfAlias a sh:NodeShape ;
+    sh:targetClass schema:Dataset ;
+    sh:sparql [
+        sh:message "name equals alternateName" ;
+        sh:select """PREFIX schema: <https://schema.org/>
+            SELECT $this ?value WHERE {
+              $this schema:name ?value .
+              $this schema:alternateName ?value .
+            }""" ;
+    ] .
+'''
+        rows = []
+        rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        for i, (name, alt) in enumerate([("a", "a"), ("b", "c")]):
+            prov = f"<urn:iow:summoned:d:{i}>"
+            subj = f"<https://d.org/{i}>"
+            rows += [
+                (subj, rdf_type, "<https://schema.org/Dataset>", prov),
+                (subj, "<https://schema.org/name>", f'"{name}"', prov),
+                (subj, "<https://schema.org/alternateName>", f'"{alt}"', prov),
+            ]
+        quads = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, prov string"
+        )
+        out = {
+            r["prov"]: r
+            for r in shacl_validate_quads(quads, shapes, precheck=False).collect()
+        }
+        assert out["<urn:iow:summoned:d:0>"]["conforms"] is False
+        assert "name equals alternateName" in \
+            out["<urn:iow:summoned:d:0>"]["violations"][0]
+        assert out["<urn:iow:summoned:d:1>"]["conforms"] is True
