@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", required=True)
     r.add_argument("--mainstems", help="mainstems dict parquet (enables enrichment)")
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument(
+        "--bnode-mode", choices=["skolem", "rdfc", "raw"], default="skolem",
+        help="blank-node handling: reference-parity skolem IRIs (default), "
+             "W3C RDFC-1.0 canonical _:c14nN labels, or raw labels",
+    )
 
     g = sub.add_parser("geo", help="quads -> geoparquet")
     g.add_argument("--quads", required=True)
@@ -190,7 +195,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.mainstems:
             mainstems = spark.read.parquet(args.mainstems)
             docs = enrich_docs(docs, mainstems)
-        raw = run_quads_stage(spark, docs, args.out, resume=not args.no_resume)
+        raw = run_quads_stage(
+            spark, docs, args.out, resume=not args.no_resume,
+            bnode_mode=args.bnode_mode,
+        )
         quads = raw.filter(F.col("error_code").isNull()).drop("error_code")
         write_release(quads, args.out)
         n = quads.count()

@@ -111,7 +111,28 @@ def _failed_prov(obj_key) -> str:
     return "<urn:iow:" + str(obj_key).replace("/", ":") + ">"
 
 
-def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _relabel_rdfc(quads: list[tuple[str, str, str, str]]):
+    """Replace blank-node labels with RDFC-1.0 canonical ones (doc-local,
+    so this runs inside the same Arrow pass — no extra shuffle). Returns
+    (quads, error_code)."""
+    from ..functions.rdfc import CanonicalizationError, canonical_label_map
+
+    if not any(s.startswith("_:") or o.startswith("_:") for s, _, o, _ in quads):
+        return quads, ""
+    try:
+        labels = canonical_label_map([(s, p, o) for s, p, o, _ in quads])
+    except CanonicalizationError:
+        return [], "canon_blowup"
+
+    def sub(t: str) -> str:
+        return "_:" + labels[t] if t.startswith("_:") else t
+
+    return [(sub(s), p, sub(o), g) for s, p, o, g in quads], ""
+
+
+def _quads_batches(
+    batches: Iterator[pd.DataFrame], bnode_mode: str = "skolem"
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_s, out_p, out_o, out_g, out_h, out_e = [], [], [], [], [], []
         for doc_text, obj_key, host, err in zip(
@@ -122,7 +143,11 @@ def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out_g.append(_failed_prov(obj_key)); out_h.append(host)
                 out_e.append(err or "invalid_url")
                 continue
-            quads, qerr, _dropped = doc_to_quads(doc_text, obj_key)
+            quads, qerr, _dropped = doc_to_quads(
+                doc_text, obj_key, skolemize=bnode_mode == "skolem"
+            )
+            if not qerr and bnode_mode == "rdfc":
+                quads, qerr = _relabel_rdfc(quads)
             if qerr:
                 out_s.append(None); out_p.append(None); out_o.append(None)
                 out_g.append(_failed_prov(obj_key)); out_h.append(host)
@@ -143,11 +168,20 @@ def _quads_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def docs_to_quads(docs_with_key: DataFrame) -> DataFrame:
+def docs_to_quads(docs_with_key: DataFrame, *, bnode_mode: str = "skolem") -> DataFrame:
     """docs(url, host, sitemap_id, obj_key, doc, error_code) -> quads rows
-    (+ one null-subj row per failed doc, for lineage)."""
+    (+ one null-subj row per failed doc, for lineage).
+
+    ``bnode_mode``: 'skolem' (reference-parity content-hash IRIs, default),
+    'rdfc' (W3C canonical `_:c14nN` labels kept as blank nodes — releases
+    carry spec-canonical, rename-invariant labels), or 'raw' (original
+    labels, the reference's single-object-release skip)."""
+    if bnode_mode not in ("skolem", "rdfc", "raw"):
+        raise ValueError(f"unknown bnode_mode {bnode_mode!r}")
     cols = docs_with_key.select("doc", "obj_key", "host", "error_code")
-    return cols.mapInPandas(_quads_batches, QUADS_SCHEMA)
+    return cols.mapInPandas(
+        lambda it: _quads_batches(it, bnode_mode), QUADS_SCHEMA
+    )
 
 
 def quads_only(quads: DataFrame) -> DataFrame:

@@ -64,11 +64,13 @@ def run_quads_stage(
     *,
     resume: bool = True,
     partition_buckets: int | None = None,
+    bnode_mode: str = "skolem",
 ) -> DataFrame:
     """``partition_buckets`` adds hash-bucket partitioning on subj (the plain
     -parquet analogue of Iceberg's bucket(subj) transform; prov-prefix
     routing lives in the release export) — bounded directory fan-out with
-    co-located subjects for the downstream self-joins."""
+    co-located subjects for the downstream self-joins. ``bnode_mode``:
+    see operators/triples.docs_to_quads ('skolem' | 'rdfc' | 'raw')."""
     quads_path = os.path.join(out_dir, "quads")
 
     def bucketed(df: DataFrame) -> tuple[DataFrame, list[str] | None]:
@@ -88,13 +90,13 @@ def run_quads_stage(
         todo = with_prov_key(docs).join(done_provs, "prov", "left_anti").drop("prov")
         if todo.isEmpty():
             return existing
-        out, parts = bucketed(docs_to_quads(todo))
+        out, parts = bucketed(docs_to_quads(todo, bnode_mode=bnode_mode))
         writer = out.write.mode("append")
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(quads_path)
         return spark.read.parquet(quads_path)
-    out, parts = bucketed(docs_to_quads(docs))
+    out, parts = bucketed(docs_to_quads(docs, bnode_mode=bnode_mode))
     _write_stage(out, quads_path, partition_by=parts)
     return spark.read.parquet(quads_path)
 

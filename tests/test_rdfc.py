@@ -231,3 +231,49 @@ class TestSelfLoopsAndDuplicates:
     def test_duplicate_input_triples_do_not_change_hashes(self):
         base = [("_:x", "<urn:p>", "_:y"), ("_:y", "<urn:q>", '"v"')]
         assert canonical_graph_hash(base * 3) == canonical_graph_hash(base)
+
+
+class TestBnodeModeExtraction:
+    """docs_to_quads bnode_mode: rdfc labels run doc-locally inside the
+    extraction Arrow pass (no extra shuffle), skolem stays the default."""
+
+    def _docs(self, spark):
+        doc = (
+            '{"@context": {"name": "https://schema.org/name",'
+            ' "child": {"@id": "https://schema.org/child", "@type": "@id"}},'
+            ' "name": "parent", "child": {"name": "kid"}}'
+        )
+        return spark.createDataFrame(
+            [("u", "h", "sm", "summoned/sm/aGtleQ==", doc, None)],
+            "url string, host string, sitemap_id string, obj_key string, "
+            "doc string, error_code string",
+        )
+
+    def test_rdfc_mode_labels(self, spark):
+        from nabu_spark.operators.triples import docs_to_quads
+
+        out = docs_to_quads(self._docs(spark), bnode_mode="rdfc").collect()
+        subjects = {r.subj for r in out}
+        assert any(s.startswith("_:c14n") for s in subjects)
+        assert not any((r.subj or "").startswith("<https://docs.geoconnex.us/nqhash/")
+                       for r in out)
+        # deterministic across runs
+        again = docs_to_quads(self._docs(spark), bnode_mode="rdfc").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_skolem_default_unchanged(self, spark):
+        from nabu_spark.operators.triples import docs_to_quads
+
+        out = docs_to_quads(self._docs(spark)).collect()
+        assert any(
+            (r.subj or "").startswith("<https://docs.geoconnex.us/nqhash/")
+            for r in out
+        )
+
+    def test_bad_mode_rejected(self, spark):
+        import pytest as _pytest
+
+        from nabu_spark.operators.triples import docs_to_quads
+
+        with _pytest.raises(ValueError):
+            docs_to_quads(self._docs(spark), bnode_mode="nope")
