@@ -118,6 +118,12 @@ def canonical_quads(quads: DataFrame, *, max_degree: int = 8) -> DataFrame:
     (stable under extraction order and original bnode naming across runs /
     cluster sizes).
 
+    Labels are canonical PER GRAPH (prov): `_:c14n0` rows from different
+    provs are distinct nodes only while the prov column is kept. To
+    concatenate graphs into one blank-node scope (a release file, a
+    cross-graph SPARQL join on bnodes) use the extraction path's
+    ``bnode_mode='rdfc'`` doc-scoped labels instead.
+
     Blank nodes never cross document boundaries, so the only shuffle
     co-locates each prov; contiguous groups then stream through ONE
     mapInPandas per partition (same shape as shacl_validate_quads — ms-per-

@@ -111,10 +111,20 @@ def _failed_prov(obj_key) -> str:
     return "<urn:iow:" + str(obj_key).replace("/", ":") + ">"
 
 
-def _relabel_rdfc(quads: list[tuple[str, str, str, str]]):
+def _relabel_rdfc(quads: list[tuple[str, str, str, str]], obj_key: str):
     """Replace blank-node labels with RDFC-1.0 canonical ones (doc-local,
     so this runs inside the same Arrow pass — no extra shuffle). Returns
-    (quads, error_code)."""
+    (quads, error_code).
+
+    Labels are DOC-SCOPED canonical: ``_:g<sha1(obj_key)[:12]>c14nN``.
+    Within one document the N suffixes are exactly the W3C rdf-canon
+    assignment (rename/order-invariant); the doc-hash prefix keeps labels
+    collision-free when release files concatenate multiple documents or
+    when a global SPARQL join runs across graphs — blank-node labels are
+    file-scoped in N-Quads, so bare ``_:c14n0`` from two docs would merge
+    into one node (the collision the skolem default exists to prevent)."""
+    import hashlib
+
     from ..functions.rdfc import CanonicalizationError, canonical_label_map
 
     if not any(s.startswith("_:") or o.startswith("_:") for s, _, o, _ in quads):
@@ -123,9 +133,10 @@ def _relabel_rdfc(quads: list[tuple[str, str, str, str]]):
         labels = canonical_label_map([(s, p, o) for s, p, o, _ in quads])
     except CanonicalizationError:
         return [], "canon_blowup"
+    scope = hashlib.sha1(obj_key.encode("utf-8")).hexdigest()[:12]
 
     def sub(t: str) -> str:
-        return "_:" + labels[t] if t.startswith("_:") else t
+        return f"_:g{scope}{labels[t]}" if t.startswith("_:") else t
 
     return [(sub(s), p, sub(o), g) for s, p, o, g in quads], ""
 
@@ -147,7 +158,7 @@ def _quads_batches(
                 doc_text, obj_key, skolemize=bnode_mode == "skolem"
             )
             if not qerr and bnode_mode == "rdfc":
-                quads, qerr = _relabel_rdfc(quads)
+                quads, qerr = _relabel_rdfc(quads, obj_key)
             if qerr:
                 out_s.append(None); out_p.append(None); out_o.append(None)
                 out_g.append(_failed_prov(obj_key)); out_h.append(host)
@@ -173,9 +184,10 @@ def docs_to_quads(docs_with_key: DataFrame, *, bnode_mode: str = "skolem") -> Da
     (+ one null-subj row per failed doc, for lineage).
 
     ``bnode_mode``: 'skolem' (reference-parity content-hash IRIs, default),
-    'rdfc' (W3C canonical `_:c14nN` labels kept as blank nodes — releases
-    carry spec-canonical, rename-invariant labels), or 'raw' (original
-    labels, the reference's single-object-release skip)."""
+    'rdfc' (doc-scoped W3C-canonical `_:g<dochash>c14nN` labels kept as
+    blank nodes — rename/order-invariant AND collision-free across
+    concatenated documents), or 'raw' (original labels, the reference's
+    single-object-release skip; caller owns cross-doc label collisions)."""
     if bnode_mode not in ("skolem", "rdfc", "raw"):
         raise ValueError(f"unknown bnode_mode {bnode_mode!r}")
     cols = docs_with_key.select("doc", "obj_key", "host", "error_code")

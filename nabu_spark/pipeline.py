@@ -84,7 +84,22 @@ def run_quads_stage(
             ["subj_bucket"],
         )
 
+    mode_marker = os.path.join(quads_path, "_bnode_mode")
+
+    def _write_mode_marker() -> None:
+        with open(mode_marker, "w") as fh:
+            fh.write(bnode_mode)
+
     if resume and _committed(quads_path):
+        if os.path.exists(mode_marker):
+            prev_mode = open(mode_marker).read().strip()
+            if prev_mode != bnode_mode:
+                raise ValueError(
+                    f"quads table at {quads_path} was built with "
+                    f"bnode_mode={prev_mode!r}; resuming with "
+                    f"{bnode_mode!r} would mix blank-node conventions — "
+                    "use a fresh --out or --no-resume"
+                )
         existing = spark.read.parquet(quads_path)
         done_provs = existing.select("prov").distinct()
         todo = with_prov_key(docs).join(done_provs, "prov", "left_anti").drop("prov")
@@ -95,9 +110,11 @@ def run_quads_stage(
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(quads_path)
+        _write_mode_marker()
         return spark.read.parquet(quads_path)
     out, parts = bucketed(docs_to_quads(docs, bnode_mode=bnode_mode))
     _write_stage(out, quads_path, partition_by=parts)
+    _write_mode_marker()
     return spark.read.parquet(quads_path)
 
 

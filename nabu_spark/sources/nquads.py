@@ -6,9 +6,11 @@ released artifact itself is queryable — ``read_nquads`` feeds the SPARQL
 engine (cli.py query --nquads) and the diff/integrity operators without any
 external service.
 
-Scale shape: ``spark.read.text`` parallelizes by input split (gzip members
-per file for .nq.gz), and the line parse is ONE codegen regexp per column —
-no Python, no shuffle. Malformed lines become error rows carrying the raw
+Scale shape: ``spark.read.text`` parallelizes by input split across files
+(gzip is NOT splittable — each .nq.gz file is one task, so a 100-TB release
+should ship many part files, which write_release's partitioned layout
+already does), and the line parse is ONE codegen regexp per column — no
+Python, no shuffle. Malformed lines become error rows carrying the raw
 line (lineage, never task failure), mirroring the strict NtToNq gate of
 operators/triples.py (reference: internal/common/nt_to_nq.go — studied,
 not copied).
@@ -26,8 +28,8 @@ _NQ_LINE = (
     r'^\s*(<[^<>\s]*>|_:[^\s]+)'          # subject: IRI | bnode
     r'\s+(<[^<>\s]*>)'                    # predicate: IRI
     r'\s+(<[^<>\s]*>|_:[^\s]+|' + _TERM_LIT + r')'  # object
-    r'(?:\s+(<[^<>\s]*>))?'               # optional graph label
-    r'\s*\.\s*$'
+    r'(?:\s+(<[^<>\s]*>|_:[^\s]+))?'      # graph label: IRI | bnode (spec)
+    r'\s*\.\s*(?:#.*)?$'                  # terminator + optional comment
 )
 
 

@@ -18,12 +18,14 @@ class TestParse:
             '',
             '# comment',
             'garbage line without terms',
+            '<urn:s> <urn:p> "y" _:bg .',
+            '<urn:s2> <urn:p> <urn:o2> . # trailing comment',
         ]
         df = spark.createDataFrame([(l,) for l in lines], "value string")
         rows = parse_nquads(df).collect()
         good = [r for r in rows if r.error_code is None]
         bad = [r for r in rows if r.error_code == "nq_malformed"]
-        assert len(good) == 4 and len(bad) == 1
+        assert len(good) == 6 and len(bad) == 1
         assert bad[0].subj == "garbage line without terms"
         by_obj = {r.obj: r for r in good}
         assert '"plain lit with spaces"' in by_obj
@@ -32,6 +34,9 @@ class TestParse:
         assert '"esc \\" quote"@en' in by_obj
         assert by_obj['"esc \\" quote"@en'].subj == "_:b0"
         assert by_obj['"42"^^<urn:dt>'].prov == "<urn:g>"
+        # spec: graph labels may be blank nodes; trailing comments are legal
+        assert by_obj['"y"'].prov == "_:bg"
+        assert by_obj["<urn:o2>"].prov is None
 
     def test_plan_is_pure_jvm(self, spark):
         df = spark.createDataFrame([("<urn:s> <urn:p> <urn:o> .",)],

@@ -250,11 +250,14 @@ class TestBnodeModeExtraction:
         )
 
     def test_rdfc_mode_labels(self, spark):
+        import re as _re
+
         from nabu_spark.operators.triples import docs_to_quads
 
         out = docs_to_quads(self._docs(spark), bnode_mode="rdfc").collect()
         subjects = {r.subj for r in out}
-        assert any(s.startswith("_:c14n") for s in subjects)
+        # doc-scoped canonical labels: _:g<12-hex dochash>c14nN
+        assert any(_re.match(r"_:g[0-9a-f]{12}c14n\d+$", s) for s in subjects)
         assert not any((r.subj or "").startswith("<https://docs.geoconnex.us/nqhash/")
                        for r in out)
         # deterministic across runs
@@ -277,3 +280,46 @@ class TestBnodeModeExtraction:
 
         with _pytest.raises(ValueError):
             docs_to_quads(self._docs(spark), bnode_mode="nope")
+
+
+class TestRdfcLabelScoping:
+    def test_labels_do_not_collide_across_docs(self, spark):
+        """Review-fix pin: two docs each produce canonical bnodes; the
+        doc-hash scope keeps them distinct when graphs concatenate."""
+        from nabu_spark.operators.triples import docs_to_quads
+
+        doc = ('{"@context": {"name": "https://schema.org/name"},'
+               ' "name": "thing"}')
+        rows = [
+            (f"u{i}", "h", "sm", f"summoned/sm/k{i}", doc, None)
+            for i in range(2)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "url string, host string, sitemap_id string, obj_key string, "
+            "doc string, error_code string",
+        )
+        out = docs_to_quads(docs, bnode_mode="rdfc").collect()
+        bnode_subjects = {r.subj for r in out if r.subj and r.subj.startswith("_:")}
+        assert len(bnode_subjects) == 2  # same doc content, distinct scopes
+
+
+class TestResumeModeGuard:
+    def test_resume_with_changed_mode_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from nabu_spark.pipeline import run_quads_stage
+
+        doc = ('{"@context": {"name": "https://schema.org/name"},'
+               ' "name": "thing"}')
+        docs = spark.createDataFrame(
+            [("u", "h", "sm", "summoned/sm/k", doc, None)],
+            "url string, host string, sitemap_id string, obj_key string, "
+            "doc string, error_code string",
+        )
+        out = str(tmp_path / "rel")
+        run_quads_stage(spark, docs, out, resume=True)
+        with _pytest.raises(ValueError, match="bnode_mode"):
+            run_quads_stage(spark, docs, out, resume=True, bnode_mode="rdfc")
+        # same mode resumes fine
+        run_quads_stage(spark, docs, out, resume=True)
