@@ -1302,6 +1302,25 @@ def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFr
     ).select("prov", "t.subj", "t.pred", "t.obj")
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/page cleaning heuristics (Raffel et al. 2020), pure
+    codegen; oracle restates the rules with DuckDB list lambdas."""
+    from nabu_spark.operators.c4 import c4_clean
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        c4_clean(docs)
+        .select(
+            "doc_id",
+            "c4_n_lines",
+            "c4_n_sentences",
+            "c4_keep",
+            F.length("c4_text").alias("c4_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_nquads_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Quads line parse (pure-JVM regex source): lines with space-bearing
     language-tagged literals and optional graph labels, parsed back to
@@ -1520,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_negation": q_sparql_negation,
         "nquads_parse": q_nquads_parse,
+        "c4_filters": q_c4_filters,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2636,6 +2656,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
             ORDER BY doc
+        """,
+        "c4_filters": """
+            WITH cleaned AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       string_split(text, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]\\s*$')
+                            AND len(string_split_regex(trim(l), '\\s+')) >= 5
+                            AND NOT contains(lower(l), 'javascript')
+                     ) AS kept
+              FROM documents
+            ), agg AS (
+              SELECT doc_id, text,
+                     -- DuckDB: array_to_string([]) is NULL, Spark: ''
+                     coalesce(array_to_string(kept, chr(10)), '') AS clean,
+                     len(kept) AS nl
+              FROM cleaned
+            )
+            SELECT doc_id,
+                   CAST(nl AS INT) AS c4_n_lines,
+                   CAST(len(string_split_regex(clean, '[.!?]')) - 1 AS INT)
+                     AS c4_n_sentences,
+                   (NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')
+                    AND len(string_split_regex(clean, '[.!?]')) - 1 >= 3)
+                     AS c4_keep,
+                   CAST(length(clean) AS INT) AS c4_len
+            FROM agg ORDER BY doc_id
         """,
         "nquads_parse": """
             SELECT '<urn:doc:' || doc_id || '>' AS subj,

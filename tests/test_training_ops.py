@@ -1489,3 +1489,48 @@ class TestReviewRegressions:
             assert is_bucketed_join_shuffle_free(j)
         finally:
             spark.sql("DROP TABLE IF EXISTS b_fact")
+
+
+class TestC4Filters:
+    """C4 cleaning heuristics (Raffel et al. 2020): each rule pinned."""
+
+    def test_line_and_page_rules(self, spark):
+        from nabu_spark.operators.c4 import c4_clean
+
+        good = "This line has five proper words."
+        docs = spark.createDataFrame(
+            [
+                # 0: three good sentences -> kept
+                (0, f"{good}\n{good}\nAnd a third good sentence here!"),
+                # 1: line without terminal punctuation dropped
+                (1, f"no punctuation line here at all\n{good}\n{good}\n{good}"),
+                # 2: short line dropped (four words)
+                (2, f"Too short a line.\n{good}\n{good}\n{good}"),
+                # 3: javascript boilerplate line dropped
+                (3, f"Please enable JavaScript to view this.\n{good}\n{good}\n{good}"),
+                # 4: lorem ipsum page flagged
+                (4, f"{good}\n{good}\nLorem Ipsum dolor sit amet today."),
+                # 5: curly-brace page flagged
+                (5, f"{good}\n{good}\nfunction f() {{ return 1; }}.\n" + good),
+                # 6: fewer than three sentences -> flagged
+                (6, f"{good}"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_clean(docs).collect()}
+        assert out[0].c4_keep is True and out[0].c4_n_lines == 3
+        for i in (1, 2, 3):
+            assert out[i].c4_n_lines == 3, i          # offending line dropped
+            assert out[i].c4_keep is True, i          # page itself fine
+            assert "JavaScript" not in out[3].c4_text
+        assert out[4].c4_keep is False                # lorem ipsum
+        assert out[5].c4_keep is False                # '{'
+        assert out[6].c4_keep is False                # < 3 sentences
+        assert out[6].c4_n_sentences == 1
+
+    def test_pure_codegen_plan(self, spark):
+        from nabu_spark.operators.c4 import c4_clean
+
+        df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+        plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
