@@ -1302,6 +1302,19 @@ def _bnode_variant(docs: DataFrame, bn1: str, bn2: str, reverse: bool) -> DataFr
     ).select("prov", "t.subj", "t.pred", "t.obj")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. ExactSubstr, remove-all
+    variant): repeated 8-token spans removed corpus-wide."""
+    from nabu_spark.operators.spandedup import remove_duplicate_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        remove_duplicate_spans(docs, k=8)
+        .select("doc_id", "n_tokens", "n_removed", "dedup_text")
+        .orderBy("doc_id")
+    )
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line/page cleaning heuristics (Raffel et al. 2020), pure
     codegen; oracle restates the rules with DuckDB list lambdas."""
@@ -1540,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negation": q_sparql_negation,
         "nquads_parse": q_nquads_parse,
         "c4_filters": q_c4_filters,
+        "span_dedup": q_span_dedup,
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
         "fetch_schedule": q_fetch_schedule,
@@ -2656,6 +2670,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
             ORDER BY doc
+        """,
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, g.i AS pos,
+                     array_to_string(list_slice(t, g.i + 1, g.i + 8),
+                                     chr(31)) AS gram
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i) g
+              WHERE len(t) >= 8
+            ), dups AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+            ), covered AS (
+              SELECT DISTINCT g.doc_id, g.pos + o.o AS tp
+              FROM grams g JOIN dups USING (gram),
+                   LATERAL (SELECT unnest(generate_series(0, 7)) AS o) o
+            ), counts AS (
+              SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+            ), positions AS (
+              SELECT doc_id, p.i AS p, t[p.i + 1] AS tok
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(0, len(t) - 1)) AS i) p
+            ), rebuilt AS (
+              SELECT pos.doc_id,
+                     coalesce(
+                       string_agg(pos.tok, ' ' ORDER BY pos.p)
+                         FILTER (WHERE c.tp IS NULL),
+                       '') AS dedup_text
+              FROM positions pos
+              LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.tp = pos.p
+              GROUP BY pos.doc_id
+            )
+            SELECT tk.doc_id,
+                   CAST(len(tk.t) AS INT) AS n_tokens,
+                   CAST(coalesce(ct.n_removed, 0) AS INT) AS n_removed,
+                   r.dedup_text
+            FROM toks tk
+            JOIN rebuilt r USING (doc_id)
+            LEFT JOIN counts ct USING (doc_id)
+            ORDER BY doc_id
         """,
         "c4_filters": """
             WITH cleaned AS (

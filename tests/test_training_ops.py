@@ -1534,3 +1534,60 @@ class TestC4Filters:
         df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
         plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestExactSpanDedup:
+    """ExactSubstr-style span dedup (Lee et al. 2022): repeated >=k-token
+    spans removed, remove-all semantics."""
+
+    def _docs(self, spark):
+        span = "one two three four five six seven eight"
+        return spark.createDataFrame(
+            [
+                (0, f"intro words here {span} tail zero"),
+                (1, f"{span} other closing text one"),
+                (2, "totally unique document with plenty of fresh tokens today"),
+                (3, "short doc"),  # < k tokens: untouched
+                (4, f"{span} middle filler {span}"),  # within-doc repeat
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_removal(self, spark):
+        from nabu_spark.operators.spandedup import remove_duplicate_spans
+
+        out = {r.doc_id: r for r in
+               remove_duplicate_spans(self._docs(spark), k=8).collect()}
+        assert out[0].dedup_text == "intro words here tail zero"
+        assert out[0].n_removed == 8
+        assert out[1].dedup_text == "other closing text one"
+        assert out[2].dedup_text == out[2].text  # unique doc untouched
+        assert out[2].n_removed == 0
+        assert out[3].dedup_text == "short doc"
+        # within-doc repeat: both copies removed (remove-all rule)
+        assert out[4].dedup_text == "middle filler"
+        assert out[4].n_removed == 16
+
+    def test_overlapping_duplicate_grams_union_coverage(self, spark):
+        from nabu_spark.operators.spandedup import remove_duplicate_spans
+
+        # 9-token shared run -> two overlapping duplicated 8-grams; covered
+        # set is their union (9 tokens), not 16
+        run = "a b c d e f g h i"
+        docs = spark.createDataFrame(
+            [(0, f"x {run} y"), (1, f"p {run} q")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               remove_duplicate_spans(docs, k=8).collect()}
+        assert out[0].dedup_text == "x y"
+        assert out[0].n_removed == 9
+
+    def test_positions_only_plan_is_narrow(self, spark):
+        from nabu_spark.operators.spandedup import duplicated_span_positions
+
+        plan = (
+            duplicated_span_positions(self._docs(spark), k=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
