@@ -132,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--shards-target-tokens", type=int,
         help="also export gzipped JSONL training shards of ~N tokens each",
     )
+    cu.add_argument(
+        "--c4", action="store_true",
+        help="apply C4 line cleaning + page verdict inside the funnel",
+    )
 
     qy = sub.add_parser(
         "query",
@@ -397,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
             lang=args.lang,
             near_dup_threshold=args.near_dup_threshold,
             cap_per_host=args.cap_per_host,
+            c4=args.c4,
         )
         out_path = os.path.join(args.out, "curated")
         curated.write.mode("overwrite").parquet(out_path)

@@ -76,9 +76,13 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     cap_per_host: int | None = None,
     host_col: str = "url",
+    c4: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the gate + dedup funnel over (id, text[, url]) documents.
-    Returns (curated DataFrame, report dict with per-stage counts)."""
+    Returns (curated DataFrame, report dict with per-stage counts).
+    ``c4=True`` inserts the C4 line cleaner after hygiene (text becomes the
+    line-filtered form) and folds the C4 page verdict into the quality
+    gate — still inline codegen, no extra pass."""
     from .operators.dedup import dedup_survivors, exact_dedup, minhash_dedup
     from .operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
 
@@ -107,6 +111,15 @@ def curate_corpus(
 
     cleaned = docs.mapInPandas(fix_clean_batches, out_schema)
 
+    if c4:
+        from .operators.c4 import c4_clean
+
+        cleaned = (
+            c4_clean(cleaned, text_col=text_col)
+            .withColumn(text_col, F.col("c4_text"))
+            .drop("c4_text", "c4_n_lines", "c4_n_sentences")
+        )  # carries a c4_keep column forward
+
     # stages 4-5: ANNOTATE both gates inline (codegen, join-free), then ONE
     # aggregation for the funnel (no per-stage .count() jobs), then filter
     scored = cleaned.select("*", *lang_scores(text_col))
@@ -120,18 +133,24 @@ def curate_corpus(
         )
         .cache()
     )
-    funnel = annotated.agg(
+    quality_pred = F.col("lang_ok") & F.col("gopher_pass")
+    if c4:
+        quality_pred = quality_pred & F.col("c4_keep")
+    aggs = [
         F.count("*").alias("n_input"),
         F.sum(F.when(F.col("repair_rounds") > 0, 1).otherwise(0)).alias(
             "n_mojibake_repaired"
         ),
         F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("n_lang_ok"),
-        F.sum(
-            F.when(F.col("lang_ok") & F.col("gopher_pass"), 1).otherwise(0)
-        ).alias("n_quality_ok"),
-    ).first()
+        F.sum(F.when(quality_pred, 1).otherwise(0)).alias("n_quality_ok"),
+    ]
+    if c4:
+        aggs.append(
+            F.sum(F.when(F.col("c4_keep"), 1).otherwise(0)).alias("n_c4_ok")
+        )
+    funnel = annotated.agg(*aggs).first()
 
-    gated = annotated.filter(F.col("lang_ok") & F.col("gopher_pass"))
+    gated = annotated.filter(quality_pred)
 
     # stage 6: exact dedup — keep the canonical (min id) per content hash
     canon = exact_dedup(gated, text_col, id_col).select(
@@ -192,7 +211,9 @@ def curate_corpus(
         "lsh_dropped_buckets": dropped.get("dropped_buckets"),
         "lsh_dropped_members": dropped.get("dropped_members"),
     }
-    return survivors.drop("lang_ok", "gopher_pass"), report
+    if c4:
+        report["n_c4_ok"] = funnel["n_c4_ok"]
+    return survivors.drop("lang_ok", "gopher_pass", "c4_keep"), report
 
 
 def curate_pages(

@@ -159,3 +159,44 @@ class TestCurateFunnelPlan:
         plan = annotated._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert plan.count("MapInPandas") == 1
+
+
+class TestC4Stage:
+    @staticmethod
+    def _rows():
+        a = " ".join(
+            f"The quick brown fox number {i} jumps over the lazy dog gracefully today."
+            for i in range(8)
+        )
+        b = " ".join(
+            f"Astronomers measured distant galaxy cluster {i} using careful spectra last winter."
+            for i in range(8)
+        )
+        return [
+            (0, a, "https://a.org/ok"),
+            # distinct vocabulary, passes gopher, fails ONLY the C4 page verdict
+            (1, b + " Lorem ipsum dolor sit amet placeholder.", "https://a.org/lorem"),
+        ]
+
+    def test_c4_gate_in_funnel(self, spark):
+        from nabu_spark.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            self._rows(), "doc_id long, text string, url string"
+        )
+        out, report = curate_corpus(docs, c4=True)
+        kept = {r.doc_id for r in out.collect()}
+        assert kept == {0}
+        assert report["n_c4_ok"] == 1
+        assert report["n_curated"] == 1
+        assert "c4_keep" not in out.columns
+
+    def test_without_c4_both_survive(self, spark):
+        from nabu_spark.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            self._rows(), "doc_id long, text string, url string"
+        )
+        out, report = curate_corpus(docs)
+        assert {r.doc_id for r in out.collect()} == {0, 1}
+        assert "n_c4_ok" not in report
