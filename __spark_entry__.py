@@ -1376,6 +1376,47 @@ def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested SELECT (SPARQL 1.1 §12): groupwise-max via an aggregate
+    subquery joined back on (?src, ?n). The native-numeric MAX alias joins
+    the outer term column on its numeric value; compiles to one grouped
+    aggregate + one equi-join, both Catalyst-planned."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?src ?doc ?n WHERE {
+          ?doc p:source ?src . ?doc p:nchars ?n .
+          { SELECT ?src (MAX(?x) AS ?n)
+            WHERE { ?d p:source ?src . ?d p:nchars ?x } GROUP BY ?src }
+        } ORDER BY ?src ?doc
+        """,
+    )
+
+
+def q_sparql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 expression functions end-to-end: IN, IF, CONCAT, UCASE,
+    STRAFTER, STR inside BIND, then GROUP_CONCAT(DISTINCT ; SEPARATOR) —
+    all pure Catalyst expressions (no UDF)."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?lang (GROUP_CONCAT(DISTINCT ?tag ; SEPARATOR=",") AS ?tags)
+               (COUNT(*) AS ?n) WHERE {
+          ?doc p:lang ?lang . ?doc p:nchars ?nc . ?doc p:source ?src .
+          FILTER(?lang IN ("en", "de", "fr"))
+          BIND(CONCAT(UCASE(?lang), "-", IF(?nc >= 400, "L", "S"), "-",
+                      STRAFTER(STR(?src), "urn:src:")) AS ?tag)
+        } GROUP BY ?lang ORDER BY ?lang
+        """,
+    )
+
+
 def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path transitive closure (p+) compiled to the pointer-
     doubling join fixpoint: ancestor counts along a segmented prev-chain
@@ -1551,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
         "sparql_negation": q_sparql_negation,
+        "sparql_subquery": q_sparql_subquery,
+        "sparql_funcs": q_sparql_funcs,
         "nquads_parse": q_nquads_parse,
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
@@ -2755,6 +2798,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source <> 'src5' AND lang <> 'de'
             ORDER BY doc
+        """,
+        "sparql_subquery": """
+            SELECT '<urn:src:' || d.source || '>' AS src,
+                   '<urn:doc:' || d.doc_id || '>' AS doc,
+                   '"' || d.n_chars ||
+                     '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+            FROM documents d
+            JOIN (SELECT source, max(n_chars) AS m
+                  FROM documents GROUP BY source) t
+              ON d.source = t.source AND d.n_chars = t.m
+            ORDER BY src, doc
+        """,
+        "sparql_funcs": """
+            SELECT '"' || lang || '"' AS lang,
+                   array_to_string(list_sort(list(DISTINCT
+                     upper(lang) || '-' ||
+                     CASE WHEN n_chars >= 400 THEN 'L' ELSE 'S' END ||
+                     '-' || source)), ',') AS tags,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IN ('en', 'de', 'fr')
+            GROUP BY lang ORDER BY lang
         """,
         "sparql_path": """
             SELECT '<urn:doc:' || doc_id || '>' AS doc,

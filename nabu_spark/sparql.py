@@ -29,10 +29,28 @@ Supported grammar (SPARQL 1.1 SELECT subset):
             compile to a pointer-doubling join fixpoint }
     [GROUP BY ?v ...] [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
 
-FILTER / BIND expressions: && || ! = != < <= > >= + - * /, regex(), str(),
-lang(), datatype(), bound(), isIRI(), isLiteral(), isBlank(), strlen(),
-contains(), strstarts(), strends(), ucase(), lcase().
-Aggregates: COUNT(*/?v/DISTINCT ?v), SUM, AVG, MIN, MAX over numeric terms.
+    Subqueries: { SELECT ... WHERE { ... } ... } nested in a group —
+    evaluated bottom-up (never sees outer bindings, SPARQL §12) and joined
+    on its projected shared variables; a native-numeric aggregate alias
+    joining an outer term column compares on the term's numeric value.
+    SELECT * is not allowed inside a subquery (projection must be explicit).
+
+FILTER / BIND expressions: && || ! = != < <= > >= + - * /, ?x [NOT] IN (...)
+(desugared to chained =, §17.4.1.9), regex(), str(), lang(), datatype(),
+bound(), isIRI(), isLiteral(), isBlank(), isNumeric(), strlen(), contains(),
+strstarts(), strends(), strbefore(), strafter(), substr(), replace() (Java
+$n group refs; pattern/replacement constant), concat(), ucase(), lcase(),
+coalesce(), if() (both term-valued: must be compared, not used as a bare
+FILTER), abs(), round() (HALF_UP away from zero, matching Spark — diverges
+from XPath on negative halves), ceil(), floor(), sameTerm(),
+langMatches() (exact or prefix-dash match, '*' = any nonempty), md5(),
+sha1(), sha256() (lowercase hex of the UTF-8 lexical form), iri()/uri(),
+strlang(), strdt().
+Aggregates: COUNT(*/?v/DISTINCT ?v), SUM, AVG, MIN, MAX over numeric terms;
+GROUP_CONCAT(?v ; SEPARATOR="s") and SAMPLE(?v) with deterministic pinning
+(sorted concatenation order / MIN sample — the spec leaves both
+implementation-defined, and a pinned choice is what makes results
+cluster-size independent and twin-evaluator comparable).
 
 One parse, two evaluators:
 
@@ -61,6 +79,8 @@ in both evaluators. IRI constants in expressions compare by full term.
 
 from __future__ import annotations
 
+import hashlib
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -69,6 +89,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+# numeric datatypes recognized by isNumeric() (XSD numeric tower)
+_XSD_NUMERIC = {
+    "http://www.w3.org/2001/XMLSchema#" + n
+    for n in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "positiveInteger",
+        "nonPositiveInteger", "negativeInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+}
 
 
 class SparqlError(ValueError):
@@ -127,10 +158,11 @@ class Group:
 
 @dataclass
 class Agg:
-    func: str          # count/sum/avg/min/max
+    func: str          # count/sum/avg/min/max/group_concat/sample
     arg: object        # expr or None for COUNT(*)
     distinct: bool
     alias: str
+    sep: str = " "     # GROUP_CONCAT separator
 
 
 @dataclass
@@ -243,22 +275,36 @@ class _Parser:
                 raise SparqlError("CONSTRUCT template must contain only triples")
         elif self._kw("SELECT"):
             distinct = self._kw("DISTINCT")
-            while True:
-                kind, v = self._peek()
-                if kind == "VAR":
-                    self.i += 1
-                    select.append(("var", v[1:]))
-                elif v == "*":
-                    self.i += 1
-                    select = []
-                elif v == "(":
-                    self.i += 1
-                    select.append(self._agg_spec())
-                    self._expect(")")
-                else:
-                    break
+            select = self._select_list()
         else:
             raise SparqlError("only SELECT, CONSTRUCT and ASK are supported")
+        q = self._body(select, distinct, construct)
+        if self._peek()[0] != "EOF":
+            raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
+        return q
+
+    def _select_list(self) -> list:
+        select: list = []
+        while True:
+            kind, v = self._peek()
+            if kind == "VAR":
+                self.i += 1
+                select.append(("var", v[1:]))
+            elif v == "*":
+                self.i += 1
+                select = []
+            elif v == "(":
+                self.i += 1
+                select.append(self._agg_spec())
+                self._expect(")")
+            else:
+                break
+        return select
+
+    def _body(self, select, distinct, construct) -> Query:
+        """WHERE group + solution modifiers — shared by the top-level
+        SELECT/CONSTRUCT parse and nested subqueries (which stop cleanly at
+        the enclosing '}')."""
         if not self._kw("WHERE"):
             raise SparqlError("expected WHERE")
         where = self._group()
@@ -297,15 +343,14 @@ class _Parser:
                 limit = int(self._next()[1])
             elif self._kw("OFFSET"):
                 offset = int(self._next()[1])
-        if self._peek()[0] != "EOF":
-            raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
         return Query(select, distinct, where, group_by, order_by, limit, offset,
                      construct, False, None, having)
 
     def _agg_spec(self) -> Agg:
         kind, fn = self._next()
         fn = fn.upper()
-        if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+        if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT",
+                      "SAMPLE"):
             raise SparqlError(f"unsupported aggregate {fn!r}")
         self._expect("(")
         distinct = self._kw("DISTINCT")
@@ -316,12 +361,23 @@ class _Parser:
                 raise SparqlError("COUNT(DISTINCT *) is not supported")
         else:
             arg = self._expr()
+        sep = " "
+        if fn == "GROUP_CONCAT" and self._peek()[1] == ";":
+            self.i += 1
+            kind, v = self._next()
+            if kind != "NAME" or v.upper() != "SEPARATOR":
+                raise SparqlError("expected SEPARATOR in GROUP_CONCAT")
+            self._expect("=")
+            kind, v = self._next()
+            if kind != "STRING" or not v.endswith('"'):
+                raise SparqlError("SEPARATOR needs a plain string literal")
+            sep = term_lex(v)
         self._expect(")")
         self._expect("AS")
         kind, v = self._next()
         if kind != "VAR":
             raise SparqlError("aggregate needs AS ?alias")
-        return Agg(fn.lower(), arg, distinct, v[1:])
+        return Agg(fn.lower(), arg, distinct, v[1:], sep)
 
     # -- group patterns -----------------------------------------------------
     def _group(self) -> Group:
@@ -368,13 +424,28 @@ class _Parser:
                 atom = self._term_atom()
                 g.items.append(("graph", atom, self._group()))
             elif v == "{":
-                # nested group, possibly a UNION chain; a single-branch
-                # "union" is just the nested group evaluated with its own
-                # filter scope, so one representation covers both
-                branches = [self._group()]
-                while self._kw("UNION"):
-                    branches.append(self._group())
-                g.items.append(("union", branches))
+                nk, nv = self._peek(1)
+                if nk == "NAME" and nv.upper() == "SELECT":
+                    # subquery: evaluated bottom-up (independently of outer
+                    # bindings, SPARQL §12), then joined on shared variables
+                    self.i += 1
+                    self._expect("SELECT")
+                    distinct = self._kw("DISTINCT")
+                    sel = self._select_list()
+                    if not sel:
+                        raise SparqlError("subquery needs an explicit "
+                                          "projection (no SELECT *)")
+                    sub = self._body(sel, distinct, None)
+                    self._expect("}")
+                    g.items.append(("subquery", sub))
+                else:
+                    # nested group, possibly a UNION chain; a single-branch
+                    # "union" is just the nested group evaluated with its own
+                    # filter scope, so one representation covers both
+                    branches = [self._group()]
+                    while self._kw("UNION"):
+                        branches.append(self._group())
+                    g.items.append(("union", branches))
             else:
                 self._triples_block(g)
             # optional '.' separators
@@ -509,9 +580,37 @@ class _Parser:
 
     def _cmp(self):
         e = self._add()
-        if self._peek()[1] in ("=", "!=", "<", "<=", ">", ">="):
+        kind, v = self._peek()
+        if v in ("=", "!=", "<", "<=", ">", ">="):
             op = self._next()[1]
             return ("cmp", op, e, self._add())
+        if kind == "NAME" and v.upper() in ("IN", "NOT"):
+            neg = v.upper() == "NOT"
+            if neg:
+                nk, nv = self._peek(1)
+                if nk != "NAME" or nv.upper() != "IN":
+                    return e
+                self.i += 2
+            else:
+                self.i += 1
+            self._expect("(")
+            elems = []
+            if self._peek()[1] != ")":
+                elems.append(self._expr())
+                while self._peek()[1] == ",":
+                    self.i += 1
+                    elems.append(self._expr())
+            self._expect(")")
+            # spec-exact desugaring: e IN (a, b) ≡ e = a || e = b (§17.4.1.9),
+            # NOT IN via De Morgan (identical under SPARQL's 3-valued logic);
+            # an empty list is constant false / true
+            if not elems:
+                out = ("cmp", "=", ("num", 1), ("num", 0))
+            else:
+                out = ("cmp", "=", e, elems[0])
+                for x in elems[1:]:
+                    out = ("or", out, ("cmp", "=", e, x))
+            return ("not", out) if neg else out
         return e
 
     def _add(self):
@@ -541,6 +640,25 @@ class _Parser:
         "REGEX", "STR", "LANG", "DATATYPE", "BOUND", "ISIRI", "ISURI",
         "ISLITERAL", "ISBLANK", "STRLEN", "CONTAINS", "STRSTARTS",
         "STRENDS", "UCASE", "LCASE",
+        "COALESCE", "IF", "CONCAT", "SUBSTR", "REPLACE", "STRBEFORE",
+        "STRAFTER", "ABS", "ROUND", "CEIL", "FLOOR", "SAMETERM",
+        "ISNUMERIC", "MD5", "SHA1", "SHA256", "IRI", "URI", "STRLANG",
+        "STRDT", "LANGMATCHES",
+    }
+
+    # fixed arities (min, max); None max = variadic
+    _FUNC_ARITY = {
+        "REGEX": (2, 3), "STR": (1, 1), "LANG": (1, 1), "DATATYPE": (1, 1),
+        "BOUND": (1, 1), "ISIRI": (1, 1), "ISLITERAL": (1, 1),
+        "ISBLANK": (1, 1), "STRLEN": (1, 1), "CONTAINS": (2, 2),
+        "STRSTARTS": (2, 2), "STRENDS": (2, 2), "UCASE": (1, 1),
+        "LCASE": (1, 1), "COALESCE": (1, None), "IF": (3, 3),
+        "CONCAT": (1, None), "SUBSTR": (2, 3), "REPLACE": (3, 4),
+        "STRBEFORE": (2, 2), "STRAFTER": (2, 2), "ABS": (1, 1),
+        "ROUND": (1, 1), "CEIL": (1, 1), "FLOOR": (1, 1),
+        "SAMETERM": (2, 2), "ISNUMERIC": (1, 1), "MD5": (1, 1),
+        "SHA1": (1, 1), "SHA256": (1, 1), "IRI": (1, 1),
+        "STRLANG": (2, 2), "STRDT": (2, 2), "LANGMATCHES": (2, 2),
     }
 
     def _unary(self):
@@ -562,10 +680,20 @@ class _Parser:
                 args.append(self._expr())
             self._expect(")")
             fname = v.upper().replace("ISURI", "ISIRI")
-            if fname == "REGEX" and any(a[0] != "const" for a in args[1:]):
+            if fname == "URI":
+                fname = "IRI"
+            lo, hi = self._FUNC_ARITY[fname]
+            if len(args) < lo or (hi is not None and len(args) > hi):
+                raise SparqlError(f"{fname} takes {lo}..{hi or 'n'} args")
+            if fname in ("REGEX", "REPLACE") and any(
+                a[0] != "const" for a in args[1:]
+            ):
                 # both backends read the pattern/flags at compile time; a
                 # variable here would silently match the variable's NAME
-                raise SparqlError("regex pattern/flags must be constant strings")
+                raise SparqlError(
+                    f"{fname.lower()} pattern/replacement/flags must be "
+                    "constant strings"
+                )
             return ("call", fname, args)
         if kind == "NUM":
             self.i += 1
@@ -624,17 +752,31 @@ def term_datatype(t: str) -> str | None:
     return XSD_STRING
 
 
+_NUM_FUNCS = {"STRLEN", "ABS", "ROUND", "CEIL", "FLOOR"}
+_STR_FUNCS = {"STR", "LANG", "DATATYPE", "UCASE", "LCASE", "CONCAT",
+              "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "MD5", "SHA1",
+              "SHA256"}
+
+
 # static "kind" of an expression, used to pick the comparison mode
 def _expr_kind(e) -> str:
     tag = e[0]
-    if tag == "num" or (tag == "arith") or (tag == "call" and e[1] == "STRLEN"):
+    if tag == "num" or (tag == "arith") or (
+        tag == "call" and e[1] in _NUM_FUNCS
+    ):
         return "num"
     if tag == "const":
         return "num" if term_num(e[1]) is not None and e[1].startswith('"') and (
             "XMLSchema#integer" in e[1] or "XMLSchema#double" in e[1]
             or "XMLSchema#decimal" in e[1]) else "term"
-    if tag == "call" and e[1] in ("STR", "LANG", "DATATYPE", "UCASE", "LCASE"):
+    if tag == "call" and e[1] in _STR_FUNCS:
         return "str"
+    if tag == "call" and e[1] == "IF":
+        ka, kb = _expr_kind(e[2][1]), _expr_kind(e[2][2])
+        return ka if ka == kb else "term"
+    if tag == "call" and e[1] == "COALESCE":
+        kinds = {_expr_kind(a) for a in e[2]}
+        return kinds.pop() if len(kinds) == 1 else "term"
     return "term"
 
 
@@ -766,6 +908,97 @@ class _DfCompiler:
                 "STRSTARTS": ca.startswith(cb),
                 "STRENDS": ca.endswith(cb),
             }[fn]
+        if fn in ("COALESCE", "IF"):
+            # term-valued: a bare FILTER(IF(...)) has no shared EBV across
+            # backends, so require an explicit comparison around them
+            if want == "bool":
+                raise SparqlError(f"{fn} is term-valued; compare it explicitly")
+            if fn == "COALESCE":
+                return F.coalesce(*[self.expr(a, want) for a in args])
+            cond = self.expr(a0, "bool")
+            # two chained whens, NOT .otherwise(): an errored (null)
+            # condition must stay an error, matching the local evaluator
+            return F.when(cond, self.expr(args[1], want)).when(
+                ~cond, self.expr(args[2], want)
+            )
+        if fn == "CONCAT":
+            return F.concat(*[self.expr(a, "str") for a in args])
+        if fn == "SUBSTR":
+            c = self.expr(a0, "str")
+            start = F.greatest(self.expr(args[1], "num").cast("int"), F.lit(1))
+            if len(args) > 2:
+                ln = F.greatest(self.expr(args[2], "num").cast("int"), F.lit(0))
+            else:
+                ln = F.length(c)
+            return c.substr(start, ln)
+        if fn == "REPLACE":
+            pat = term_lex(args[1][1])
+            rep = term_lex(args[2][1])
+            flags = term_lex(args[3][1]) if len(args) > 3 else ""
+            if "i" in flags:
+                pat = "(?i)" + pat
+            return F.regexp_replace(self.expr(a0, "str"), pat, rep)
+        if fn in ("STRBEFORE", "STRAFTER"):
+            ca, cb = self.expr(a0, "str"), self.expr(args[1], "str")
+            pos = F.instr(ca, cb)
+            empty_b = F.lit("") if fn == "STRBEFORE" else ca
+            found = (
+                ca.substr(F.lit(1), pos - 1)
+                if fn == "STRBEFORE"
+                else ca.substr(pos + F.length(cb), F.length(ca))
+            )
+            return (
+                F.when(ca.isNull() | cb.isNull(), F.lit(None).cast("string"))
+                .when(cb == "", empty_b)
+                .when(pos > 0, found)
+                .otherwise(F.lit(""))
+            )
+        if fn in ("ABS", "ROUND", "CEIL", "FLOOR"):
+            c = self.expr(a0, "num")
+            return {
+                "ABS": F.abs(c),
+                # Spark round = HALF_UP away from zero; the local evaluator
+                # pins the same rule (documented divergence from XPath's
+                # ceiling-on-negative-half)
+                "ROUND": F.round(c, 0),
+                "CEIL": F.ceil(c).cast("double"),
+                "FLOOR": F.floor(c).cast("double"),
+            }[fn]
+        if fn == "SAMETERM":
+            return self.expr(a0, "term") == self.expr(args[1], "term")
+        if fn == "ISNUMERIC":
+            c = self.expr(a0, "term")
+            cs = c.cast("string")
+            lex_ok = _c_num(c).isNotNull()
+            dt_ok = _c_datatype(cs).isin(*sorted(_XSD_NUMERIC))
+            return F.when(cs.startswith('"'), lex_ok & dt_ok).otherwise(
+                lex_ok & ~cs.startswith("<") & ~cs.startswith("_:")
+            )
+        if fn in ("MD5", "SHA1", "SHA256"):
+            c = F.encode(self.expr(a0, "str"), "UTF-8")
+            return {
+                "MD5": F.md5(c),
+                "SHA1": F.sha1(c),
+                "SHA256": F.sha2(c, 256),
+            }[fn]
+        if fn == "IRI":
+            return F.concat(F.lit("<"), self.expr(a0, "str"), F.lit(">"))
+        if fn == "STRLANG":
+            return F.concat(
+                F.lit('"'), self.expr(a0, "str"), F.lit('"@'),
+                self.expr(args[1], "str"),
+            )
+        if fn == "STRDT":
+            return F.concat(
+                F.lit('"'), self.expr(a0, "str"), F.lit('"^^<'),
+                self.expr(args[1], "str"), F.lit(">"),
+            )
+        if fn == "LANGMATCHES":
+            lang = F.lower(self.expr(a0, "str"))
+            rng = F.lower(self.expr(args[1], "str"))
+            return F.when(rng == "*", lang != "").otherwise(
+                (lang == rng) | lang.startswith(F.concat(rng, F.lit("-")))
+            )
         raise SparqlError(f"unsupported function {fn}")
 
     # one triple pattern -> DataFrame of its variable bindings
@@ -940,6 +1173,35 @@ class _DfCompiler:
                 acc = self._join(acc, u)
             elif tag == "graph":
                 acc = self._join(acc, self.group(item[2], item[1]))
+            elif tag == "subquery":
+                subq = item[1]
+                sub = _apply_select(self, self.group(subq.where, graph), subq)
+                # numeric aggregate aliases come back as native numerics; a
+                # shared variable against an outer TERM column must compare
+                # on the term's numeric value (try_cast keeps ANSI mode from
+                # throwing on non-numeric lexical forms)
+                num_aliases = {
+                    s.alias for s in subq.select
+                    if isinstance(s, Agg) and s.func != "group_concat"
+                    and s.func != "sample"
+                }
+                if acc is None:
+                    acc = sub
+                else:
+                    shared = [c for c in acc.columns if c in sub.columns]
+                    if not shared:
+                        acc = acc.crossJoin(sub)
+                    else:
+                        cond = None
+                        for c in shared:
+                            left = (
+                                _c_num(acc[c]) if c in num_aliases else acc[c]
+                            )
+                            pc = left == sub[c]
+                            cond = pc if cond is None else (cond & pc)
+                        acc = acc.join(sub, cond)
+                        for c in shared:
+                            acc = acc.drop(sub[c])
             elif tag == "bind":
                 if acc is None:
                     raise SparqlError("BIND before any pattern")
@@ -966,6 +1228,58 @@ class _DfCompiler:
         if not shared:
             return acc.crossJoin(df) if how == "inner" else acc.join(df, how="left")
         return acc.join(df, on=shared, how=how)
+
+
+def _apply_select(comp: _DfCompiler, df: DataFrame, q: Query) -> DataFrame:
+    """Aggregates, projection, DISTINCT and solution modifiers over a solved
+    WHERE relation — shared by the top-level SELECT driver and subqueries."""
+    has_agg = any(isinstance(s, Agg) for s in q.select)
+    if has_agg or q.group_by:
+        keys = [F.col(v) for v in q.group_by]
+        aggs = []
+        for s in q.select:
+            if not isinstance(s, Agg):
+                continue
+            if s.func == "count":
+                if s.arg is None:
+                    aggs.append(F.count(F.lit(1)).alias(s.alias))
+                elif s.distinct:
+                    aggs.append(F.countDistinct(comp.expr(s.arg, "term")).alias(s.alias))
+                else:
+                    aggs.append(F.count(comp.expr(s.arg, "term")).alias(s.alias))
+            elif s.func == "group_concat":
+                # spec leaves concatenation order undefined; both backends
+                # pin SORTED order so results are deterministic + comparable
+                c = comp.expr(s.arg, "str").cast("string")
+                coll = F.collect_set(c) if s.distinct else F.collect_list(c)
+                aggs.append(F.array_join(F.array_sort(coll), s.sep).alias(s.alias))
+            elif s.func == "sample":
+                # SAMPLE picks an arbitrary value; both backends pin MIN so
+                # the choice is deterministic and cluster-size independent
+                aggs.append(F.min(comp.expr(s.arg, "term")).alias(s.alias))
+            else:
+                c = comp.expr(s.arg, "num")
+                fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[s.func]
+                aggs.append(fn(c).alias(s.alias))
+        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        if q.having is not None:
+            df = df.filter(comp.expr(q.having, "bool"))
+        out_cols = q.group_by + [s.alias for s in q.select if isinstance(s, Agg)]
+        sel_order = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] or out_cols
+        df = df.select(*sel_order)
+    else:
+        if q.select:
+            df = df.select(*[s[1] for s in q.select])
+    if q.distinct:
+        df = df.distinct()
+    if q.order_by:
+        df = df.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                          for v, asc in q.order_by])
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
 
 
 def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> DataFrame:
@@ -1034,43 +1348,7 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
             )
             out = part if out is None else out.unionByName(part)
         return out.na.drop().distinct()
-    has_agg = any(isinstance(s, Agg) for s in q.select)
-    if has_agg or q.group_by:
-        keys = [F.col(v) for v in q.group_by]
-        aggs = []
-        for s in q.select:
-            if not isinstance(s, Agg):
-                continue
-            if s.func == "count":
-                if s.arg is None:
-                    aggs.append(F.count(F.lit(1)).alias(s.alias))
-                elif s.distinct:
-                    aggs.append(F.countDistinct(comp.expr(s.arg, "term")).alias(s.alias))
-                else:
-                    aggs.append(F.count(comp.expr(s.arg, "term")).alias(s.alias))
-            else:
-                c = comp.expr(s.arg, "num")
-                fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[s.func]
-                aggs.append(fn(c).alias(s.alias))
-        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        if q.having is not None:
-            df = df.filter(comp.expr(q.having, "bool"))
-        out_cols = q.group_by + [s.alias for s in q.select if isinstance(s, Agg)]
-        sel_order = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] or out_cols
-        df = df.select(*sel_order)
-    else:
-        if q.select:
-            df = df.select(*[s[1] for s in q.select])
-    if q.distinct:
-        df = df.distinct()
-    if q.order_by:
-        df = df.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
-                          for v, asc in q.order_by])
-    if q.offset:
-        df = df.offset(q.offset)
-    if q.limit is not None:
-        df = df.limit(q.limit)
-    return df
+    return _apply_select(comp, df, q)
 
 
 # ---------------------------------------------------------------------------
@@ -1146,6 +1424,39 @@ class _LocalEval:
     def _call(self, fn, args, row, want):
         if fn == "BOUND":
             return self.expr(args[0], row, "term") is not None
+        if fn in ("COALESCE", "IF"):
+            if want == "bool":
+                raise SparqlError(f"{fn} is term-valued; compare it explicitly")
+            if fn == "COALESCE":
+                for a in args:
+                    v = self.expr(a, row, want)
+                    if v is not None:
+                        return v
+                return None
+            cond = self.expr(args[0], row)
+            if cond is None:
+                return None
+            return self.expr(args[1] if cond else args[2], row, want)
+        if fn == "CONCAT":
+            parts = [self.expr(a, row, "str") for a in args]
+            if any(p is None for p in parts):
+                return None
+            return "".join(str(p) for p in parts)
+        if fn == "SAMETERM":
+            a = self.expr(args[0], row, "term")
+            b = self.expr(args[1], row, "term")
+            if a is None or b is None:
+                return None
+            return a == b
+        if fn == "LANGMATCHES":
+            lang = self.expr(args[0], row, "str")
+            rng = self.expr(args[1], row, "str")
+            if lang is None or rng is None:
+                return None
+            lang, rng = str(lang).lower(), str(rng).lower()
+            if rng == "*":
+                return lang != ""
+            return lang == rng or lang.startswith(rng + "-")
         if fn == "REGEX":
             v = self.expr(args[0], row, "str")
             if v is None:
@@ -1178,6 +1489,72 @@ class _LocalEval:
             a = term_lex(v)
             return {"CONTAINS": b in a, "STRSTARTS": a.startswith(b),
                     "STRENDS": a.endswith(b)}[fn]
+        if fn == "SUBSTR":
+            s_ = str(term_lex(v))
+            start = self.expr(args[1], row, "num")
+            if start is None:
+                return None
+            start = max(int(start), 1)
+            if len(args) > 2:
+                ln = self.expr(args[2], row, "num")
+                if ln is None:
+                    return None
+                ln = max(int(ln), 0)
+                return s_[start - 1:start - 1 + ln]
+            return s_[start - 1:]
+        if fn == "REPLACE":
+            pat = term_lex(args[1][1])
+            # Java-style $n group refs (what regexp_replace uses) -> Python
+            rep = re.sub(r"\$(\d)", r"\\\1", term_lex(args[2][1]))
+            flags = term_lex(args[3][1]) if len(args) > 3 else ""
+            return re.sub(pat, rep, str(term_lex(v)),
+                          flags=re.I if "i" in flags else 0)
+        if fn in ("STRBEFORE", "STRAFTER"):
+            b = self.expr(args[1], row, "str")
+            if b is None:
+                return None
+            a, b = str(term_lex(v)), str(b)
+            if b == "":
+                return "" if fn == "STRBEFORE" else a
+            i = a.find(b)
+            if i < 0:
+                return ""
+            return a[:i] if fn == "STRBEFORE" else a[i + len(b):]
+        if fn in ("ABS", "ROUND", "CEIL", "FLOOR"):
+            n = term_num(v)
+            if n is None:
+                return None
+            if fn == "ABS":
+                return abs(n)
+            if fn == "CEIL":
+                return float(math.ceil(n))
+            if fn == "FLOOR":
+                return float(math.floor(n))
+            # HALF_UP away from zero, matching Spark's round()
+            return float(math.floor(n + 0.5) if n >= 0 else math.ceil(n - 0.5))
+        if fn == "ISNUMERIC":
+            if isinstance(v, (int, float)):
+                return True
+            if not v.startswith('"'):
+                return False
+            return term_num(v) is not None and term_datatype(v) in _XSD_NUMERIC
+        if fn in ("MD5", "SHA1", "SHA256"):
+            data = str(term_lex(v)).encode("utf-8")
+            h = {"MD5": hashlib.md5, "SHA1": hashlib.sha1,
+                 "SHA256": hashlib.sha256}[fn]
+            return h(data).hexdigest()
+        if fn == "IRI":
+            return f"<{term_lex(v)}>"
+        if fn == "STRLANG":
+            b = self.expr(args[1], row, "str")
+            if b is None:
+                return None
+            return f'"{term_lex(v)}"@{b}'
+        if fn == "STRDT":
+            b = self.expr(args[1], row, "str")
+            if b is None:
+                return None
+            return f'"{term_lex(v)}"^^<{b}>'
         raise SparqlError(f"unsupported function {fn}")
 
     def _match(self, atom, value, row, out):
@@ -1323,6 +1700,40 @@ class _LocalEval:
                 rows = nxt
             elif tag == "graph":
                 rows = self.group(item[2], rows, item[1])
+            elif tag == "subquery":
+                # bottom-up: the subquery never sees outer bindings; its
+                # projected solutions join on the shared variables. A native
+                # numeric (aggregate output) against a term string compares
+                # on the term's numeric value, mirroring the DataFrame join.
+                sub = item[1]
+                sols = _apply_select_local(
+                    self, sub, self.group(sub.where, [{}], graph)
+                )
+
+                def _veq(a, b):
+                    if a == b:
+                        return True
+                    if isinstance(a, (int, float)) != isinstance(b, (int, float)):
+                        na, nb = term_num(a), term_num(b)
+                        return na is not None and na == nb
+                    return False
+
+                nxt = []
+                for row in rows:
+                    for s in sols:
+                        shared = [k for k in row
+                                  if k in s and row[k] is not None
+                                  and s[k] is not None]
+                        if all(_veq(row[k], s[k]) for k in shared):
+                            # outer (term-form) value wins on shared keys,
+                            # like the DF join keeping acc's column
+                            merged = {k: v for k, v in s.items()
+                                      if v is not None}
+                            for k, v in row.items():
+                                if v is not None or k not in merged:
+                                    merged[k] = v
+                            nxt.append(merged)
+                rows = nxt
             elif tag == "bind":
                 # fresh dicts: row objects may be aliased across UNION
                 # branches / OPTIONAL pass-throughs
@@ -1349,6 +1760,83 @@ class _LocalEval:
                             nxt.append({**row, **nb})
                 rows = nxt
         return [r for r in rows if all(self.expr(f, r) for f in filters)]
+
+
+def _apply_select_local(ev: "_LocalEval", q: Query, rows: list[dict]) -> list[dict]:
+    """Aggregates, projection, DISTINCT and solution modifiers over solved
+    bindings — shared by sparql_eval_local and local subquery evaluation
+    (mirrors _apply_select on the DataFrame side)."""
+    has_agg = any(isinstance(s, Agg) for s in q.select)
+    if has_agg or q.group_by:
+        groups: dict[tuple, list[dict]] = {}
+        for r in rows:
+            key = tuple(r.get(v) for v in q.group_by)
+            groups.setdefault(key, []).append(r)
+        out_rows = []
+        for key, members in groups.items():
+            row = dict(zip(q.group_by, key))
+            for s in q.select:
+                if not isinstance(s, Agg):
+                    continue
+                if s.func == "count":
+                    if s.arg is None:
+                        row[s.alias] = len(members)
+                    else:
+                        vals = [ev.expr(s.arg, m, "term") for m in members]
+                        vals = [v for v in vals if v is not None]
+                        row[s.alias] = len(set(vals)) if s.distinct else len(vals)
+                elif s.func == "group_concat":
+                    vals = [ev.expr(s.arg, m, "str") for m in members]
+                    vals = [str(v) for v in vals if v is not None]
+                    if s.distinct:
+                        vals = set(vals)
+                    row[s.alias] = s.sep.join(sorted(vals))
+                elif s.func == "sample":
+                    vals = [ev.expr(s.arg, m, "term") for m in members]
+                    vals = [v for v in vals if v is not None]
+                    row[s.alias] = min(vals) if vals else None
+                else:
+                    nums = [ev.expr(s.arg, m, "num") for m in members]
+                    nums = [n for n in nums if n is not None]
+                    if not nums:
+                        row[s.alias] = None
+                    elif s.func == "sum":
+                        row[s.alias] = sum(nums)
+                    elif s.func == "avg":
+                        row[s.alias] = sum(nums) / len(nums)
+                    elif s.func == "min":
+                        row[s.alias] = min(nums)
+                    else:
+                        row[s.alias] = max(nums)
+            out_rows.append(row)
+        if q.having is not None:
+            out_rows = [r for r in out_rows if ev.expr(q.having, r)]
+        rows = out_rows
+        sel = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] \
+            or (q.group_by + [s.alias for s in q.select if isinstance(s, Agg)])
+    else:
+        sel = [s[1] for s in q.select] if q.select else sorted(
+            {k for r in rows for k in r}
+        )
+    rows = [{v: r.get(v) for v in sel} for r in rows]
+    if q.distinct:
+        seen = set()
+        uniq = []
+        for r in rows:
+            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        rows = uniq
+    for var, asc in reversed(q.order_by):
+        # unbound sorts lowest (spec; Spark ASC = NULLS FIRST)
+        rows.sort(key=lambda r: (r.get(var) is not None, r.get(var)),
+                  reverse=not asc)
+    if q.offset:
+        rows = rows[q.offset:]
+    if q.limit is not None:
+        rows = rows[: q.limit]
+    return rows
 
 
 def sparql_eval_local(
@@ -1395,64 +1883,4 @@ def sparql_eval_local(
                 seen.add(vals)
                 out.append(dict(zip(("subj", "pred", "obj"), vals)))
         return out
-    has_agg = any(isinstance(s, Agg) for s in q.select)
-    if has_agg or q.group_by:
-        groups: dict[tuple, list[dict]] = {}
-        for r in rows:
-            key = tuple(r.get(v) for v in q.group_by)
-            groups.setdefault(key, []).append(r)
-        out_rows = []
-        for key, members in groups.items():
-            row = dict(zip(q.group_by, key))
-            for s in q.select:
-                if not isinstance(s, Agg):
-                    continue
-                if s.func == "count":
-                    if s.arg is None:
-                        row[s.alias] = len(members)
-                    else:
-                        vals = [ev.expr(s.arg, m, "term") for m in members]
-                        vals = [v for v in vals if v is not None]
-                        row[s.alias] = len(set(vals)) if s.distinct else len(vals)
-                else:
-                    nums = [ev.expr(s.arg, m, "num") for m in members]
-                    nums = [n for n in nums if n is not None]
-                    if not nums:
-                        row[s.alias] = None
-                    elif s.func == "sum":
-                        row[s.alias] = sum(nums)
-                    elif s.func == "avg":
-                        row[s.alias] = sum(nums) / len(nums)
-                    elif s.func == "min":
-                        row[s.alias] = min(nums)
-                    else:
-                        row[s.alias] = max(nums)
-            out_rows.append(row)
-        if q.having is not None:
-            out_rows = [r for r in out_rows if ev.expr(q.having, r)]
-        rows = out_rows
-        sel = [s[1] if not isinstance(s, Agg) else s.alias for s in q.select] \
-            or (q.group_by + [s.alias for s in q.select if isinstance(s, Agg)])
-    else:
-        sel = [s[1] for s in q.select] if q.select else sorted(
-            {k for r in rows for k in r}
-        )
-    rows = [{v: r.get(v) for v in sel} for r in rows]
-    if q.distinct:
-        seen = set()
-        uniq = []
-        for r in rows:
-            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
-            if key not in seen:
-                seen.add(key)
-                uniq.append(r)
-        rows = uniq
-    for var, asc in reversed(q.order_by):
-        # unbound sorts lowest (spec; Spark ASC = NULLS FIRST)
-        rows.sort(key=lambda r: (r.get(var) is not None, r.get(var)),
-                  reverse=not asc)
-    if q.offset:
-        rows = rows[q.offset:]
-    if q.limit is not None:
-        rows = rows[: q.limit]
-    return rows
+    return _apply_select_local(ev, q, rows)

@@ -117,6 +117,73 @@ AGREEMENT_QUERIES = [
     # || and ! combinations
     "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a "
     "FILTER(?a < 23 || !(?a < 35)) }",
+    # --- round-4 function additions ---
+    # IN / NOT IN desugaring
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a FILTER(?a IN (23, 29, 99)) }",
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a FILTER(?a NOT IN (23, 99)) }",
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(?n IN ("Person 1", "Person 5")) }',
+    # string builders
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:name ?n '
+    'BIND(CONCAT(LCASE(SUBSTR(?n, 1, 6)), "#", STRAFTER(?n, " ")) AS ?x) }',
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:name ?n '
+    'BIND(STRBEFORE(?n, " ") AS ?x) }',
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:name ?n '
+    'BIND(REPLACE(?n, "Person (\\\\d)", "P$1") AS ?x) }',
+    # numerics
+    "PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:age ?a "
+    "BIND(FLOOR(?a / 10) AS ?x) }",
+    "PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:age ?a "
+    "BIND(CEIL(?a / 10) + ROUND(?a / 10) + ABS(0 - ?a) AS ?x) }",
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a FILTER(ISNUMERIC(?a)) }",
+    "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(ISNUMERIC(?n)) }",
+    # conditionals
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:age ?a '
+    'BIND(IF(?a >= 30, "elder", "younger") AS ?x) }',
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:age ?a '
+    'OPTIONAL { ?s t:lang ?l } BIND(COALESCE(?l, "none") AS ?x) }',
+    # term tests + constructors
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:name ?n FILTER(SAMETERM(?n, "Person 2")) }',
+    'PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:lang ?l '
+    'FILTER(LANGMATCHES(LANG(?l), "DE")) }',
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:name ?n '
+    'BIND(IRI(CONCAT("urn:h:", MD5(?n))) AS ?x) }',
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:name ?n '
+    'BIND(STRLANG(SHA1(?n), "en") AS ?x) }',
+    'PREFIX t: <urn:t:> SELECT ?s ?x WHERE { ?s t:name ?n '
+    'BIND(STRDT(SHA256(?n), <urn:dt:hex>) AS ?x) }',
+    # GROUP_CONCAT / SAMPLE
+    'PREFIX t: <urn:t:> SELECT (GROUP_CONCAT(?n ; SEPARATOR="|") AS ?all) '
+    "(SAMPLE(?n) AS ?one) WHERE { ?s t:name ?n }",
+    'PREFIX t: <urn:t:> SELECT ?o (GROUP_CONCAT(DISTINCT ?n) AS ?who) WHERE '
+    "{ ?s t:knows ?o . ?s t:name ?n } GROUP BY ?o ORDER BY ?o",
+]
+
+
+SUBQUERY_QUERIES = [
+    # per-node max incoming age via aggregate subquery, joined back
+    """PREFIX t: <urn:t:>
+       SELECT ?s ?a WHERE {
+         ?s t:age ?a .
+         { SELECT (MAX(?x) AS ?a) WHERE { ?p t:age ?x } }
+       }""",
+    # DISTINCT + ORDER + LIMIT inside the subquery
+    """PREFIX t: <urn:t:>
+       SELECT ?s ?o WHERE {
+         ?s t:knows ?o .
+         { SELECT DISTINCT ?o WHERE { ?x t:knows ?o } ORDER BY ?o LIMIT 3 }
+       } ORDER BY ?o ?s""",
+    # subquery first, outer patterns join onto its projection
+    """PREFIX t: <urn:t:>
+       SELECT ?s ?n WHERE {
+         { SELECT ?s WHERE { ?s t:age ?a FILTER(?a > 26) } }
+         ?s t:name ?n .
+       } ORDER BY ?s""",
+    # GROUP BY subquery joined on the grouping variable
+    """PREFIX t: <urn:t:>
+       SELECT ?o ?n ?cnt WHERE {
+         ?o t:name ?n .
+         { SELECT ?o (COUNT(?s) AS ?cnt) WHERE { ?s t:knows ?o } GROUP BY ?o }
+       } ORDER BY ?o""",
 ]
 
 
@@ -125,6 +192,33 @@ class TestAgreement:
     def test_backends_agree(self, spark, q):
         df_rows, local_rows = both(spark, small_graph(), q)
         assert df_rows == local_rows
+
+    @pytest.mark.parametrize("q", SUBQUERY_QUERIES)
+    def test_subqueries_agree(self, spark, q):
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows
+        assert df_rows, q  # every subquery fixture has nonempty results
+
+    def test_subquery_values(self, spark):
+        """The aggregate-subquery join keeps only the max-age person."""
+        q = ("PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:age ?a . "
+             "{ SELECT (MAX(?x) AS ?a) WHERE { ?p t:age ?x FILTER(isIRI(?p)) } } }")
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows == [(iri("p7"),)]
+
+    def test_subquery_requires_projection(self):
+        with pytest.raises(SparqlError, match="projection"):
+            parse_sparql(
+                "SELECT ?s WHERE { { SELECT * WHERE { ?s ?p ?o } } }"
+            )
+
+    def test_group_concat_separator_and_distinct(self, spark):
+        q = ('PREFIX t: <urn:t:> SELECT (GROUP_CONCAT(DISTINCT ?l ; '
+             'SEPARATOR="+") AS ?langs) WHERE { ?s t:lang ?l }')
+        # concatenation is over LEXICAL forms; 4 duplicate @de literals
+        # collapse under DISTINCT to a single "hallo"
+        df_rows, local_rows = both(spark, small_graph(), q)
+        assert df_rows == local_rows == [("hallo",)]
 
     def test_agg_values(self, spark):
         q = ("PREFIX t: <urn:t:> SELECT (COUNT(*) AS ?n) (SUM(?a) AS ?tot) "
