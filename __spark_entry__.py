@@ -1417,6 +1417,24 @@ def q_sparql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end batch curation funnel under the oracle gate, in
+    exact-dedup-only mode (near_dup_threshold=None) so every stage is
+    SQL-expressible: unicode hygiene -> language ID -> Gopher quality gate
+    -> exact dedup (min-id canonical per content hash). Exact duplicates
+    are injected (same text, doc_id+100000) so the dedup stage
+    discriminates; the corpus carries no mojibake, so the repair pass is a
+    verified no-op (n_mojibake_repaired=0 pinned in tests)."""
+    from nabu_spark.curate import curate_corpus
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    out, _report = curate_corpus(
+        docs.unionByName(dup), near_dup_threshold=None
+    )
+    return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
+
+
 def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path transitive closure (p+) compiled to the pointer-
     doubling join fixpoint: ancestor counts along a segmented prev-chain
@@ -1594,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negation": q_sparql_negation,
         "sparql_subquery": q_sparql_subquery,
         "sparql_funcs": q_sparql_funcs,
+        "curate_funnel": q_curate_funnel,
         "nquads_parse": q_nquads_parse,
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
@@ -2798,6 +2817,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source <> 'src5' AND lang <> 'de'
             ORDER BY doc
+        """,
+        "curate_funnel": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) AS t
+              FROM base
+            ), toks AS (
+              SELECT doc_id, t,
+                     list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                                 x -> x <> '') AS tk
+              FROM c
+            ), feats AS (
+              SELECT doc_id, t,
+                     len(tk) AS n_tokens,
+                     CASE WHEN len(tk) > 0
+                          THEN (SELECT sum(len(x)) FROM unnest(tk) AS u(x))
+                               * 1.0 / len(tk)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(tk) > 0
+                          THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                               * 1.0 / len(tk)
+                          ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN length(t) > 0
+                          THEN (length(t) - length(regexp_replace(t,
+                               '[#\\.\\{\\}\\[\\]<>\\|\\\\]', '', 'g')))
+                               * 1.0 / length(t)
+                          ELSE 0.0 END AS symbol_ratio,
+                     len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','with','for','was'))) AS s_en,
+                     len(list_filter(tk, x -> x IN ('el','la','de','que','los','las','una','por','con','es'))) AS s_es,
+                     len(list_filter(tk, x -> x IN ('le','la','les','des','est','dans','que','une','pour','qui'))) AS s_fr,
+                     len(list_filter(tk, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auf'))) AS s_de
+              FROM toks
+            ), gate AS (
+              SELECT doc_id, t,
+                     CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                          WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                          ELSE 'de' END AS lang_pred
+              FROM feats
+              WHERE n_tokens >= 50 AND n_tokens <= 100000
+                AND mean_wl >= 3 AND mean_wl <= 10
+                AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id FROM gate GROUP BY t
+            )
+            SELECT g.doc_id, g.t AS text, g.lang_pred
+            FROM gate g JOIN canon USING (doc_id)
+            ORDER BY doc_id
         """,
         "sparql_subquery": """
             SELECT '<urn:src:' || d.source || '>' AS src,

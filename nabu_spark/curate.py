@@ -73,7 +73,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang: str | None = None,
-    near_dup_threshold: float = 0.7,
+    near_dup_threshold: float | None = 0.7,
     cap_per_host: int | None = None,
     host_col: str = "url",
     c4: bool = False,
@@ -82,7 +82,9 @@ def curate_corpus(
     Returns (curated DataFrame, report dict with per-stage counts).
     ``c4=True`` inserts the C4 line cleaner after hygiene (text becomes the
     line-filtered form) and folds the C4 page verdict into the quality
-    gate — still inline codegen, no extra pass."""
+    gate — still inline codegen, no extra pass.
+    ``near_dup_threshold=None`` skips the MinHash near-dup stage entirely
+    (exact-dedup-only mode — the fully oracle-checkable funnel)."""
     from .operators.dedup import dedup_survivors, exact_dedup, minhash_dedup
     from .operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
 
@@ -160,11 +162,16 @@ def curate_corpus(
     n_exact_unique = uniq.count()
 
     # stage 7: near-dup dedup with dropped-bucket accounting
-    obs = Observation("curate_lsh_dropped")
-    pairs = minhash_dedup(
-        uniq, id_col, text_col, threshold=near_dup_threshold, observation=obs
-    )
-    survivors = dedup_survivors(uniq, pairs, id_col)
+    if near_dup_threshold is None:
+        obs = None
+        survivors = uniq
+    else:
+        obs = Observation("curate_lsh_dropped")
+        pairs = minhash_dedup(
+            uniq, id_col, text_col, threshold=near_dup_threshold,
+            observation=obs,
+        )
+        survivors = dedup_survivors(uniq, pairs, id_col)
 
     # near-dup removal is well-defined before any cap shrinks the set
     pre_cap = survivors
@@ -196,7 +203,7 @@ def curate_corpus(
     annotated.unpersist()
     uniq.unpersist()
     try:
-        dropped = dict(obs.get)
+        dropped = dict(obs.get) if obs is not None else {}
     except Exception:
         # AQE empty-result edge (see dedup._observe_dropped) or no action
         dropped = {"dropped_buckets": None, "dropped_members": None}
