@@ -1435,6 +1435,45 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
 
 
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update applied as pure DataFrame set algebra
+    (nabu_spark/graphstore.py): a three-op script — DELETE/INSERT WHERE
+    rewrite of the English lang tags, an INSERT WHERE that lifts src1
+    membership out of a named graph, then CLEAR of that graph — over a
+    quad store derived from the documents table. The oracle replays the
+    final state as plain SQL set operations."""
+    from nabu_spark.graphstore import apply_update
+
+    docs = _load(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">"))
+    lang_q = docs.select(
+        subj.alias("subj"),
+        F.lit("<urn:lang>").alias("pred"),
+        F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("obj"),
+        F.lit(None).cast("string").alias("prov"),
+    )
+    src_q = docs.select(
+        subj.alias("subj"),
+        F.lit("<urn:src>").alias("pred"),
+        F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("obj"),
+        F.lit("<urn:meta>").alias("prov"),
+    )
+    out = apply_update(
+        lang_q.unionByName(src_q),
+        """
+        DELETE { ?d <urn:lang> ?l } INSERT { ?d <urn:tag> ?l }
+        WHERE { ?d <urn:lang> ?l . FILTER(?l = "en") } ;
+        INSERT { ?d <urn:flag> "src1" }
+        WHERE { GRAPH <urn:meta> { ?d <urn:src> "src1" } } ;
+        CLEAR GRAPH <urn:meta>
+        """,
+    )
+    return out.select(
+        "subj", "pred", "obj",
+        F.coalesce(F.col("prov"), F.lit("")).alias("prov"),
+    ).orderBy("subj", "pred", "obj")
+
+
 def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path transitive closure (p+) compiled to the pointer-
     doubling join fixpoint: ancestor counts along a segmented prev-chain
@@ -1612,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negation": q_sparql_negation,
         "sparql_subquery": q_sparql_subquery,
         "sparql_funcs": q_sparql_funcs,
+        "sparql_update": q_sparql_update,
         "curate_funnel": q_curate_funnel,
         "nquads_parse": q_nquads_parse,
         "c4_filters": q_c4_filters,
@@ -2817,6 +2857,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source <> 'src5' AND lang <> 'de'
             ORDER BY doc
+        """,
+        "sparql_update": """
+            WITH docs AS (
+              SELECT '<urn:doc:' || doc_id || '>' AS d, lang, source
+              FROM documents
+            ), state AS (
+              -- lang quads survive the rewrite unless lang = 'en'
+              SELECT d AS subj, '<urn:lang>' AS pred,
+                     '"' || lang || '"' AS obj FROM docs WHERE lang <> 'en'
+              UNION ALL
+              -- rewritten tag quads for the English docs
+              SELECT d, '<urn:tag>', '"' || lang || '"' FROM docs
+              WHERE lang = 'en'
+              UNION ALL
+              -- src1 membership lifted into the default graph; the
+              -- <urn:meta> graph itself was cleared
+              SELECT d, '<urn:flag>', '"src1"' FROM docs
+              WHERE source = 'src1'
+            )
+            SELECT DISTINCT subj, pred, obj, '' AS prov FROM state
+            ORDER BY subj, pred, obj
         """,
         "curate_funnel": """
             WITH base AS (

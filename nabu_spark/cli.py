@@ -6,6 +6,7 @@
     pull     release dir -> local dir with bytesum skip           [nabu pull]
     link     quads + known-iris dict -> owl:sameAs quads          [north-star]
     query    SPARQL SELECT/CONSTRUCT over a quads table           [north-star]
+    store    SPARQL-Update-able snapshot graph store              [north-star]
 
 Run via ``spark-submit --py-files dist/nabu_spark.zip jobs/run.py <cmd> ...``
 (see scripts/build_dist.sh) or plain ``python -m nabu_spark.cli <cmd> ...``.
@@ -150,6 +151,22 @@ def build_parser() -> argparse.ArgumentParser:
     qy.add_argument("--out", help="write results as parquet (default: print)")
     qy.add_argument("--limit", type=int, default=50,
                     help="max rows to print when --out is not given")
+
+    up = sub.add_parser(
+        "store",
+        help="SPARQL-updatable snapshot graph store: init / update / "
+             "query / compact / history / rollback",
+    )
+    up.add_argument("action", choices=["init", "update", "query", "compact",
+                                       "history", "rollback"])
+    up.add_argument("--store", required=True, help="graph store root dir")
+    up.add_argument("--quads", help="init: parquet with (subj,pred,obj,prov)")
+    usrc = up.add_mutually_exclusive_group()
+    usrc.add_argument("--sparql", help="inline update/query text")
+    usrc.add_argument("--sparql-file", help="path to a .ru/.rq file")
+    up.add_argument("--to-version", type=int, help="rollback target")
+    up.add_argument("--out", help="query: write results as parquet")
+    up.add_argument("--limit", type=int, default=50)
     return p
 
 
@@ -449,6 +466,62 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print("\t".join("" if r[c] is None else str(r[c]) for c in out.columns))
             print(json.dumps({"cmd": "query", "rows_printed": len(rows), "cols": out.columns}))
+        return 0
+
+    if args.cmd == "store":
+        from .graphstore import GraphStore
+
+        gs = GraphStore(spark, args.store)
+        text = args.sparql
+        if text is None and args.sparql_file:
+            with open(args.sparql_file) as fh:
+                text = fh.read()
+        if args.action == "init":
+            if not args.quads:
+                print(json.dumps({"cmd": "store", "error": "--quads required"}))
+                return 2
+            v = gs.init(spark.read.parquet(args.quads))
+            print(json.dumps({"cmd": "store", "action": "init", "version": v}))
+        elif args.action == "update":
+            if text is None:
+                print(json.dumps({"cmd": "store",
+                                  "error": "--sparql[-file] required"}))
+                return 2
+            v = gs.update(text)
+            print(json.dumps({"cmd": "store", "action": "update",
+                              "version": v}))
+        elif args.action == "query":
+            if text is None:
+                print(json.dumps({"cmd": "store",
+                                  "error": "--sparql[-file] required"}))
+                return 2
+            out = gs.query(text)
+            if args.out:
+                out.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"cmd": "store", "action": "query",
+                                  "rows": spark.read.parquet(args.out).count(),
+                                  "cols": out.columns}))
+            else:
+                for r in out.limit(args.limit).collect():
+                    print("\t".join("" if r[c] is None else str(r[c])
+                                    for c in out.columns))
+                print(json.dumps({"cmd": "store", "action": "query",
+                                  "cols": out.columns}))
+        elif args.action == "compact":
+            v = gs.compact()
+            print(json.dumps({"cmd": "store", "action": "compact",
+                              "version": v}))
+        elif args.action == "history":
+            print(json.dumps({"cmd": "store", "action": "history",
+                              "history": gs.history()}, default=str))
+        else:
+            if args.to_version is None:
+                print(json.dumps({"cmd": "store",
+                                  "error": "--to-version required"}))
+                return 2
+            v = gs.rollback(args.to_version)
+            print(json.dumps({"cmd": "store", "action": "rollback",
+                              "version": v}))
         return 0
 
     if args.cmd == "snap":

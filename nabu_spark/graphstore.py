@@ -1,0 +1,738 @@
+"""SPARQL 1.1 Update over quad DataFrames + a snapshot-versioned graph store.
+
+The reference's end state is an external triplestore: the synchronizer
+builds release graphs and the downstream endpoint applies them
+(/root/reference/internal/synchronizer — studied, not copied). This module
+keeps that last hop native too: the materialized quad table IS the
+triplestore. Updates are expressed in SPARQL 1.1 Update, compiled to the
+same Catalyst plans the SELECT engine uses, and committed as atomic
+snapshots with time travel and rollback.
+
+Supported Update grammar (SPARQL 1.1 Update subset):
+
+    PREFIX pfx: <iri>
+    INSERT DATA { quads }            DELETE DATA { quads }
+    DELETE WHERE { quad pattern }
+    [WITH <g>] DELETE { tmpl } INSERT { tmpl } WHERE { pattern }
+    [WITH <g>] DELETE { tmpl } WHERE { pattern }
+    [WITH <g>] INSERT { tmpl } WHERE { pattern }
+    LOAD [SILENT] <path-or-file-iri> [INTO GRAPH <g>]
+    CLEAR  [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)
+    DROP   [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)
+    CREATE [SILENT] GRAPH <g>
+    (COPY | MOVE | ADD) [SILENT] (DEFAULT | [GRAPH] <g>) TO (DEFAULT | [GRAPH] <g>)
+    op ; op ; ...                    (sequences apply left to right)
+
+`quads` blocks contain triples and `GRAPH <g> { triples }` sections; WHERE
+groups support the full SELECT-engine pattern algebra (OPTIONAL, UNION,
+FILTER, paths, ...). USING is not supported — scope the WHERE with WITH or
+GRAPH instead.
+
+Documented semantics choices (each pinned by tests):
+
+- The store is a SET of quads (subj, pred, obj, prov); prov NULL is the
+  default graph. A bare triple pattern in WHERE matches quads in ALL
+  graphs (the "union default graph" convention most triplestores ship);
+  GRAPH <g>/?g scopes to named graphs.
+- DROP == CLEAR and CREATE is a no-op: the store tracks no empty graphs
+  (a graph exists iff it has quads), which the Update spec explicitly
+  allows for such stores.
+- Blank nodes in INSERT templates are fresh per solution, realized as a
+  deterministic hash of (label, template-variable bindings) so the result
+  is cluster-size independent and identical across both backends. Blank
+  nodes are illegal in DELETE templates and DELETE DATA (per spec).
+- Template quads whose variables are unbound in a solution, or that
+  instantiate a literal into subject/predicate or graph position, are
+  skipped (spec: "such quads are not included").
+
+Scale shape: one update compiles to (a) the WHERE plan — N filtered scans
+of the quad table joined on shared variables, same as the SELECT engine —
+(b) a left-anti join of the store against the (usually small, AQE can
+broadcast it) instantiated delete set, and (c) a union with the
+deduplicated insert set. Nothing is collected; ``GraphStore`` commits only
+the DELTA rows (Iceberg-v2-style equality-delete markers, merged at read
+with one max_by aggregation) so a 100-TB store is never rewritten by a
+small update — ``compact()`` folds the log back to a pure add set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sparql import (
+    Group,
+    SparqlError,
+    _DfCompiler,
+    _LocalEval,
+    _Parser,
+)
+
+QUAD_COLS = ("subj", "pred", "obj", "prov")
+
+
+# ---------------------------------------------------------------------------
+# parsed operations
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Modify:
+    """DELETE/INSERT [DATA] — templates are lists of (graph_atom|None,
+    s, p, o); ``where`` is None for the ground DATA forms."""
+
+    delete: list | None
+    insert: list | None
+    where: Group | None
+    with_graph: str | None = None
+
+
+@dataclass
+class GraphMgmt:
+    op: str                  # clear | drop | create | copy | move | add
+    src: object = None       # 'DEFAULT' | 'NAMED' | 'ALL' | '<iri>'
+    dst: object = None
+    silent: bool = False
+
+
+@dataclass
+class Load:
+    path: str
+    graph: str | None
+    silent: bool
+
+
+class _UpdateParser(_Parser):
+    """Reuses the SELECT engine's tokenizer, prefix handling, term atoms,
+    triples blocks and group-graph-pattern parser."""
+
+    def _term_atom(self):
+        kind, v = self._peek()
+        if kind == "PNAME" and v.startswith("_:"):
+            self.i += 1
+            return ("term", v)  # blank node label
+        return super()._term_atom()
+
+    def _iri(self) -> str:
+        atom = self._term_atom()
+        if atom[0] != "term" or not atom[1].startswith("<"):
+            raise SparqlError(f"expected an IRI, got {atom!r}")
+        return atom[1]
+
+    def _quad_triples(self, gatom, quads: list) -> None:
+        """One '{ triples }' body appended to ``quads`` under ``gatom``."""
+        self._expect("{")
+        g = Group()
+        while self._peek()[1] != "}":
+            self._triples_block(g)
+            while self._peek()[1] == ".":
+                self.i += 1
+        self.i += 1
+        for it in g.items:
+            if it[0] != "triple" or it[2][0] == "path":
+                raise SparqlError("quad templates allow only plain triples "
+                                  "(no property paths)")
+            quads.append((gatom, it[1], it[2], it[3]))
+
+    def _quad_block(self) -> list:
+        """'{' (triples | GRAPH g '{' triples '}')* '}' ->
+        [(graph_atom|None, s, p, o), ...]"""
+        self._expect("{")
+        quads: list = []
+        while True:
+            kind, v = self._peek()
+            if v == "}":
+                self.i += 1
+                return quads
+            if kind == "NAME" and v.upper() == "GRAPH":
+                self.i += 1
+                gatom = self._term_atom()
+                if gatom[0] == "term" and gatom[1].startswith('"'):
+                    raise SparqlError("graph label must be an IRI or variable")
+                self._quad_triples(gatom, quads)
+            else:
+                g = Group()
+                self._triples_block(g)
+                for it in g.items:
+                    if it[0] != "triple" or it[2][0] == "path":
+                        raise SparqlError("quad templates allow only plain "
+                                          "triples (no property paths)")
+                    quads.append((None, it[1], it[2], it[3]))
+            while self._peek()[1] == ".":
+                self.i += 1
+
+    def _graph_ref(self):
+        if self._kw("DEFAULT"):
+            return "DEFAULT"
+        if self._kw("NAMED"):
+            return "NAMED"
+        if self._kw("ALL"):
+            return "ALL"
+        self._kw("GRAPH")
+        return self._iri()
+
+    def _graph_or_default(self):
+        if self._kw("DEFAULT"):
+            return "DEFAULT"
+        self._kw("GRAPH")
+        return self._iri()
+
+    def parse_update(self) -> list:
+        ops: list = []
+        while True:
+            while self._kw("PREFIX"):
+                kind, pname = self._next()
+                if kind != "PNAME" or not pname.endswith(":"):
+                    raise SparqlError(f"bad PREFIX name {pname!r}")
+                kind, iri = self._next()
+                if kind != "IRI":
+                    raise SparqlError(f"bad PREFIX iri {iri!r}")
+                self.prefixes[pname[:-1]] = iri[1:-1]
+            if self._peek()[0] == "EOF":
+                return ops
+            ops.append(self._operation())
+            if self._peek()[1] == ";":
+                self.i += 1
+            elif self._peek()[0] != "EOF":
+                raise SparqlError(
+                    f"expected ';' between operations, got {self._peek()[1]!r}"
+                )
+
+    def _operation(self):
+        if self._kw("LOAD"):
+            silent = self._kw("SILENT")
+            iri = self._iri()
+            graph = None
+            if self._kw("INTO"):
+                self._expect("GRAPH")
+                graph = self._iri()
+            return Load(iri[1:-1], graph, silent)
+        for word in ("CLEAR", "DROP"):
+            if self._kw(word):
+                silent = self._kw("SILENT")
+                return GraphMgmt(word.lower(), self._graph_ref(),
+                                 silent=silent)
+        if self._kw("CREATE"):
+            silent = self._kw("SILENT")
+            self._expect("GRAPH")
+            return GraphMgmt("create", self._iri(), silent=silent)
+        for word in ("COPY", "MOVE", "ADD"):
+            if self._kw(word):
+                silent = self._kw("SILENT")
+                src = self._graph_or_default()
+                self._expect("TO")
+                return GraphMgmt(word.lower(), src, self._graph_or_default(),
+                                 silent)
+        if self._kw("USING"):
+            raise SparqlError("USING is not supported — scope the WHERE "
+                              "with WITH <g> or GRAPH instead")
+        with_graph = None
+        if self._kw("WITH"):
+            with_graph = self._iri()
+        if self._kw("INSERT"):
+            if with_graph is None and self._kw("DATA"):
+                quads = self._quad_block()
+                self._no_vars(quads, "INSERT DATA")
+                return Modify(None, quads, None)
+            insert = self._quad_block()
+            self._expect("WHERE")
+            return Modify(None, insert, self._group(), with_graph)
+        if self._kw("DELETE"):
+            if with_graph is None and self._kw("DATA"):
+                quads = self._quad_block()
+                self._no_vars(quads, "DELETE DATA")
+                self._no_bnodes(quads, "DELETE DATA")
+                return Modify(quads, None, None)
+            if self._kw("WHERE"):
+                quads = self._quad_block()
+                self._no_bnodes(quads, "DELETE WHERE")
+                return Modify(quads, None, _pattern_group(quads), with_graph)
+            delete = self._quad_block()
+            self._no_bnodes(delete, "DELETE templates")
+            insert = None
+            if self._kw("INSERT"):
+                insert = self._quad_block()
+            self._expect("WHERE")
+            return Modify(delete, insert, self._group(), with_graph)
+        raise SparqlError(f"unknown update operation at {self._peek()[1]!r}")
+
+    @staticmethod
+    def _no_vars(quads, where):
+        for q in quads:
+            for atom in q:
+                if atom is not None and atom[0] == "var":
+                    raise SparqlError(f"variables are not allowed in {where}")
+
+    @staticmethod
+    def _no_bnodes(quads, where):
+        for q in quads:
+            for atom in q:
+                if (atom is not None and atom[0] == "term"
+                        and atom[1].startswith("_:")):
+                    raise SparqlError(
+                        f"blank nodes are not allowed in {where}")
+
+
+def _pattern_group(quads: list) -> Group:
+    """DELETE WHERE's quad pattern doubles as its WHERE group."""
+    g = Group()
+    for ga, s, p, o in quads:
+        if ga is None:
+            g.items.append(("triple", s, p, o))
+        else:
+            g.items.append(("graph", ga, Group([("triple", s, p, o)])))
+    return g
+
+
+def parse_update(text: str) -> list:
+    p = _UpdateParser(text)
+    ops = p.parse_update()
+    if not ops:
+        raise SparqlError("empty update")
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# template instantiation + set algebra (DataFrame backend)
+# ---------------------------------------------------------------------------
+
+
+def _template_vars(quads: list) -> list[str]:
+    """Variables a template mentions, sorted — the blank-node freshness
+    hash domain (identical on both backends)."""
+    vs: set[str] = set()
+    for q in quads:
+        for atom in q:
+            if atom is not None and atom[0] == "var":
+                vs.add(atom[1])
+    return sorted(vs)
+
+
+def _bnode_hash_col(label: str, hash_vars: list[str], cols: set[str]):
+    parts = [F.lit(label)]
+    for v in hash_vars:
+        c = F.col(v) if v in cols else F.lit(None).cast("string")
+        parts.append(F.coalesce(c, F.lit("\x00")))
+    return F.concat(
+        F.lit("_:u"),
+        F.substring(F.sha2(F.concat_ws("\x1f", *parts), 256), 1, 16),
+    )
+
+
+def _instantiate(sol: DataFrame, quads: list, with_graph: str | None,
+                 *, fresh_bnodes: bool) -> DataFrame | None:
+    """Instantiate template quads against a solution relation. Returns a
+    distinct (subj, pred, obj, prov) DataFrame or None if nothing can
+    instantiate. Unbound variables and ill-typed positions skip the quad,
+    not the operation."""
+    hash_vars = _template_vars(quads)
+    cols = set(sol.columns)
+    parts: list[DataFrame] = []
+    for ga, s, p, o in quads:
+        gatom = ga if ga is not None else (
+            ("term", with_graph) if with_graph else None)
+        exprs, needed, skip = [], [], False
+        for atom, name in ((s, "subj"), (p, "pred"), (o, "obj"),
+                           (gatom, "prov")):
+            if atom is None:
+                exprs.append(F.lit(None).cast("string").alias(name))
+                continue
+            if atom[0] == "term":
+                t = atom[1]
+                if t.startswith("_:"):
+                    if not fresh_bnodes:
+                        raise SparqlError(
+                            "blank nodes are not allowed in DELETE templates")
+                    exprs.append(
+                        _bnode_hash_col(t, hash_vars, cols).alias(name))
+                else:
+                    exprs.append(F.lit(t).alias(name))
+            else:
+                if atom[1] not in cols:
+                    skip = True  # statically unbound: template quad is dead
+                    break
+                exprs.append(F.col(atom[1]).alias(name))
+                needed.append(atom[1])
+        if skip:
+            continue
+        part = sol
+        for v in needed:
+            part = part.filter(F.col(v).isNotNull())
+        parts.append(part.select(*exprs))
+    if not parts:
+        return None
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    # spec: quads instantiating a literal/blank into an illegal position
+    # are skipped
+    out = out.filter(
+        F.col("subj").rlike("^[<_]")
+        & F.col("pred").startswith("<")
+        & (F.col("prov").isNull() | F.col("prov").rlike("^[<_]"))
+    )
+    return out.distinct()
+
+
+def _quad_minus(a: DataFrame, b: DataFrame | None) -> DataFrame:
+    """a \\ b on the four quad columns; prov compares null-safe so the
+    default graph participates."""
+    if b is None:
+        return a
+    bb = b.select(*[F.col(c).alias("__r_" + c) for c in QUAD_COLS])
+    cond = reduce(
+        lambda x, y: x & y,
+        [a[c].eqNullSafe(bb["__r_" + c]) for c in QUAD_COLS],
+    )
+    return a.join(bb, cond, "left_anti")
+
+
+def _ground_df(spark: SparkSession, quads: list, op_index: int,
+               *, fresh_bnodes: bool) -> DataFrame:
+    rows = []
+    for ga, s, p, o in quads:
+        def term(atom):
+            if atom is None:
+                return None
+            t = atom[1]
+            if t.startswith("_:"):
+                if not fresh_bnodes:
+                    raise SparqlError("blank nodes are not allowed here")
+                # fresh per operation, deterministic across runs
+                h = hashlib.sha256(
+                    f"data\x1f{op_index}\x1f{t}".encode()).hexdigest()[:16]
+                return "_:u" + h
+            return t
+        rows.append((term(s), term(p), term(o), term(ga)))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, prov string"
+    ).distinct()
+
+
+def _in_ref(ref):
+    """Membership predicate for a graph ref ('DEFAULT'|'NAMED'|'ALL'|<iri>)."""
+    if ref == "DEFAULT":
+        return F.col("prov").isNull()
+    if ref == "NAMED":
+        return F.col("prov").isNotNull()
+    if ref == "ALL":
+        return F.lit(True)
+    return F.col("prov").eqNullSafe(F.lit(ref))
+
+
+def _ref_lit(ref):
+    return F.lit(None).cast("string") if ref == "DEFAULT" else F.lit(ref)
+
+
+def _apply_one(cur: DataFrame, op, op_index: int,
+               graph_col: str = "prov"):
+    """Apply one parsed operation to the current view. Returns
+    (new_view, delete_df|None, insert_df|None) — the deltas are what a
+    merge-on-read store commits."""
+    spark = cur.sparkSession
+    if isinstance(op, Load):
+        adds = _load_quads(spark, op)
+        if adds is None:
+            return cur, None, None
+        adds = _quad_minus(adds.distinct(), cur)
+        return cur.unionByName(adds), None, adds
+    if isinstance(op, GraphMgmt):
+        if op.op == "create":
+            return cur, None, None  # no empty-graph tracking (documented)
+        if op.op in ("clear", "drop"):
+            dels = cur.filter(_in_ref(op.src))
+            return cur.filter(~_in_ref(op.src)), dels, None
+        if op.src == op.dst:
+            return cur, None, None  # COPY/MOVE/ADD g TO g is a no-op (spec)
+        moved = (cur.filter(_in_ref(op.src))
+                 .withColumn("prov", _ref_lit(op.dst)))
+        if op.op == "add":
+            adds = _quad_minus(moved, cur)
+            return cur.unionByName(adds), None, adds
+        drop_ref = (_in_ref(op.dst) | _in_ref(op.src)) if op.op == "move" \
+            else _in_ref(op.dst)
+        dels = cur.filter(drop_ref)
+        base = cur.filter(~drop_ref)
+        return base.unionByName(moved), dels, moved
+    # Modify
+    if op.where is None:
+        dels = (_ground_df(spark, op.delete, op_index, fresh_bnodes=False)
+                if op.delete else None)
+        adds = (_ground_df(spark, op.insert, op_index, fresh_bnodes=True)
+                if op.insert else None)
+    else:
+        comp = _DfCompiler(cur, graph_col)
+        g = ("term", op.with_graph) if op.with_graph else None
+        sol = comp.group(op.where, g)
+        dels = (_instantiate(sol, op.delete, op.with_graph,
+                             fresh_bnodes=False) if op.delete else None)
+        adds = (_instantiate(sol, op.insert, op.with_graph,
+                             fresh_bnodes=True) if op.insert else None)
+    base = _quad_minus(cur, dels)
+    if adds is not None:
+        adds = _quad_minus(adds, base)
+        base = base.unionByName(adds)
+    return base, dels, adds
+
+
+def _load_quads(spark: SparkSession, op: Load) -> DataFrame | None:
+    from .sources.nquads import read_nquads
+
+    path = op.path
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    try:
+        df = read_nquads(spark, path)
+    except Exception:
+        if op.silent:
+            return None
+        raise
+    good = df.filter(F.col("error_code").isNull()).select(*QUAD_COLS)
+    if op.graph is not None:
+        good = good.withColumn("prov", F.lit(op.graph))
+    return good
+
+
+def apply_update(store: DataFrame, text: str) -> DataFrame:
+    """Apply a SPARQL Update script to a quad DataFrame (subj, pred, obj,
+    prov) and return the new store view. Set semantics; operations apply
+    left to right, each seeing the previous one's result."""
+    cur = store.select(*QUAD_COLS)
+    for i, op in enumerate(parse_update(text)):
+        cur, _, _ = _apply_one(cur, op, i)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# local twin (agreement testing; mirrors sparql_eval_local)
+# ---------------------------------------------------------------------------
+
+
+def _bnode_hash_local(label: str, hash_vars: list[str], row: dict) -> str:
+    parts = [label] + [
+        row.get(v) if row.get(v) is not None else "\x00" for v in hash_vars
+    ]
+    return "_:u" + hashlib.sha256(
+        "\x1f".join(parts).encode()).hexdigest()[:16]
+
+
+def _inst_local(rows: list[dict], quads: list, with_graph: str | None,
+                *, fresh_bnodes: bool) -> set:
+    hash_vars = _template_vars(quads)
+    out: set = set()
+    for ga, s, p, o in quads:
+        gatom = ga if ga is not None else (
+            ("term", with_graph) if with_graph else None)
+        for row in rows:
+            vals = []
+            ok = True
+            for atom in (s, p, o, gatom):
+                if atom is None:
+                    vals.append(None)
+                    continue
+                if atom[0] == "term":
+                    t = atom[1]
+                    if t.startswith("_:"):
+                        if not fresh_bnodes:
+                            raise SparqlError(
+                                "blank nodes are not allowed in DELETE "
+                                "templates")
+                        t = _bnode_hash_local(t, hash_vars, row)
+                    vals.append(t)
+                else:
+                    v = row.get(atom[1])
+                    if v is None:
+                        ok = False
+                        break
+                    vals.append(v)
+            if not ok:
+                continue
+            sv, pv, ov, gv = vals
+            if sv[0] not in "<_" or not pv.startswith("<"):
+                continue
+            if gv is not None and gv[0] not in "<_":
+                continue
+            out.add((sv, pv, ov, gv))
+    return out
+
+
+def apply_update_local(quads, text: str) -> set:
+    """In-memory twin of :func:`apply_update` over an iterable of
+    (subj, pred, obj, prov) tuples (prov None = default graph). Returns
+    the new store as a set of 4-tuples."""
+    cur = {tuple(q) for q in quads}
+    for i, op in enumerate(parse_update(text)):
+        cur = _apply_one_local(cur, op, i)
+    return cur
+
+
+def _eval_where_local(cur: set, where: Group, with_graph) -> list[dict]:
+    triples = [
+        (s, p, o) if g is None else (s, p, o, g) for s, p, o, g in cur
+    ]
+    g = ("term", with_graph) if with_graph else None
+    return _LocalEval(triples).group(where, [{}], g)
+
+
+def _apply_one_local(cur: set, op, op_index: int) -> set:
+    if isinstance(op, Load):
+        raise SparqlError("LOAD is not supported by the local twin")
+    if isinstance(op, GraphMgmt):
+        if op.op == "create":
+            return cur
+
+        def in_ref(q, ref):
+            if ref == "DEFAULT":
+                return q[3] is None
+            if ref == "NAMED":
+                return q[3] is not None
+            if ref == "ALL":
+                return True
+            return q[3] == ref
+
+        if op.op in ("clear", "drop"):
+            return {q for q in cur if not in_ref(q, op.src)}
+        if op.src == op.dst:
+            return cur
+        dst = None if op.dst == "DEFAULT" else op.dst
+        moved = {(s, p, o, dst) for s, p, o, g in cur
+                 if in_ref((s, p, o, g), op.src)}
+        if op.op == "add":
+            return cur | moved
+        keep = {q for q in cur if not in_ref(q, op.dst)
+                and (op.op != "move" or not in_ref(q, op.src))}
+        return keep | moved
+    if op.where is None:
+        rows = [{}]
+    else:
+        rows = _eval_where_local(cur, op.where, op.with_graph)
+    if op.where is None:
+        # ground DATA forms share the DataFrame backend's per-op bnode hash
+        def ground(quads, fresh):
+            out = set()
+            for ga, s, p, o in quads:
+                def term(atom):
+                    if atom is None:
+                        return None
+                    t = atom[1]
+                    if t.startswith("_:"):
+                        h = hashlib.sha256(
+                            f"data\x1f{op_index}\x1f{t}".encode()
+                        ).hexdigest()[:16]
+                        return "_:u" + h
+                    return t
+                out.add((term(s), term(p), term(o), term(ga)))
+            return out
+        dels = ground(op.delete, False) if op.delete else set()
+        adds = ground(op.insert, True) if op.insert else set()
+    else:
+        dels = (_inst_local(rows, op.delete, op.with_graph,
+                            fresh_bnodes=False) if op.delete else set())
+        adds = (_inst_local(rows, op.insert, op.with_graph,
+                            fresh_bnodes=True) if op.insert else set())
+    return (cur - dels) | adds
+
+
+# ---------------------------------------------------------------------------
+# snapshot-versioned store (merge-on-read deltas over SnapshotTable)
+# ---------------------------------------------------------------------------
+
+
+class GraphStore:
+    """A SPARQL-updatable quad store on top of :class:`SnapshotTable`.
+
+    Physical rows are (subj, pred, obj, prov, __op, __seq): 'a' rows assert
+    a quad, 'd' rows are equality-delete markers (Iceberg v2 shape), __seq
+    is a store-global operation sequence so a quad deleted then re-inserted
+    resolves correctly. ``read()`` merges with ONE hash aggregation
+    (max_by(__op, __seq) per quad); ``compact()`` folds the log into a pure
+    add set so steady-state reads pay no delete history. Every ``update``
+    call commits only its delta rows — the base data is never rewritten."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from .snapshots import SnapshotTable
+
+        self.spark = spark
+        self.tbl = SnapshotTable(root)
+
+    # -- write paths --------------------------------------------------------
+    def _next_seq(self) -> int:
+        m = self.tbl.manifest() if self.tbl.exists() else None
+        return int((m or {}).get("metrics", {}).get("max_seq", -1)) + 1
+
+    def _commit_delta(self, delta: DataFrame, seq_hi: int, stage: str,
+                      operation: str = "append",
+                      extra: dict | None = None) -> int:
+        metrics = {"max_seq": seq_hi, **(extra or {})}
+        return self.tbl.commit(delta, operation=operation, stage=stage,
+                               metrics=metrics)
+
+    def init(self, quads: DataFrame, stage: str = "graphstore-init") -> int:
+        """Seed (or reset) the store from a quad DataFrame."""
+        seq = self._next_seq()
+        rows = (quads.select(*QUAD_COLS).distinct()
+                .withColumn("__op", F.lit("a"))
+                .withColumn("__seq", F.lit(seq)))
+        return self._commit_delta(rows, seq, stage, operation="overwrite")
+
+    def update(self, text: str) -> int:
+        """Apply a SPARQL Update script as ONE atomic snapshot commit of
+        its delta rows. Returns the new version."""
+        ops = parse_update(text)
+        cur = self.read()
+        seq0 = self._next_seq()
+        parts: list[DataFrame] = []
+        for i, op in enumerate(ops):
+            cur, dels, adds = _apply_one(cur, op, i)
+            # within one op, deletes order before inserts (spec §3.1.3) so
+            # a quad both deleted and re-inserted resolves to 'a' at merge
+            if dels is not None:
+                parts.append(dels.withColumn("__op", F.lit("d"))
+                             .withColumn("__seq", F.lit(seq0 + 2 * i)))
+            if adds is not None:
+                parts.append(adds.withColumn("__op", F.lit("a"))
+                             .withColumn("__seq", F.lit(seq0 + 2 * i + 1)))
+        if not parts:
+            delta = self.spark.createDataFrame(
+                [], "subj string, pred string, obj string, prov string, "
+                    "__op string, __seq long")
+        else:
+            delta = reduce(lambda a, b: a.unionByName(b), parts)
+        return self._commit_delta(delta, seq0 + 2 * len(ops) - 1,
+                                  "sparql-update")
+
+    def load(self, path: str, graph: str | None = None) -> int:
+        into = f" INTO GRAPH {graph}" if graph else ""
+        return self.update(f"LOAD <file://{path}>{into}")
+
+    def compact(self) -> int:
+        """Fold the delete log: rewrite the merged view as pure add rows."""
+        seq = self._next_seq()
+        rows = (self.read().withColumn("__op", F.lit("a"))
+                .withColumn("__seq", F.lit(seq)))
+        return self._commit_delta(rows, seq, "graphstore-compact",
+                                  operation="overwrite")
+
+    # -- read paths ---------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """The merged quad-set view at ``version`` (default latest)."""
+        raw = self.tbl.read(self.spark, version)
+        merged = (
+            raw.groupBy(*QUAD_COLS)
+            .agg(F.max_by("__op", "__seq").alias("__op"))
+        )
+        return merged.filter(F.col("__op") == "a").select(*QUAD_COLS)
+
+    def query(self, text: str, version: int | None = None) -> DataFrame:
+        from .sparql import sparql_query
+
+        return sparql_query(self.read(version), text, graph_col="prov")
+
+    def history(self) -> list[dict]:
+        return self.tbl.history()
+
+    def rollback(self, version: int) -> int:
+        return self.tbl.rollback(version)

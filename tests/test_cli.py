@@ -210,3 +210,44 @@ def test_cli_query(spark, tmp_path):
     lines = stdout.strip().splitlines()
     assert any("<urn:out:l>" in ln for ln in lines)
     assert json.loads(lines[-1])["cols"] == ["subj", "pred", "obj"]
+
+
+@pytest.mark.slow
+def test_cli_store(spark, tmp_path):
+    quads = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", '"1"', None),
+         ("<urn:b>", "<urn:p>", '"2"', "<urn:g1>")],
+        "subj string, pred string, obj string, prov string",
+    )
+    qpath = str(tmp_path / "quads")
+    quads.write.parquet(qpath)
+    store = str(tmp_path / "gs")
+
+    code, stdout = run_cli(["store", "init", "--store", store,
+                            "--quads", qpath])
+    assert code == 0, stdout
+    assert json.loads(stdout.strip().splitlines()[-1])["version"] == 1
+
+    ru = tmp_path / "u.ru"
+    ru.write_text('DELETE DATA { <urn:a> <urn:p> "1" } ; '
+                  'INSERT DATA { <urn:c> <urn:p> "3" }')
+    code, stdout = run_cli(["store", "update", "--store", store,
+                            "--sparql-file", str(ru)])
+    assert code == 0, stdout
+
+    out = str(tmp_path / "res")
+    code, stdout = run_cli(["store", "query", "--store", store, "--sparql",
+                            "SELECT ?s WHERE { ?s <urn:p> ?o } ORDER BY ?s",
+                            "--out", out])
+    assert code == 0, stdout
+    rows = sorted(r.s for r in spark.read.parquet(out).collect())
+    assert rows == ["<urn:b>", "<urn:c>"]
+
+    # rollback to the seed version restores <urn:a>
+    code, stdout = run_cli(["store", "rollback", "--store", store,
+                            "--to-version", "1"])
+    assert code == 0, stdout
+    code, stdout = run_cli(["store", "query", "--store", store, "--sparql",
+                            "SELECT ?s WHERE { ?s <urn:p> "'"1"'" }"])
+    assert code == 0, stdout
+    assert "<urn:a>" in stdout
