@@ -1474,6 +1474,47 @@ def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj", "pred", "obj")
 
 
+def q_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store -> triplestore graph sync (the reference synchronizer's
+    core loop; graph URNs are serialized storage prefixes) as two null-safe
+    anti-joins: store graphs under the prefix are made to mirror the
+    release — orphans pruned, changed graphs replaced, out-of-scope and
+    default-graph rows untouched. The oracle states the fixpoint directly:
+    out-of-scope store rows UNION the release."""
+    from nabu_spark.graphstore import sync_graphs
+
+    docs = _load(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">"))
+    iow = F.concat(F.lit("<urn:iow:d:"), F.col("doc_id"), F.lit(">"))
+    # store: even docs live under the synced prefix (obj = lang); docs
+    # divisible by 5 also carry an out-of-scope graph row
+    store = docs.filter(F.col("doc_id") % 2 == 0).select(
+        subj.alias("subj"), F.lit("<urn:p>").alias("pred"),
+        F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("obj"),
+        iow.alias("prov"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            subj.alias("subj"), F.lit("<urn:keep>").alias("pred"),
+            F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("obj"),
+            F.concat(F.lit("<urn:other:"), F.col("doc_id"),
+                     F.lit(">")).alias("prov"),
+        )
+    )
+    # release: docs divisible by 3 — unchanged content for even ones,
+    # new content (source) for odd ones
+    rel_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    release = rel_docs.select(
+        subj.alias("subj"), F.lit("<urn:p>").alias("pred"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('"'), F.col("lang"), F.lit('"')))
+        .otherwise(F.concat(F.lit('"'), F.col("source"), F.lit('"')))
+        .alias("obj"),
+        iow.alias("prov"),
+    )
+    new, _dels, _adds = sync_graphs(store, release, "urn:iow:")
+    return new.orderBy("prov", "subj", "pred", "obj")
+
+
 def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path transitive closure (p+) compiled to the pointer-
     doubling join fixpoint: ancestor counts along a segmented prev-chain
@@ -1652,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": q_sparql_subquery,
         "sparql_funcs": q_sparql_funcs,
         "sparql_update": q_sparql_update,
+        "graph_sync": q_graph_sync,
         "curate_funnel": q_curate_funnel,
         "nquads_parse": q_nquads_parse,
         "c4_filters": q_c4_filters,
@@ -2878,6 +2920,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT subj, pred, obj, '' AS prov FROM state
             ORDER BY subj, pred, obj
+        """,
+        "graph_sync": """
+            WITH docs AS (
+              SELECT doc_id, lang, source,
+                     '<urn:doc:' || doc_id || '>' AS d,
+                     '<urn:iow:d:' || doc_id || '>' AS g
+              FROM documents
+            )
+            -- fixpoint: out-of-scope store rows UNION the release
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:keep>' AS pred,
+                   '"' || source || '"' AS obj,
+                   '<urn:other:' || doc_id || '>' AS prov
+            FROM docs WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT d, '<urn:p>',
+                   CASE WHEN doc_id % 2 = 0 THEN '"' || lang || '"'
+                        ELSE '"' || source || '"' END,
+                   g
+            FROM docs WHERE doc_id % 3 = 0
+            ORDER BY prov, subj, pred, obj
         """,
         "curate_funnel": """
             WITH base AS (

@@ -158,9 +158,11 @@ def build_parser() -> argparse.ArgumentParser:
              "query / compact / history / rollback",
     )
     up.add_argument("action", choices=["init", "update", "query", "compact",
-                                       "history", "rollback"])
+                                       "history", "rollback", "sync"])
     up.add_argument("--store", required=True, help="graph store root dir")
-    up.add_argument("--quads", help="init: parquet with (subj,pred,obj,prov)")
+    up.add_argument("--quads",
+                    help="init/sync: parquet with (subj,pred,obj,prov)")
+    up.add_argument("--prefix", help="sync: graph-URN prefix to mirror")
     usrc = up.add_mutually_exclusive_group()
     usrc.add_argument("--sparql", help="inline update/query text")
     usrc.add_argument("--sparql-file", help="path to a .ru/.rq file")
@@ -507,6 +509,14 @@ def main(argv: list[str] | None = None) -> int:
                                     for c in out.columns))
                 print(json.dumps({"cmd": "store", "action": "query",
                                   "cols": out.columns}))
+        elif args.action == "sync":
+            if not args.quads or not args.prefix:
+                print(json.dumps({"cmd": "store",
+                                  "error": "--quads and --prefix required"}))
+                return 2
+            v = gs.sync(spark.read.parquet(args.quads), args.prefix)
+            print(json.dumps({"cmd": "store", "action": "sync",
+                              "version": v}))
         elif args.action == "compact":
             v = gs.compact()
             print(json.dumps({"cmd": "store", "action": "compact",

@@ -506,6 +506,30 @@ def apply_update(store: DataFrame, text: str) -> DataFrame:
     return cur
 
 
+def sync_graphs(store: DataFrame, release: DataFrame,
+                prefix: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Make the store's named graphs under ``prefix`` exactly mirror
+    ``release`` — the reference's object-store → triplestore sync (graph
+    URNs are serialized storage prefixes: /root/reference/internal/common/
+    urn.go:16-22 — studied, not copied): orphan graphs are pruned, changed
+    graphs replaced, identical graphs untouched, graphs outside the prefix
+    never considered.
+
+    Returns (new_view, deletes, inserts). Both deltas are ONE null-safe
+    anti-join each — a no-op sync yields empty deltas, so incremental
+    re-syncs of a 100-TB store cost two joins scoped to the prefix
+    partition, not a rewrite."""
+    p = prefix if prefix.startswith("<") else "<" + prefix
+    in_scope = F.col("prov").isNotNull() & F.col("prov").startswith(p)
+    scoped = store.filter(in_scope).select(*QUAD_COLS)
+    rel = release.select(*QUAD_COLS).filter(in_scope).distinct()
+    dels = _quad_minus(scoped, rel)
+    adds = _quad_minus(rel, scoped)
+    # the fixpoint is definitional: outside-prefix rows + the release
+    new = store.select(*QUAD_COLS).filter(~in_scope).unionByName(rel)
+    return new, dels, adds
+
+
 # ---------------------------------------------------------------------------
 # local twin (agreement testing; mirrors sparql_eval_local)
 # ---------------------------------------------------------------------------
@@ -703,6 +727,21 @@ class GraphStore:
             delta = reduce(lambda a, b: a.unionByName(b), parts)
         return self._commit_delta(delta, seq0 + 2 * len(ops) - 1,
                                   "sparql-update")
+
+    def sync(self, release: DataFrame, prefix: str) -> int:
+        """Mirror the release's graphs under ``prefix`` into the store (see
+        :func:`sync_graphs`), committing only the delta rows. Idempotent:
+        a second sync of the same release commits an empty delta."""
+        cur = self.read()
+        _, dels, adds = sync_graphs(cur, release, prefix)
+        seq = self._next_seq()
+        delta = (
+            dels.withColumn("__op", F.lit("d")).withColumn("__seq", F.lit(seq))
+            .unionByName(
+                adds.withColumn("__op", F.lit("a"))
+                .withColumn("__seq", F.lit(seq + 1)))
+        )
+        return self._commit_delta(delta, seq + 1, "graph-sync")
 
     def load(self, path: str, graph: str | None = None) -> int:
         into = f" INTO GRAPH {graph}" if graph else ""

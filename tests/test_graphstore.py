@@ -343,3 +343,57 @@ class TestGraphStore:
             "SELECT ?s WHERE { GRAPH <urn:g1> { ?s <urn:p> ?o } }"
         ).collect()
         assert sorted(r["s"] for r in rows) == ["<urn:b>", "<urn:c>"]
+
+
+class TestGraphSync:
+    """Object-store -> triplestore sync semantics (the reference's core
+    synchronizer loop) as two anti-joins over the store."""
+
+    STORE = [
+        ("<urn:a>", "<urn:p>", '"keep"', "<urn:iow:d:1>"),   # unchanged
+        ("<urn:a>", "<urn:p>", '"old"', "<urn:iow:d:1>"),    # changed away
+        ("<urn:b>", "<urn:p>", '"orphan"', "<urn:iow:d:2>"),  # orphan graph
+        ("<urn:x>", "<urn:p>", '"other"', "<urn:other:9>"),  # out of scope
+        ("<urn:y>", "<urn:p>", '"default"', None),           # default graph
+    ]
+    RELEASE = [
+        ("<urn:a>", "<urn:p>", '"keep"', "<urn:iow:d:1>"),
+        ("<urn:a>", "<urn:p>", '"new"', "<urn:iow:d:1>"),
+        ("<urn:c>", "<urn:p>", '"fresh"', "<urn:iow:d:3>"),  # new graph
+        ("<urn:z>", "<urn:p>", '"noise"', "<urn:other:8>"),  # ignored
+    ]
+
+    def test_sync_graphs_diff(self, spark):
+        from nabu_spark.graphstore import sync_graphs
+
+        new, dels, adds = sync_graphs(
+            _store(spark, self.STORE), _store(spark, self.RELEASE),
+            "urn:iow:")
+        got = sorted((tuple(r) for r in new.collect()), key=_key)
+        want = sorted([
+            self.STORE[0], self.STORE[3], self.STORE[4],
+            self.RELEASE[1], self.RELEASE[2],
+        ], key=_key)
+        assert got == want
+        assert sorted(tuple(r) for r in dels.collect()) == sorted(
+            [self.STORE[1], self.STORE[2]])
+        assert sorted(tuple(r) for r in adds.collect()) == sorted(
+            [self.RELEASE[1], self.RELEASE[2]])
+
+    def test_store_sync_idempotent_delta_commits(self, spark, tmp_path):
+        gs = GraphStore(spark, str(tmp_path / "sync"))
+        gs.init(_store(spark, self.STORE))
+        rel = _store(spark, self.RELEASE)
+        v1 = gs.sync(rel, "urn:iow:")
+        m1 = gs.tbl.manifest(v1)
+        assert m1["operation"] == "append"
+        assert m1["row_count"] == 4  # 2 delete markers + 2 adds
+        got = sorted((tuple(r) for r in gs.read().collect()), key=_key)
+        assert ("<urn:b>", "<urn:p>", '"orphan"', "<urn:iow:d:2>") not in got
+        assert ("<urn:c>", "<urn:p>", '"fresh"', "<urn:iow:d:3>") in got
+        assert ("<urn:x>", "<urn:p>", '"other"', "<urn:other:9>") in got
+        # second sync of the same release: empty delta, view unchanged
+        v2 = gs.sync(rel, "urn:iow:")
+        assert gs.tbl.manifest(v2)["row_count"] == 0
+        assert sorted((tuple(r) for r in gs.read().collect()),
+                      key=_key) == got
