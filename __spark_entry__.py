@@ -1429,8 +1429,14 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    # the test corpus is one small file (2 input splits); hash-spread the
+    # union by id so the funnel's Arrow/codegen pass uses every core — a
+    # production corpus has thousands of splits and skips this shuffle
+    union = docs.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     out, _report = curate_corpus(
-        docs.unionByName(dup), near_dup_threshold=None
+        union, near_dup_threshold=None, report=False
     )
     return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
 

@@ -18,8 +18,9 @@ outputs back would shuffle the text column once per stage), and the
 language/Gopher gates are inline codegen expressions on the same frame;
 the funnel report comes from a single aggregation over the annotated frame
 — not a .count() per stage. The only shuffles in the whole flow are the
-dedup ones (content-hash groupBy, LSH band join, CC pointer jumping) plus
-the optional cap's window; plan-gated in tests/test_curate.py.
+dedup ones (ONE content-hash window — no groupBy + semi-join diamond, so
+the Arrow pass is never recomputed — LSH band join, CC pointer jumping)
+plus the optional cap's window; plan-gated in tests/test_curate.py.
 """
 
 from __future__ import annotations
@@ -29,7 +30,9 @@ import unicodedata
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import (
+    DataFrame, Observation, SparkSession, Window, functions as F,
+)
 
 # the clean_text kernel's exact regex semantics (textstats.clean_text)
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
@@ -77,15 +80,20 @@ def curate_corpus(
     cap_per_host: int | None = None,
     host_col: str = "url",
     c4: bool = False,
-) -> tuple[DataFrame, dict]:
+    report: bool = True,
+) -> tuple[DataFrame, dict | None]:
     """Run the gate + dedup funnel over (id, text[, url]) documents.
     Returns (curated DataFrame, report dict with per-stage counts).
     ``c4=True`` inserts the C4 line cleaner after hygiene (text becomes the
     line-filtered form) and folds the C4 page verdict into the quality
     gate — still inline codegen, no extra pass.
     ``near_dup_threshold=None`` skips the MinHash near-dup stage entirely
-    (exact-dedup-only mode — the fully oracle-checkable funnel)."""
-    from .operators.dedup import dedup_survivors, exact_dedup, minhash_dedup
+    (exact-dedup-only mode — the fully oracle-checkable funnel).
+    ``report=False`` skips every counting action (funnel aggregation,
+    stage counts, caches): the return is fully lazy — ONE plan from input
+    to survivors — and the report is None. Use it when the caller only
+    consumes the curated rows (benchmarks, downstream pipelines)."""
+    from .operators.dedup import dedup_survivors, minhash_dedup
     from .operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
 
     other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
@@ -133,8 +141,9 @@ def curate_corpus(
             "lang_ok",
             F.lit(True) if lang is None else (F.col("lang_pred") == lang),
         )
-        .cache()
     )
+    if report:
+        annotated = annotated.cache()
     quality_pred = F.col("lang_ok") & F.col("gopher_pass")
     if c4:
         quality_pred = quality_pred & F.col("c4_keep")
@@ -150,23 +159,32 @@ def curate_corpus(
         aggs.append(
             F.sum(F.when(F.col("c4_keep"), 1).otherwise(0)).alias("n_c4_ok")
         )
-    funnel = annotated.agg(*aggs).first()
+    funnel = annotated.agg(*aggs).first() if report else None
 
     gated = annotated.filter(quality_pred)
 
-    # stage 6: exact dedup — keep the canonical (min id) per content hash
-    canon = exact_dedup(gated, text_col, id_col).select(
-        F.col("canonical_id").alias(id_col)
+    # stage 6: exact dedup — keep the canonical (min id) per content hash.
+    # Same semantics as operators/dedup.exact_dedup but as ONE window over
+    # a single content-hash shuffle instead of a groupBy + semi-join: the
+    # text crosses the wire once, and (crucially for report=False) the
+    # expensive upstream Arrow/codegen pass is not recomputed by a join
+    # diamond
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    uniq = (
+        gated.withColumn("_canon", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_canon"))
+        .drop("_canon")
     )
-    uniq = gated.join(canon, id_col, "left_semi").cache()
-    n_exact_unique = uniq.count()
+    if report:
+        uniq = uniq.cache()
+    n_exact_unique = uniq.count() if report else None
 
     # stage 7: near-dup dedup with dropped-bucket accounting
     if near_dup_threshold is None:
         obs = None
         survivors = uniq
     else:
-        obs = Observation("curate_lsh_dropped")
+        obs = Observation("curate_lsh_dropped") if report else None
         pairs = minhash_dedup(
             uniq, id_col, text_col, threshold=near_dup_threshold,
             observation=obs,
@@ -186,7 +204,7 @@ def curate_corpus(
             )
         from .operators.linkgraph import stratified_cap
 
-        n_after_near_dup = pre_cap.count()
+        n_after_near_dup = pre_cap.count() if report else None
         with_host = survivors.withColumn(
             "_host", F.parse_url(F.col(host_col), F.lit("HOST"))
         )
@@ -194,6 +212,10 @@ def curate_corpus(
             with_host, id_col, "_host", cap=cap_per_host
         ).drop("_host")
 
+    if not report:
+        # fully lazy: no counts, no caches — the caller's first action runs
+        # ONE plan from raw docs to survivors
+        return survivors.drop("lang_ok", "gopher_pass", "c4_keep"), None
     survivors = survivors.cache()
     n_out = survivors.count()
     if n_after_near_dup is None:

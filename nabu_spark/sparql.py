@@ -1008,6 +1008,11 @@ class _DfCompiler:
         if graph is not None:
             if self.graph_col is None:
                 raise SparqlError("GRAPH used but quads have no graph column")
+            if graph[0] == "var":
+                # GRAPH ?g ranges over NAMED graphs only: a NULL graph
+                # column (default-graph quad in a graph store) must not
+                # match with ?g unbound (the local twin's 3-tuples agree)
+                df = df.filter(F.col(self.graph_col).isNotNull())
             cols.append((self.graph_col, graph))
         proj: dict[str, str] = {}
         for col, atom in cols:

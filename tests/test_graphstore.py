@@ -397,3 +397,69 @@ class TestGraphSync:
         assert gs.tbl.manifest(v2)["row_count"] == 0
         assert sorted((tuple(r) for r in gs.read().collect()),
                       key=_key) == got
+
+
+class TestUpdateFuzz:
+    """Seeded random update scripts over random stores: the DataFrame
+    compiler and the in-memory twin must agree on every final state."""
+
+    def test_random_scripts_agree(self, spark):
+        import random
+
+        rng = random.Random(20260817)
+        subs = [f"<urn:s{i}>" for i in range(6)]
+        preds = [f"<urn:p{i}>" for i in range(3)]
+        objs = ['"a"', '"b"', "<urn:o1>", '"c"@en']
+        graphs = [None, "<urn:g1>", "<urn:g2>"]
+
+        def rand_store(n):
+            return list({(rng.choice(subs), rng.choice(preds),
+                          rng.choice(objs), rng.choice(graphs))
+                         for _ in range(n)})
+
+        def rand_ground_quad():
+            g = rng.choice(graphs)
+            q = f"{rng.choice(subs)} {rng.choice(preds)} {rng.choice(objs)}"
+            return f"GRAPH {g} {{ {q} }}" if g else q
+
+        def rand_op():
+            kind = rng.randrange(6)
+            if kind == 0:
+                return ("INSERT DATA { "
+                        + " . ".join(rand_ground_quad()
+                                     for _ in range(rng.randrange(1, 3)))
+                        + " }")
+            if kind == 1:
+                return ("DELETE DATA { "
+                        + " . ".join(rand_ground_quad()
+                                     for _ in range(rng.randrange(1, 3)))
+                        + " }")
+            if kind == 2:
+                ref = rng.choice(["DEFAULT", "NAMED", "GRAPH <urn:g1>",
+                                  "GRAPH <urn:g2>"])
+                return f"CLEAR {ref}"
+            if kind == 3:
+                a, b = rng.sample(["DEFAULT", "GRAPH <urn:g1>",
+                                   "GRAPH <urn:g2>"], 2)
+                return f"{rng.choice(['COPY', 'MOVE', 'ADD'])} {a} TO {b}"
+            if kind == 4:
+                p, p2 = rng.sample(preds, 2)
+                return (f"DELETE {{ ?s {p} ?o }} INSERT {{ ?s {p2} ?o }} "
+                        f"WHERE {{ ?s {p} ?o }}")
+            p = rng.choice(preds)
+            o = rng.choice(objs)
+            return (f"INSERT {{ ?s <urn:hit> {o} }} "
+                    f"WHERE {{ GRAPH ?g {{ ?s {p} ?o2 }} }}")
+
+        for trial in range(8):
+            rows = rand_store(rng.randrange(3, 10))
+            script = " ; ".join(rand_op()
+                                for _ in range(rng.randrange(1, 4)))
+            got = sorted(
+                (tuple(r) for r in
+                 apply_update(_store(spark, rows), script).collect()),
+                key=_key)
+            loc = sorted(apply_update_local(rows, script), key=_key)
+            assert got == loc, (
+                f"trial {trial} diverged\nscript: {script}\n"
+                f"store: {rows}\n df={got}\n local={loc}")
