@@ -16,6 +16,9 @@ Supported Update grammar (SPARQL 1.1 Update subset):
     [WITH <g>] DELETE { tmpl } INSERT { tmpl } WHERE { pattern }
     [WITH <g>] DELETE { tmpl } WHERE { pattern }
     [WITH <g>] INSERT { tmpl } WHERE { pattern }
+    (DELETE/INSERT templates may be followed by USING [NAMED] <g>* —
+     the WHERE then evaluates against that dataset exactly as a query's
+     FROM/FROM NAMED would, and WITH is ignored for the WHERE)
     LOAD [SILENT] <path-or-file-iri> [INTO GRAPH <g>]
     CLEAR  [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)
     DROP   [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)
@@ -25,8 +28,7 @@ Supported Update grammar (SPARQL 1.1 Update subset):
 
 `quads` blocks contain triples and `GRAPH <g> { triples }` sections; WHERE
 groups support the full SELECT-engine pattern algebra (OPTIONAL, UNION,
-FILTER, paths, ...). USING is not supported — scope the WHERE with WITH or
-GRAPH instead.
+FILTER, paths, ...).
 
 Documented semantics choices (each pinned by tests):
 
@@ -82,12 +84,16 @@ QUAD_COLS = ("subj", "pred", "obj", "prov")
 @dataclass
 class Modify:
     """DELETE/INSERT [DATA] — templates are lists of (graph_atom|None,
-    s, p, o); ``where`` is None for the ground DATA forms."""
+    s, p, o); ``where`` is None for the ground DATA forms. ``using`` is
+    the (from_graphs, from_named) dataset the WHERE evaluates against
+    (USING/USING NAMED, §3.1.3 — when present, WITH is ignored for the
+    WHERE but still names the templates' default destination)."""
 
     delete: list | None
     insert: list | None
     where: Group | None
     with_graph: str | None = None
+    using: tuple | None = None
 
 
 @dataclass
@@ -226,9 +232,6 @@ class _UpdateParser(_Parser):
                 self._expect("TO")
                 return GraphMgmt(word.lower(), src, self._graph_or_default(),
                                  silent)
-        if self._kw("USING"):
-            raise SparqlError("USING is not supported — scope the WHERE "
-                              "with WITH <g> or GRAPH instead")
         with_graph = None
         if self._kw("WITH"):
             with_graph = self._iri()
@@ -238,8 +241,9 @@ class _UpdateParser(_Parser):
                 self._no_vars(quads, "INSERT DATA")
                 return Modify(None, quads, None)
             insert = self._quad_block()
+            using = self._using_clause()
             self._expect("WHERE")
-            return Modify(None, insert, self._group(), with_graph)
+            return Modify(None, insert, self._group(), with_graph, using)
         if self._kw("DELETE"):
             if with_graph is None and self._kw("DATA"):
                 quads = self._quad_block()
@@ -255,9 +259,22 @@ class _UpdateParser(_Parser):
             insert = None
             if self._kw("INSERT"):
                 insert = self._quad_block()
+            using = self._using_clause()
             self._expect("WHERE")
-            return Modify(delete, insert, self._group(), with_graph)
+            return Modify(delete, insert, self._group(), with_graph, using)
         raise SparqlError(f"unknown update operation at {self._peek()[1]!r}")
+
+    def _using_clause(self):
+        """USING [NAMED] <iri>* → (from_graphs, from_named) | None. Same
+        shape as the SELECT engine's FROM clause (§3.1.3: USING is to
+        updates what FROM is to queries)."""
+        ug = un = None
+        while self._kw("USING"):
+            if self._kw("NAMED"):
+                un = (un or []) + [self._iri()]
+            else:
+                ug = (ug or []) + [self._iri()]
+        return (ug, un) if (ug is not None or un is not None) else None
 
     @staticmethod
     def _no_vars(quads, where):
@@ -464,8 +481,12 @@ def _apply_one(cur: DataFrame, op, op_index: int,
         adds = (_ground_df(spark, op.insert, op_index, fresh_bnodes=True)
                 if op.insert else None)
     else:
-        comp = _DfCompiler(cur, graph_col)
-        g = ("term", op.with_graph) if op.with_graph else None
+        ug, un = op.using or (None, None)
+        comp = _DfCompiler(cur, graph_col, ug, un)
+        # USING replaces WITH for WHERE evaluation (§3.1.3); WITH still
+        # names the templates' default destination below
+        g = (("term", op.with_graph)
+             if op.with_graph and op.using is None else None)
         sol = comp.group(op.where, g)
         dels = (_instantiate(sol, op.delete, op.with_graph,
                              fresh_bnodes=False) if op.delete else None)
@@ -593,12 +614,14 @@ def apply_update_local(quads, text: str) -> set:
     return cur
 
 
-def _eval_where_local(cur: set, where: Group, with_graph) -> list[dict]:
+def _eval_where_local(cur: set, where: Group, with_graph,
+                      using: tuple | None = None) -> list[dict]:
     triples = [
         (s, p, o) if g is None else (s, p, o, g) for s, p, o, g in cur
     ]
-    g = ("term", with_graph) if with_graph else None
-    return _LocalEval(triples).group(where, [{}], g)
+    ug, un = using or (None, None)
+    g = ("term", with_graph) if with_graph and using is None else None
+    return _LocalEval(triples, ug, un).group(where, [{}], g)
 
 
 def _apply_one_local(cur: set, op, op_index: int) -> set:
@@ -632,7 +655,7 @@ def _apply_one_local(cur: set, op, op_index: int) -> set:
     if op.where is None:
         rows = [{}]
     else:
-        rows = _eval_where_local(cur, op.where, op.with_graph)
+        rows = _eval_where_local(cur, op.where, op.with_graph, op.using)
     if op.where is None:
         # ground DATA forms share the DataFrame backend's per-op bnode hash
         def ground(quads, fresh):

@@ -12,6 +12,11 @@ Supported grammar (SPARQL 1.1 SELECT subset):
     SELECT [DISTINCT] (?v ... | * | (AGG(expr) AS ?alias) ...)
     CONSTRUCT { template triples }   (emits the distinct instantiated graph)
     ASK [WHERE] { ... }              (one boolean row)
+    FROM <g> / FROM NAMED <g>        (dataset clause, §13.2: any FROM
+        replaces the store's dataset — bare patterns then range over the
+        merge of the FROM graphs only, GRAPH over the FROM NAMED set only;
+        without one, bare patterns range over ALL quads — the
+        union-default-graph convention — and GRAPH over every named graph)
     WHERE { triple patterns with ';'/',' lists, FILTER(expr),
             OPTIONAL { ... }, { ... } UNION { ... },
             GRAPH ?g|<iri> { ... }, BIND(expr AS ?v),
@@ -178,6 +183,8 @@ class Query:
     ask: bool = False                  # ASK query: result is one boolean
     describe: list | None = None       # atoms to describe (vars/terms)
     having: object | None = None       # filter over grouped output
+    from_graphs: list | None = None    # FROM <g>* (dataset default graph)
+    from_named: list | None = None     # FROM NAMED <g>*
 
 
 class _Parser:
@@ -234,6 +241,27 @@ class _Parser:
         raise SparqlError(f"expected term, got {v!r}")
 
     # -- query --------------------------------------------------------------
+    def _dataset_clause(self):
+        """Zero or more FROM [NAMED] <iri> clauses (SPARQL §13.2). Returns
+        (from_graphs, from_named) — each None when its form never appeared
+        (None ≠ [], which means 'clause present, zero graphs' can't arise,
+        but downstream treats any non-None pair member as 'dataset given')."""
+        from_graphs = from_named = None
+        while self._kw("FROM"):
+            named = self._kw("NAMED")
+            kind, v = self._next()
+            if kind == "IRI":
+                iri = v
+            elif kind == "PNAME":
+                iri = self._expand_pname(v)
+            else:
+                raise SparqlError(f"FROM needs an IRI, got {v!r}")
+            if named:
+                from_named = (from_named or []) + [iri]
+            else:
+                from_graphs = (from_graphs or []) + [iri]
+        return from_graphs, from_named
+
     def parse(self) -> Query:
         while self._kw("PREFIX"):
             kind, pname = self._next()
@@ -248,17 +276,20 @@ class _Parser:
         distinct = False
         select: list = []
         if self._kw("ASK"):
+            fg, fn = self._dataset_clause()
             self._kw("WHERE")
             where = self._group()
             if self._peek()[0] != "EOF":
                 raise SparqlError("ASK takes no solution modifiers")
-            return Query([], False, where, [], [], None, 0, None, True)
+            return Query([], False, where, [], [], None, 0, None, True,
+                         from_graphs=fg, from_named=fn)
         if self._kw("DESCRIBE"):
             describe = []
             while self._peek()[0] in ("VAR", "IRI", "PNAME"):
                 describe.append(self._term_atom())
             if not describe:
                 raise SparqlError("DESCRIBE needs at least one var/IRI")
+            fg, fn = self._dataset_clause()
             where = Group()
             if self._kw("WHERE"):
                 where = self._group()
@@ -267,7 +298,7 @@ class _Parser:
             if self._peek()[0] != "EOF":
                 raise SparqlError("DESCRIBE takes no solution modifiers")
             return Query([], False, where, [], [], None, 0, None, False,
-                         describe)
+                         describe, from_graphs=fg, from_named=fn)
         if self._kw("CONSTRUCT"):
             tmpl = self._group()
             construct = [it for it in tmpl.items if it[0] == "triple"]
@@ -278,7 +309,9 @@ class _Parser:
             select = self._select_list()
         else:
             raise SparqlError("only SELECT, CONSTRUCT and ASK are supported")
+        fg, fn = self._dataset_clause()
         q = self._body(select, distinct, construct)
+        q.from_graphs, q.from_named = fg, fn
         if self._peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens at {self._peek()[1]!r}")
         return q
@@ -826,9 +859,43 @@ def _c_datatype(c: Column) -> Column:
 
 
 class _DfCompiler:
-    def __init__(self, quads: DataFrame, graph_col: str | None):
+    def __init__(self, quads: DataFrame, graph_col: str | None,
+                 from_graphs: list | None = None,
+                 from_named: list | None = None):
         self.quads = quads
         self.graph_col = graph_col
+        # FROM/FROM NAMED (SPARQL §13.2): any dataset clause REPLACES the
+        # store's dataset — default graph = merge of the FROM graphs (empty
+        # when only FROM NAMED was given), named graphs = the FROM NAMED
+        # set (empty when only FROM was given). Without a dataset clause
+        # the union-default-graph convention stands: bare patterns range
+        # over ALL quads.
+        if from_graphs is not None or from_named is not None:
+            if graph_col is None:
+                raise SparqlError(
+                    "FROM/FROM NAMED used but quads have no graph column")
+            fg = from_graphs or []
+            self.default_quads = (
+                quads.filter(F.col(graph_col).isin(fg)) if fg
+                else quads.limit(0)
+            )
+            self.named_set: list | None = from_named or []
+        else:
+            self.default_quads = quads
+            self.named_set = None
+
+    def _scope(self, graph) -> DataFrame:
+        """The quad relation a pattern ranges over: the dataset's default
+        graph outside GRAPH, the named-graph restriction inside it."""
+        if graph is None:
+            return self.default_quads
+        if self.graph_col is None:
+            raise SparqlError("GRAPH used but quads have no graph column")
+        if self.named_set is None:
+            return self.quads
+        if not self.named_set:
+            return self.quads.limit(0)
+        return self.quads.filter(F.col(self.graph_col).isin(self.named_set))
 
     # expression -> Column in a given mode ('term'|'str'|'num'|'bool')
     def expr(self, e, want: str = "bool") -> Column:
@@ -1003,11 +1070,9 @@ class _DfCompiler:
 
     # one triple pattern -> DataFrame of its variable bindings
     def pattern(self, s, p, o, graph) -> DataFrame:
-        df = self.quads
+        df = self._scope(graph)
         cols = [("subj", s), ("pred", p), ("obj", o)]
         if graph is not None:
-            if self.graph_col is None:
-                raise SparqlError("GRAPH used but quads have no graph column")
             if graph[0] == "var":
                 # GRAPH ?g ranges over NAMED graphs only: a NULL graph
                 # column (default-graph quad in a graph store) must not
@@ -1031,9 +1096,9 @@ class _DfCompiler:
 
     def _graph_quads(self, graph) -> DataFrame:
         if graph is None:
-            return self.quads
+            return self.default_quads
         if graph[0] == "term":
-            return self.quads.filter(F.col(self.graph_col) == graph[1])
+            return self._scope(graph).filter(F.col(self.graph_col) == graph[1])
         raise SparqlError("property paths inside GRAPH ?var are not supported")
 
     def _path_pairs(self, ast, graph) -> DataFrame:
@@ -1301,7 +1366,7 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
     q = parse_sparql(text)
     if graph_col is None and "prov" in quads.columns:
         graph_col = "prov"
-    comp = _DfCompiler(quads, graph_col)
+    comp = _DfCompiler(quads, graph_col, q.from_graphs, q.from_named)
     if q.describe is not None:
         # node set = explicit IRIs + bindings of the described vars;
         # result = semi-join of the quads on subject membership
@@ -1318,10 +1383,11 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
                 [(c,) for c in consts], "__n string"
             )
             nodes = cdf if nodes is None else nodes.unionByName(cdf)
+        body = comp.default_quads  # DESCRIBE reads the dataset's default graph
         return (
-            quads.join(
+            body.join(
                 nodes.distinct().hint("broadcast"),
-                quads["subj"] == F.col("__n"),
+                body["subj"] == F.col("__n"),
                 "left_semi",
             )
             .select("subj", "pred", "obj")
@@ -1362,9 +1428,22 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
 
 
 class _LocalEval:
-    def __init__(self, triples: list[tuple]):
+    def __init__(self, triples: list[tuple],
+                 from_graphs: list | None = None,
+                 from_named: list | None = None):
         # triples: (s, p, o) or (s, p, o, g)
         self.triples = triples
+        # FROM/FROM NAMED twin of _DfCompiler: dataset clause replaces the
+        # store's dataset (see the DataFrame compiler for the semantics)
+        if from_graphs is not None or from_named is not None:
+            fg = set(from_graphs or ())
+            self.default_triples = [
+                t for t in triples if len(t) > 3 and t[3] in fg
+            ]
+            self.named_set: set | None = set(from_named or ())
+        else:
+            self.default_triples = triples
+            self.named_set = None
 
     def expr(self, e, row: dict, want: str = "bool"):
         tag = e[0]
@@ -1574,8 +1653,9 @@ class _LocalEval:
 
     def pattern(self, s, p, o, graph, rows: list[dict]) -> list[dict]:
         out = []
+        src = self.default_triples if graph is None else self.triples
         for row in rows:
-            for t in self.triples:
+            for t in src:
                 nb: dict = {}
                 if not self._match(s, t[0], row, nb):
                     continue
@@ -1584,7 +1664,9 @@ class _LocalEval:
                 if not self._match(o, t[2], row, nb):
                     continue
                 if graph is not None:
-                    if len(t) < 4:
+                    if len(t) < 4 or t[3] is None:
+                        continue
+                    if self.named_set is not None and t[3] not in self.named_set:
                         continue
                     if not self._match(graph, t[3], row, nb):
                         continue
@@ -1594,9 +1676,13 @@ class _LocalEval:
     # -- property paths (mirrors _DfCompiler._path_pairs) -------------------
     def _graph_triples(self, graph):
         if graph is None:
-            return self.triples
+            return self.default_triples
         if graph[0] == "term":
-            return [t for t in self.triples if len(t) > 3 and t[3] == graph[1]]
+            return [
+                t for t in self.triples
+                if len(t) > 3 and t[3] == graph[1]
+                and (self.named_set is None or t[3] in self.named_set)
+            ]
         raise SparqlError("property paths inside GRAPH ?var are not supported")
 
     def _path_pairs(self, ast, graph) -> set:
@@ -1855,7 +1941,7 @@ def sparql_eval_local(
     a list of {var: term} dicts restricted to the SELECT list, in a
     deterministic order."""
     q = text if isinstance(text, Query) else parse_sparql(text)
-    ev = _LocalEval(triples)
+    ev = _LocalEval(triples, q.from_graphs, q.from_named)
     if q.describe is not None:
         nodes = {a[1] for a in q.describe if a[0] == "term"}
         if any(a[0] == "var" for a in q.describe):
@@ -1863,7 +1949,8 @@ def sparql_eval_local(
             for a in q.describe:
                 if a[0] == "var":
                     nodes |= {r[a[1]] for r in sol if r.get(a[1]) is not None}
-        out = sorted({(t[0], t[1], t[2]) for t in triples if t[0] in nodes})
+        out = sorted({(t[0], t[1], t[2]) for t in ev.default_triples
+                      if t[0] in nodes})
         return [dict(zip(("subj", "pred", "obj"), t)) for t in out]
     rows = ev.group(q.where, [dict(bindings or {})])
     if q.ask:

@@ -192,6 +192,54 @@ class TestModify:
         assert ("<urn:c>", "<urn:reach>", "<urn:b>", None) in got  # c-q-a-q-b
 
 
+class TestUsing:
+    """USING/USING NAMED (§3.1.3): the WHERE evaluates against the USING
+    dataset exactly as a query's FROM would; WITH is then ignored for the
+    WHERE but still routes templates."""
+
+    def test_using_scopes_where_to_graph(self, spark):
+        got = _run(spark, BASE, """
+            INSERT { GRAPH <urn:out> { ?s <urn:p> ?o } }
+            USING <urn:g1> WHERE { ?s <urn:p> ?o }
+        """)
+        added = [q for q in got if q[3] == "<urn:out>"]
+        # default-graph <urn:a> "1" is OUTSIDE the USING dataset
+        assert added == [("<urn:b>", "<urn:p>", '"2"', "<urn:out>"),
+                         ("<urn:c>", "<urn:p>", '"3"', "<urn:out>")]
+
+    def test_using_named_empties_default_graph(self, spark):
+        got = _run(spark, BASE, """
+            INSERT { GRAPH <urn:out> { ?s ?p ?o } }
+            USING NAMED <urn:g2> WHERE { ?s ?p ?o }
+        """)
+        assert got == sorted(BASE, key=_key)  # bare pattern saw nothing
+
+    def test_using_named_scopes_graph_var(self, spark):
+        got = _run(spark, BASE, """
+            INSERT { GRAPH <urn:out> { ?s ?p ?o } }
+            USING NAMED <urn:g2> WHERE { GRAPH ?g { ?s ?p ?o } }
+        """)
+        added = [q for q in got if q[3] == "<urn:out>"]
+        assert added == [("<urn:c>", "<urn:q>", "<urn:a>", "<urn:out>")]
+
+    def test_with_ignored_for_where_under_using(self, spark):
+        got = _run(spark, BASE, """
+            WITH <urn:dst> INSERT { ?s <urn:r> ?o }
+            USING <urn:g2> WHERE { ?s <urn:q> ?o }
+        """)
+        # WHERE ranged over g2 (not the empty <urn:dst> WITH would give);
+        # the GRAPH-less template still lands in the WITH graph
+        assert ("<urn:c>", "<urn:r>", "<urn:a>", "<urn:dst>") in got
+
+    def test_delete_using(self, spark):
+        got = _run(spark, BASE, """
+            DELETE { GRAPH <urn:g1> { ?s <urn:p> ?o } }
+            USING <urn:g1> WHERE { ?s <urn:p> ?o . FILTER(?s = <urn:b>) }
+        """)
+        assert ("<urn:b>", "<urn:p>", '"2"', "<urn:g1>") not in got
+        assert len(got) == len(BASE) - 1
+
+
 class TestGraphMgmt:
     def test_clear_forms(self, spark):
         assert all(g == "<urn:g2>" or g is None for _, _, _, g in
@@ -233,10 +281,16 @@ class TestGraphMgmt:
 
 
 class TestParser:
-    def test_using_rejected(self):
-        with pytest.raises(SparqlError, match="USING"):
+    def test_using_parses_before_where_only(self):
+        # grammar: templates, then UsingClause*, then WHERE — a leading
+        # USING is not an operation
+        with pytest.raises(SparqlError):
             parse_update("USING <urn:g> DELETE { ?s ?p ?o } "
                          "WHERE { ?s ?p ?o }")
+        ops = parse_update(
+            "DELETE { ?s ?p ?o } USING <urn:g1> USING NAMED <urn:g2> "
+            "WHERE { ?s ?p ?o }")
+        assert ops[0].using == (["<urn:g1>"], ["<urn:g2>"])
 
     def test_prefixes_and_semicolons(self):
         ops = parse_update("""

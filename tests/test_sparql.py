@@ -688,3 +688,152 @@ class TestReviewFixes:
         )
         row = sparql_query(df, q).first()
         assert (row.s, row.n) == (iri("a"), None)
+
+
+class TestDatasetClause:
+    """FROM / FROM NAMED (§13.2): a dataset clause REPLACES the store's
+    dataset — default graph = merge of FROM graphs, named graphs = the
+    FROM NAMED set. Both backends run every query."""
+
+    QUADS = [
+        (iri("s1"), iri("p"), num(1), "<urn:g:a>"),
+        (iri("s2"), iri("p"), num(2), "<urn:g:b>"),
+        (iri("s3"), iri("p"), num(3), "<urn:g:a>"),
+        (iri("s4"), iri("p"), num(4), None),           # store default graph
+        (iri("s1"), iri("k"), iri("s2"), "<urn:g:a>"),
+        (iri("s2"), iri("k"), iri("s3"), "<urn:g:b>"),
+    ]
+
+    def _both(self, spark, query):
+        local_triples = [
+            (s, p, o) if g is None else (s, p, o, g)
+            for s, p, o, g in self.QUADS
+        ]
+        local = sparql_eval_local(local_triples, query)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string, prov string"
+        )
+        out = sparql_query(df, query)
+        cols = out.columns
+        got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+        loc = sorted(tuple(r.get(c) for c in cols) for r in local)
+        assert got == loc, f"{query}\n df={got}\n local={loc}"
+        return got
+
+    def test_from_restricts_default_graph(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s FROM <urn:g:a> "
+            "WHERE { ?s t:p ?o }",
+        )
+        assert got == [(iri("s1"),), (iri("s3"),)]
+
+    def test_from_merges_graphs_excludes_store_default(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s FROM <urn:g:a> FROM <urn:g:b> "
+            "WHERE { ?s t:p ?o }",
+        )
+        # s4 lives in the store's default graph, which FROM cannot name
+        assert got == [(iri("s1"),), (iri("s2"),), (iri("s3"),)]
+
+    def test_from_only_empties_named_section(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?s FROM <urn:g:a> "
+            "WHERE { GRAPH ?g { ?s t:p ?o } }",
+        )
+        assert got == []
+
+    def test_from_named_only(self, spark):
+        # bare patterns see an EMPTY default graph
+        assert self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s FROM NAMED <urn:g:b> "
+            "WHERE { ?s t:p ?o }",
+        ) == []
+        # GRAPH ranges over exactly the FROM NAMED set
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?s FROM NAMED <urn:g:b> "
+            "WHERE { GRAPH ?g { ?s t:p ?o } }",
+        )
+        assert got == [("<urn:g:b>", iri("s2"))]
+
+    def test_from_plus_from_named(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s ?s2 "
+            "FROM <urn:g:a> FROM NAMED <urn:g:b> "
+            "WHERE { ?s t:p ?o . GRAPH <urn:g:b> { ?s2 t:p ?o2 } }",
+        )
+        assert got == [(iri("s1"), iri("s2")), (iri("s3"), iri("s2"))]
+        # a GRAPH constant outside the FROM NAMED set matches nothing
+        assert self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s FROM NAMED <urn:g:b> "
+            "WHERE { GRAPH <urn:g:a> { ?s t:p ?o } }",
+        ) == []
+
+    def test_no_dataset_keeps_union_default_graph(self, spark):
+        got = self._both(
+            spark, "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:p ?o }"
+        )
+        assert got == [(iri(f"s{i}"),) for i in range(1, 5)]
+
+    def test_property_path_scoped_by_from(self, spark):
+        # k-edges: s1->s2 in g:a, s2->s3 in g:b; the closure must not
+        # escape the dataset's default graph
+        assert self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?o FROM <urn:g:a> "
+            "WHERE { t:s1 t:k+ ?o }",
+        ) == [(iri("s2"),)]
+        assert self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { t:s1 t:k+ ?o }",
+        ) == [(iri("s2"),), (iri("s3"),)]
+
+    def test_ask_and_describe_with_from(self, spark):
+        assert self._both(
+            spark,
+            "PREFIX t: <urn:t:> ASK FROM <urn:g:b> { t:s1 t:p ?o }",
+        ) == [(False,)]
+        assert self._both(
+            spark,
+            "PREFIX t: <urn:t:> ASK FROM <urn:g:a> { t:s1 t:p ?o }",
+        ) == [(True,)]
+        # s2's quads live in g:b only — invisible under FROM g:a
+        assert self._both(
+            spark, "PREFIX t: <urn:t:> DESCRIBE t:s2 FROM <urn:g:a>"
+        ) == []
+        assert self._both(
+            spark, "PREFIX t: <urn:t:> DESCRIBE t:s2 FROM <urn:g:b>"
+        ) == [(iri("s2"), iri("k"), iri("s3")), (iri("s2"), iri("p"), num(2))]
+
+    def test_from_accepts_pname(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> PREFIX g: <urn:g:> SELECT ?s FROM g:a "
+            "WHERE { ?s t:p ?o }",
+        )
+        assert got == [(iri("s1"),), (iri("s3"),)]
+
+    def test_from_needs_graph_column(self, spark):
+        df = spark.createDataFrame(
+            [(iri("s"), iri("p"), num(1))],
+            "subj string, pred string, obj string",
+        )
+        with pytest.raises(SparqlError, match="graph column"):
+            sparql_query(
+                df,
+                "PREFIX t: <urn:t:> SELECT ?s FROM <urn:g:a> "
+                "WHERE { ?s t:p ?o }",
+            )
+
+    def test_subquery_rejects_dataset_clause(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "PREFIX t: <urn:t:> SELECT ?s WHERE { "
+                "{ SELECT ?s FROM <urn:g:a> WHERE { ?s t:p ?o } } }"
+            )
