@@ -1655,6 +1655,51 @@ def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM / FROM NAMED dataset clause (SPARQL §13.2): nchars quads are
+    sharded into one named graph per source, lang quads live in a lang
+    graph, and a decoy copy of every nchars quad sits in the store's
+    default graph (prov NULL). The query's FROM merge must see ONLY the
+    two selected source graphs — an engine that ignored the dataset
+    clause would return every doc via the decoys."""
+    from nabu_spark.sparql import sparql_query
+
+    docs = _load(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">"))
+    nchars = F.concat(
+        F.lit('"'), F.col("n_chars"),
+        F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'))
+    entries = F.array(
+        F.struct(F.lit("<urn:p:lang>").alias("pred"),
+                 F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("obj"),
+                 F.lit("<urn:g:lang>").alias("prov")),
+        F.struct(F.lit("<urn:p:nchars>").alias("pred"),
+                 nchars.alias("obj"),
+                 F.concat(F.lit("<urn:g:"), F.col("source"),
+                          F.lit(">")).alias("prov")),
+        F.struct(F.lit("<urn:p:nchars>").alias("pred"),
+                 nchars.alias("obj"),
+                 F.lit(None).cast("string").alias("prov")),
+    )
+    quads = (
+        docs.select(subj.alias("subj"), F.explode(entries).alias("e"))
+        .select("subj", F.col("e.pred").alias("pred"),
+                F.col("e.obj").alias("obj"), F.col("e.prov").alias("prov"))
+    )
+    return sparql_query(
+        quads,
+        """
+        PREFIX p: <urn:p:> PREFIX g: <urn:g:>
+        SELECT ?doc ?lang FROM g:src2 FROM g:src5 FROM NAMED g:lang
+        WHERE {
+          ?doc p:nchars ?n .
+          GRAPH g:lang { ?doc p:lang ?lang }
+          FILTER(?n >= 250)
+        } ORDER BY ?doc
+        """,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1693,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional": q_sparql_optional,
         "sparql_agg": q_sparql_agg,
         "sparql_union": q_sparql_union,
+        "sparql_dataset": q_sparql_dataset,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
         "sparql_negation": q_sparql_negation,
@@ -2819,6 +2865,13 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT '<urn:doc:' || doc_id || '>' AS doc
             FROM documents WHERE source = 'src7'
+            ORDER BY doc
+        """,
+        "sparql_dataset": """
+            SELECT '<urn:doc:' || doc_id || '>' AS doc,
+                   '"' || lang || '"' AS lang
+            FROM documents
+            WHERE source IN ('src2', 'src5') AND n_chars >= 250
             ORDER BY doc
         """,
         "span_dedup": """
