@@ -31,7 +31,9 @@ Supported grammar (SPARQL 1.1 SELECT subset):
             drops the row — keep UNDEF off shared variables),
             property paths in predicate position: ^p, p1/p2, p1|p2,
             p+, p*, p? and (...) grouping — SET semantics; closures
-            compile to a pointer-doubling join fixpoint }
+            compile to a pointer-doubling join fixpoint; inside
+            GRAPH ?g every path join is keyed on the graph column, so
+            each named graph's closure is independent and ?g binds }
     [GROUP BY ?v ...] [ORDER BY [ASC|DESC](?v) ...] [LIMIT n] [OFFSET n]
 
     Subqueries: { SELECT ... WHERE { ... } ... } nested in a group —
@@ -1099,22 +1101,33 @@ class _DfCompiler:
             return self.default_quads
         if graph[0] == "term":
             return self._scope(graph).filter(F.col(self.graph_col) == graph[1])
-        raise SparqlError("property paths inside GRAPH ?var are not supported")
+        # GRAPH ?var: every named graph (dataset-restricted via _scope);
+        # path evaluation stays graph-local by keying pairs on __g
+        return self._scope(graph).filter(F.col(self.graph_col).isNotNull())
 
     def _path_pairs(self, ast, graph) -> DataFrame:
         """Evaluate a path expression to its (__src, __dst) pair relation.
+        Under GRAPH ?var the relation carries a third __g column and every
+        join/identity is keyed on it, so each named graph's closure is
+        computed independently in ONE shared set of jobs (no per-graph
+        driver loop — the graph id is just another shuffle key).
         Closures (+/*) run a pointer-doubling fixpoint: result joins
         itself each round, so a diameter-D graph converges in ceil(log2 D)
         rounds, each localCheckpoint-ed so lineage stays bounded — the
         distributed transitive-closure shape that survives 100 TB."""
+        keyed = graph is not None and graph[0] == "var"
+        gcols = ["__g"] if keyed else []
         tag = ast[0]
         if tag == "p":
-            return self._graph_quads(graph).filter(F.col("pred") == ast[1]).select(
-                F.col("subj").alias("__src"), F.col("obj").alias("__dst")
-            )
+            q = self._graph_quads(graph).filter(F.col("pred") == ast[1])
+            sel = [F.col("subj").alias("__src"), F.col("obj").alias("__dst")]
+            if keyed:
+                sel.append(F.col(self.graph_col).alias("__g"))
+            return q.select(*sel)
         if tag == "inv":
             return self._path_pairs(ast[1], graph).select(
-                F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+                F.col("__dst").alias("__src"), F.col("__src").alias("__dst"),
+                *gcols
             )
         if tag == "seq":
             out = None
@@ -1124,10 +1137,11 @@ class _DfCompiler:
                     out = nxt
                 else:
                     out = (
-                        out.select("__src", F.col("__dst").alias("__m"))
-                        .join(nxt.select(F.col("__src").alias("__m"), "__dst"),
-                              on="__m")
-                        .select("__src", "__dst")
+                        out.select("__src", F.col("__dst").alias("__m"), *gcols)
+                        .join(nxt.select(F.col("__src").alias("__m"), "__dst",
+                                         *gcols),
+                              on=["__m"] + gcols)
+                        .select("__src", "__dst", *gcols)
                     )
             return out
         if tag == "alt":
@@ -1149,10 +1163,11 @@ class _DfCompiler:
             prev = result.count()
             for _ in range(self._CLOSURE_MAX_ITERS):
                 doubled = (
-                    result.select("__src", F.col("__dst").alias("__m"))
-                    .join(result.select(F.col("__src").alias("__m"), "__dst"),
-                          on="__m")
-                    .select("__src", "__dst")
+                    result.select("__src", F.col("__dst").alias("__m"), *gcols)
+                    .join(result.select(F.col("__src").alias("__m"), "__dst",
+                                        *gcols),
+                          on=["__m"] + gcols)
+                    .select("__src", "__dst", *gcols)
                     .unionByName(result)
                     .distinct()
                     .localCheckpoint(eager=True)
@@ -1172,7 +1187,15 @@ class _DfCompiler:
 
     def _identity_pairs(self, graph) -> DataFrame:
         # SPARQL zero-length path: every term occurring in the graph
+        # (per named graph when keyed — zero-length stays graph-local)
         q = self._graph_quads(graph)
+        if graph is not None and graph[0] == "var":
+            g = F.col(self.graph_col).alias("__g")
+            u = q.select(F.col("subj").alias("__n"), g).unionByName(
+                q.select(F.col("obj").alias("__n"), g)
+            ).distinct()
+            return u.select(F.col("__n").alias("__src"),
+                            F.col("__n").alias("__dst"), "__g")
         u = q.select(F.col("subj").alias("__n")).unionByName(
             q.select(F.col("obj").alias("__n"))
         ).distinct()
@@ -1181,8 +1204,11 @@ class _DfCompiler:
     def path_pattern(self, s, ast, o, graph) -> DataFrame:
         # path patterns evaluate with SET semantics on both backends
         df = self._path_pairs(ast, graph).distinct()
+        atoms = [(s, "__src"), (o, "__dst")]
+        if graph is not None and graph[0] == "var":
+            atoms.append((graph, "__g"))
         proj: dict[str, str] = {}
-        for atom, col in ((s, "__src"), (o, "__dst")):
+        for atom, col in atoms:
             if atom[0] == "term":
                 df = df.filter(F.col(col) == atom[1])
             else:
@@ -1683,7 +1709,14 @@ class _LocalEval:
                 if len(t) > 3 and t[3] == graph[1]
                 and (self.named_set is None or t[3] in self.named_set)
             ]
-        raise SparqlError("property paths inside GRAPH ?var are not supported")
+        raise SparqlError("GRAPH ?var paths evaluate per graph — see path_rows")
+
+    def _named_graphs(self) -> list[str]:
+        return sorted({
+            t[3] for t in self.triples
+            if len(t) > 3 and t[3] is not None
+            and (self.named_set is None or t[3] in self.named_set)
+        })
 
     def _path_pairs(self, ast, graph) -> set:
         tag = ast[0]
@@ -1736,6 +1769,23 @@ class _LocalEval:
         return {(x, x) for x in terms}
 
     def path_rows(self, s, ast, o, graph, rows: list[dict]) -> list[dict]:
+        if graph is not None and graph[0] == "var":
+            # GRAPH ?var: each named graph's path relation is independent
+            # (the DataFrame twin keys its joins on __g for the same effect)
+            out = []
+            for gname in self._named_graphs():
+                pairs = self._path_pairs(ast, ("term", gname))
+                for row in rows:
+                    for src, dst in pairs:
+                        nb: dict = {}
+                        if not self._match(s, src, row, nb):
+                            continue
+                        if not self._match(o, dst, row, nb):
+                            continue
+                        if not self._match(graph, gname, row, nb):
+                            continue
+                        out.append({**row, **nb})
+            return out
         pairs = self._path_pairs(ast, graph)
         out = []
         for row in rows:

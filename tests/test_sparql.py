@@ -448,17 +448,19 @@ class TestPropertyPaths:
         assert df_rows == local_rows
         assert (iri("knows"),) in df_rows
 
-    def test_path_in_graph_var_rejected(self, spark):
+    def test_path_in_graph_var_supported(self, spark):
+        # was rejected through round 4 early; now keyed per graph —
+        # see TestGraphVarPaths for the semantics
         df = spark.createDataFrame(
             [(iri("a"), iri("p"), iri("b"), "<urn:g>")],
             "subj string, pred string, obj string, prov string",
         )
-        with pytest.raises(SparqlError):
-            sparql_query(
-                df,
-                "PREFIX t: <urn:t:> SELECT ?s WHERE "
-                "{ GRAPH ?g { ?s t:p+ ?o } }",
-            ).collect()
+        got = sparql_query(
+            df,
+            "PREFIX t: <urn:t:> SELECT ?g ?s WHERE "
+            "{ GRAPH ?g { ?s t:p+ ?o } }",
+        ).collect()
+        assert [(r.g, r.s) for r in got] == [("<urn:g>", iri("a"))]
 
 
 class TestNegation:
@@ -837,3 +839,85 @@ class TestDatasetClause:
                 "PREFIX t: <urn:t:> SELECT ?s WHERE { "
                 "{ SELECT ?s FROM <urn:g:a> WHERE { ?s t:p ?o } } }"
             )
+
+
+class TestGraphVarPaths:
+    """Property paths inside GRAPH ?var: evaluated per named graph — the
+    DF backend keys every path join on __g, the local twin loops graphs.
+    A closure must NOT cross graph boundaries."""
+
+    QUADS = [
+        (iri("s1"), iri("k"), iri("s2"), "<urn:g:a>"),
+        (iri("s2"), iri("k"), iri("s3"), "<urn:g:a>"),
+        (iri("s3"), iri("k"), iri("s4"), "<urn:g:b>"),
+        (iri("s9"), iri("k"), iri("s1"), None),        # default-graph decoy
+    ]
+
+    def _both(self, spark, query):
+        local_triples = [
+            (s, p, o) if g is None else (s, p, o, g)
+            for s, p, o, g in self.QUADS
+        ]
+        local = sparql_eval_local(local_triples, query)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string, prov string"
+        )
+        out = sparql_query(df, query)
+        cols = out.columns
+        got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+        loc = sorted(tuple(r.get(c) for c in cols) for r in local)
+        assert got == loc, f"{query}\n df={got}\n local={loc}"
+        return got
+
+    def test_closure_stays_graph_local(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?s ?o WHERE "
+            "{ GRAPH ?g { ?s t:k+ ?o } }",
+        )
+        assert got == [
+            ("<urn:g:a>", iri("s1"), iri("s2")),
+            ("<urn:g:a>", iri("s1"), iri("s3")),   # 2-hop within g:a
+            ("<urn:g:a>", iri("s2"), iri("s3")),
+            ("<urn:g:b>", iri("s3"), iri("s4")),   # NOT s1/s2 -> s4
+        ]
+
+    def test_zero_length_identity_is_per_graph(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?o WHERE "
+            "{ GRAPH ?g { t:s3 t:k* ?o } }",
+        )
+        # g:a contains s3 only as an object -> zero-length match there too
+        assert got == [
+            ("<urn:g:a>", iri("s3")),
+            ("<urn:g:b>", iri("s3")),
+            ("<urn:g:b>", iri("s4")),
+        ]
+
+    def test_graph_var_path_joins_outer_binding(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?o WHERE "
+            "{ GRAPH ?g { t:s2 t:k ?x } GRAPH ?g { ?x t:k* ?o } }",
+        )
+        assert got == [("<urn:g:a>", iri("s3"))]
+
+    def test_graph_var_path_under_from_named(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?s ?o FROM NAMED <urn:g:b> "
+            "WHERE { GRAPH ?g { ?s t:k+ ?o } }",
+        )
+        assert got == [("<urn:g:b>", iri("s3"), iri("s4"))]
+
+    def test_inverse_and_alt_keyed(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?g ?s WHERE "
+            "{ GRAPH ?g { t:s3 (^t:k|t:k) ?s } }",
+        )
+        assert got == [
+            ("<urn:g:a>", iri("s2")),
+            ("<urn:g:b>", iri("s4")),
+        ]
