@@ -158,11 +158,14 @@ def build_parser() -> argparse.ArgumentParser:
              "query / compact / history / rollback",
     )
     up.add_argument("action", choices=["init", "update", "query", "compact",
-                                       "history", "rollback", "sync"])
+                                       "history", "rollback", "sync", "view"])
     up.add_argument("--store", required=True, help="graph store root dir")
     up.add_argument("--quads",
                     help="init/sync: parquet with (subj,pred,obj,prov)")
     up.add_argument("--prefix", help="sync: graph-URN prefix to mirror")
+    up.add_argument("--view-root",
+                    help="view: the materialized view's own snapshot dir "
+                         "(refreshed incrementally from the store's deltas)")
     usrc = up.add_mutually_exclusive_group()
     usrc.add_argument("--sparql", help="inline update/query text")
     usrc.add_argument("--sparql-file", help="path to a .ru/.rq file")
@@ -517,6 +520,15 @@ def main(argv: list[str] | None = None) -> int:
             v = gs.sync(spark.read.parquet(args.quads), args.prefix)
             print(json.dumps({"cmd": "store", "action": "sync",
                               "version": v}))
+        elif args.action == "view":
+            if text is None or not args.view_root:
+                print(json.dumps({"cmd": "store", "error":
+                                  "--view-root and --sparql[-file] required"}))
+                return 2
+            from .matview import MaterializedView
+
+            res = MaterializedView(gs, args.view_root, text).refresh()
+            print(json.dumps({"cmd": "store", "action": "view", **res}))
         elif args.action == "compact":
             v = gs.compact()
             print(json.dumps({"cmd": "store", "action": "compact",

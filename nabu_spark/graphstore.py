@@ -779,6 +779,29 @@ class GraphStore:
                                   operation="overwrite")
 
     # -- read paths ---------------------------------------------------------
+    def raw_window(self, v0: int, v1: int) -> DataFrame | None:
+        """The physical delta rows committed in versions (v0, v1] —
+        (subj, pred, obj, prov, __op, __seq) — or None when the window is
+        not purely append-derived (an overwrite — compact, rollback,
+        init — replaced the file list, so file-set difference no longer
+        equals the logical delta). The incremental-view path feeds on
+        this: reading ONLY the window files costs O(delta), never
+        O(store)."""
+        m0, m1 = self.tbl.manifest(v0), self.tbl.manifest(v1)
+        if m0 is None or m1 is None:
+            return None
+        for v in range(v0 + 1, v1 + 1):
+            m = self.tbl.manifest(v)
+            if m is None or m["operation"] != "append":
+                return None
+        base = set(m0["files"])
+        new_files = [f for f in m1["files"] if f not in base]
+        if not new_files:
+            return self.spark.createDataFrame(
+                [], "subj string, pred string, obj string, prov string, "
+                    "__op string, __seq long")
+        return self.spark.read.parquet(*new_files)
+
     def read(self, version: int | None = None) -> DataFrame:
         """The merged quad-set view at ``version`` (default latest)."""
         raw = self.tbl.read(self.spark, version)
