@@ -921,3 +921,55 @@ class TestGraphVarPaths:
             ("<urn:g:a>", iri("s2")),
             ("<urn:g:b>", iri("s4")),
         ]
+
+
+class TestRandomQuadGraphs:
+    """Backend-agreement fuzz over random QUAD graphs: dataset clauses,
+    GRAPH scoping and graph-var paths on the same random data."""
+
+    QUERIES = [
+        # FROM merge + join
+        "PREFIX t: <urn:t:> PREFIX g: <urn:g:> SELECT ?x ?y "
+        "FROM g:1 FROM g:2 WHERE { ?x t:a ?y . ?y t:b ?z }",
+        # FROM NAMED restricting GRAPH ?g
+        "PREFIX t: <urn:t:> PREFIX g: <urn:g:> SELECT ?g ?x "
+        "FROM NAMED g:1 FROM NAMED g:3 WHERE { GRAPH ?g { ?x t:a ?y } }",
+        # dataset + aggregate
+        "PREFIX t: <urn:t:> PREFIX g: <urn:g:> SELECT ?x (COUNT(?y) AS ?n) "
+        "FROM g:2 FROM g:3 WHERE { ?x ?p ?y } GROUP BY ?x",
+        # graph-var closure
+        "PREFIX t: <urn:t:> SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x t:a+ ?y } }",
+        # graph-var path under FROM NAMED
+        "PREFIX t: <urn:t:> PREFIX g: <urn:g:> SELECT ?g ?x ?y "
+        "FROM NAMED g:2 WHERE { GRAPH ?g { ?x (t:a|^t:b) ?y } }",
+        # mixed default + named sections
+        "PREFIX t: <urn:t:> PREFIX g: <urn:g:> SELECT ?x ?y "
+        "FROM g:1 FROM NAMED g:2 WHERE "
+        "{ ?x t:a ?y . GRAPH g:2 { ?y t:b ?z } }",
+    ]
+
+    def test_random_quad_graphs_agree(self, spark):
+        rng = random.Random(7)
+        preds = [iri(p) for p in ("a", "b")]
+        nodes = [iri(f"n{i}") for i in range(5)]
+        graphs = [f"<urn:g:{i}>" for i in range(1, 4)] + [None]
+        for trial in range(4):
+            quads = list({
+                (rng.choice(nodes), rng.choice(preds), rng.choice(nodes),
+                 rng.choice(graphs))
+                for _ in range(30)
+            })
+            local_triples = [
+                (s, p, o) if g is None else (s, p, o, g)
+                for s, p, o, g in quads
+            ]
+            df = spark.createDataFrame(
+                quads, "subj string, pred string, obj string, prov string"
+            )
+            for q in self.QUERIES:
+                local = sparql_eval_local(local_triples, q)
+                out = sparql_query(df, q)
+                cols = out.columns
+                got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+                loc = sorted(tuple(r.get(c) for c in cols) for r in local)
+                assert got == loc, f"trial {trial}: {q}\n df={got}\n local={loc}"
