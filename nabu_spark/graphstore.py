@@ -751,6 +751,19 @@ class GraphStore:
         return self._commit_delta(delta, seq0 + 2 * len(ops) - 1,
                                   "sparql-update")
 
+    def append_quads(self, quads: DataFrame, stage: str = "append") -> int:
+        """Append a batch of quads as one snapshot of 'a' rows — O(batch),
+        no read of the store. Duplicate assertions are harmless: read()'s
+        max_by merge is a set union, so a replayed batch (streaming
+        foreachBatch retry) changes nothing logically and compact() folds
+        the physical duplicates away. The incremental-view path re-derives
+        from the replayed rows and its anti-join adds nothing."""
+        seq = self._next_seq()
+        rows = (quads.select(*QUAD_COLS).distinct()
+                .withColumn("__op", F.lit("a"))
+                .withColumn("__seq", F.lit(seq)))
+        return self._commit_delta(rows, seq, stage)
+
     def sync(self, release: DataFrame, prefix: str) -> int:
         """Mirror the release's graphs under ``prefix`` into the store (see
         :func:`sync_graphs`), committing only the delta rows. Idempotent:

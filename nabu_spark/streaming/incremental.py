@@ -183,3 +183,55 @@ def start_streaming_lineage(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_graph_store(
+    spark: SparkSession,
+    pages_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    *,
+    view_root: str | None = None,
+    view_query: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The continuously-fresh-KG loop: new page files -> fused
+    extract->toRdf->skolemize -> ONE atomic GraphStore snapshot per
+    micro-batch -> (optionally) an incremental refresh of a CONSTRUCT
+    materialized view. Exactly-once effect: the file-source checkpoint
+    never replays a completed batch, and a crash-replayed batch re-asserts
+    quads the store's set-merge already holds (append_quads docstring) —
+    the store view and the derived view are both idempotent under retry.
+
+    Scale shape per batch: append is O(batch) with no store read; the
+    view refresh reads only the window's delta files and delta-joins them
+    against the store (matview module)."""
+    from ..graphstore import GraphStore
+    from ..matview import MaterializedView
+
+    store = GraphStore(spark, store_root)
+    view = (
+        MaterializedView(store, view_root, view_query)
+        if view_root and view_query else None
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        good = batch_df.filter(F.col("error_code").isNull()).select(
+            "subj", "pred", "obj", "prov"
+        )
+        store.append_quads(good, stage=f"stream-batch-{batch_id}")
+        if view is not None:
+            view.refresh()
+
+    q = quads_stream(
+        read_pages_stream(
+            spark, pages_dir, max_files_per_trigger=max_files_per_trigger
+        )
+    )
+    writer = q.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
