@@ -1700,6 +1700,36 @@ def q_sparql_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-lite materialization (operators/reasoner.py): doc->lang triples
+    under a 3-level class chain + property/domain/range schema; the output
+    is the full entailed graph. The oracle recomputes the same entailment
+    by hand-unrolled unions (the schema is constant, so its transitive
+    closure is statically known)."""
+    from nabu_spark.operators.reasoner import (
+        DOMAIN, RANGE, SUBCLASS, SUBPROP, rdfs_materialize,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    data = docs.select(
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias("subj"),
+        F.lit("<urn:p:inLang>").alias("pred"),
+        F.concat(F.lit("<urn:lang:"), F.col("lang"), F.lit(">")).alias("obj"),
+    )
+    schema = spark.createDataFrame(
+        [
+            ("<urn:p:inLang>", SUBPROP, "<urn:p:hasAttr>"),
+            ("<urn:p:inLang>", DOMAIN, "<urn:class:Doc>"),
+            ("<urn:p:inLang>", RANGE, "<urn:class:Lang>"),
+            ("<urn:class:Doc>", SUBCLASS, "<urn:class:Resource>"),
+            ("<urn:class:Lang>", SUBCLASS, "<urn:class:Resource>"),
+            ("<urn:class:Resource>", SUBCLASS, "<urn:class:Thing>"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return rdfs_materialize(data.unionByName(schema))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1739,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg": q_sparql_agg,
         "sparql_union": q_sparql_union,
         "sparql_dataset": q_sparql_dataset,
+        "rdfs_entail": q_rdfs_entail,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
         "sparql_negation": q_sparql_negation,
@@ -2873,6 +2904,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source IN ('src2', 'src5') AND n_chars >= 250
             ORDER BY doc
+        """,
+        "rdfs_entail": """
+            WITH data AS (
+              SELECT DISTINCT '<urn:doc:' || doc_id || '>' AS doc,
+                     '<urn:lang:' || lang || '>' AS lng
+              FROM documents
+            ), langs AS (SELECT DISTINCT lng FROM data)
+            SELECT doc AS subj, '<urn:p:inLang>' AS pred, lng AS obj FROM data
+            UNION SELECT doc, '<urn:p:hasAttr>', lng FROM data
+            UNION SELECT doc,
+                   '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                   c FROM data, (VALUES ('<urn:class:Doc>'),
+                                        ('<urn:class:Resource>'),
+                                        ('<urn:class:Thing>')) cls(c)
+            UNION SELECT lng,
+                   '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                   c FROM langs, (VALUES ('<urn:class:Lang>'),
+                                         ('<urn:class:Resource>'),
+                                         ('<urn:class:Thing>')) cls(c)
+            UNION SELECT * FROM (VALUES
+              ('<urn:p:inLang>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:hasAttr>'),
+              ('<urn:p:inLang>',
+               '<http://www.w3.org/2000/01/rdf-schema#domain>',
+               '<urn:class:Doc>'),
+              ('<urn:p:inLang>',
+               '<http://www.w3.org/2000/01/rdf-schema#range>',
+               '<urn:class:Lang>'),
+              ('<urn:class:Doc>',
+               '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+               '<urn:class:Resource>'),
+              ('<urn:class:Lang>',
+               '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+               '<urn:class:Resource>'),
+              ('<urn:class:Resource>',
+               '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+               '<urn:class:Thing>'),
+              ('<urn:class:Doc>',
+               '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+               '<urn:class:Thing>'),
+              ('<urn:class:Lang>',
+               '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+               '<urn:class:Thing>')
+            ) s(subj, pred, obj)
         """,
         "span_dedup": """
             WITH toks AS (

@@ -1,0 +1,75 @@
+"""RDFS-lite materialization (operators/reasoner.py)."""
+
+from nabu_spark.operators.reasoner import (
+    DOMAIN,
+    RANGE,
+    RDF_TYPE,
+    SUBCLASS,
+    SUBPROP,
+    rdfs_materialize,
+    transitive_closure,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _run(spark, rows):
+    return sorted(tuple(r) for r in rdfs_materialize(_df(spark, rows)).collect())
+
+
+class TestRules:
+    def test_hand_computed_closure(self, spark):
+        rows = [
+            ("<urn:C1>", SUBCLASS, "<urn:C2>"),
+            ("<urn:C2>", SUBCLASS, "<urn:C3>"),
+            ("<urn:p>", SUBPROP, "<urn:q>"),
+            ("<urn:q>", SUBPROP, "<urn:r>"),
+            ("<urn:p>", DOMAIN, "<urn:C1>"),
+            ("<urn:r>", RANGE, "<urn:C2>"),
+            ("<urn:a>", "<urn:p>", "<urn:b>"),
+            ("<urn:x>", RDF_TYPE, "<urn:C1>"),
+            ("<urn:a>", "<urn:p>", '"lit"'),
+        ]
+        got = set(_run(spark, rows))
+        # rdfs5/11 transitivity
+        assert ("<urn:p>", SUBPROP, "<urn:r>") in got
+        assert ("<urn:C1>", SUBCLASS, "<urn:C3>") in got
+        # rdfs7 through the CLOSED hierarchy (p -> r directly)
+        assert ("<urn:a>", "<urn:r>", "<urn:b>") in got
+        # rdfs2 via derived property use; rdfs9 lifts it up the chain
+        assert ("<urn:a>", RDF_TYPE, "<urn:C1>") in got
+        assert ("<urn:a>", RDF_TYPE, "<urn:C3>") in got
+        # rdfs3 on the derived r-triple; literal object excluded
+        assert ("<urn:b>", RDF_TYPE, "<urn:C2>") in got
+        assert not any(s == '"lit"' for s, _, _ in got)
+        assert len(got) == 22  # full hand-enumerated closure size
+
+    def test_idempotent(self, spark):
+        rows = [
+            ("<urn:C1>", SUBCLASS, "<urn:C2>"),
+            ("<urn:p>", SUBPROP, "<urn:q>"),
+            ("<urn:p>", DOMAIN, "<urn:C1>"),
+            ("<urn:a>", "<urn:p>", "<urn:b>"),
+        ]
+        once = rdfs_materialize(_df(spark, rows))
+        twice = sorted(tuple(r) for r in rdfs_materialize(once).collect())
+        assert twice == sorted(tuple(r) for r in once.collect())
+
+    def test_cyclic_hierarchy_terminates(self, spark):
+        rows = [
+            ("<urn:C1>", SUBCLASS, "<urn:C2>"),
+            ("<urn:C2>", SUBCLASS, "<urn:C1>"),
+            ("<urn:x>", RDF_TYPE, "<urn:C1>"),
+        ]
+        got = set(_run(spark, rows))
+        assert ("<urn:x>", RDF_TYPE, "<urn:C2>") in got
+        assert ("<urn:C1>", SUBCLASS, "<urn:C1>") in got  # via the cycle
+
+    def test_deep_chain_logarithmic_closure(self, spark):
+        # 40-deep chain closes within the 32-round doubling budget
+        rows = [(f"<urn:C{i}>", SUBCLASS, f"<urn:C{i+1}>") for i in range(40)]
+        pairs = transitive_closure(
+            _df(spark, rows).selectExpr("subj as child", "obj as parent"))
+        assert pairs.count() == 40 * 41 // 2
