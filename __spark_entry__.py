@@ -1730,6 +1730,21 @@ def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_materialize(data.unionByName(schema))
 
 
+def q_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID dataset statistics (operators/stats.py::void_stats): global
+    triple/subject/object/property counts plus property and class
+    partitions over the doc quads + per-source rdf:type triples."""
+    from nabu_spark.operators.stats import void_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    types = docs.select(
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias("subj"),
+        F.lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>").alias("pred"),
+        F.concat(F.lit("<urn:class:"), F.col("source"), F.lit(">")).alias("obj"),
+    )
+    return void_stats(_doc_quads(spark, sf_dir).unionByName(types))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1770,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": q_sparql_union,
         "sparql_dataset": q_sparql_dataset,
         "rdfs_entail": q_rdfs_entail,
+        "void_stats": q_void_stats,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
         "sparql_negation": q_sparql_negation,
@@ -2904,6 +2920,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source IN ('src2', 'src5') AND n_chars >= 250
             ORDER BY doc
+        """,
+        "void_stats": """
+            WITH t AS (
+              SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                     '<urn:p:lang>' AS pred, '"' || lang || '"' AS obj
+              FROM documents
+              UNION ALL
+              SELECT '<urn:doc:' || doc_id || '>', '<urn:p:source>',
+                     '<urn:src:' || source || '>' FROM documents
+              UNION ALL
+              SELECT '<urn:doc:' || doc_id || '>', '<urn:p:nchars>',
+                     '"' || n_chars ||
+                     '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+              FROM documents
+              UNION ALL
+              SELECT '<urn:doc:' || doc_id || '>', '<urn:p:prev>',
+                     '<urn:doc:' || (doc_id - 1) || '>'
+              FROM documents WHERE doc_id > 0
+              UNION ALL
+              SELECT '<urn:doc:' || doc_id || '>',
+                     '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                     '<urn:class:' || source || '>' FROM documents
+            )
+            SELECT 'dataset' AS part, 'triples' AS key,
+                   CAST(count(*) AS BIGINT) AS n FROM t
+            UNION ALL SELECT 'dataset', 'distinctSubjects',
+                   CAST(count(DISTINCT subj) AS BIGINT) FROM t
+            UNION ALL SELECT 'dataset', 'distinctObjects',
+                   CAST(count(DISTINCT obj) AS BIGINT) FROM t
+            UNION ALL SELECT 'dataset', 'properties',
+                   CAST(count(DISTINCT pred) AS BIGINT) FROM t
+            UNION ALL SELECT 'property', pred, CAST(count(*) AS BIGINT)
+                   FROM t GROUP BY pred
+            UNION ALL SELECT 'class', obj, CAST(count(DISTINCT subj) AS BIGINT)
+                   FROM t
+                   WHERE pred =
+                     '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                   GROUP BY obj
         """,
         "rdfs_entail": """
             WITH data AS (

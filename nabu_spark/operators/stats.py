@@ -79,3 +79,85 @@ def cleanup_list(stored: DataFrame, current: DataFrame, key_col: str = "obj_key"
     return stored.select(key_col).distinct().join(
         current.select(key_col).distinct(), key_col, "left_anti"
     )
+
+
+def void_stats(triples: DataFrame) -> DataFrame:
+    """W3C VoID-style dataset statistics over a (subj, pred, obj) graph:
+    global counts plus the property partition (triples per predicate) and
+    class partition (distinct instances per rdf:type class), as tidy
+    (part, key, n) rows. Each block is one map-side-combined aggregation
+    on a low-cardinality key — the vocabulary, not the data — so the
+    graph is scanned a bounded number of times and nothing collects.
+
+    The reference has no dataset-description artifact; downstream VoID
+    publication is a standard triplestore companion (north-star surface)."""
+    from ..functions.turtle import RDF_TYPE  # single source of truth
+
+    t = triples.select("subj", "pred", "obj")
+    globals_ = t.agg(
+        F.count(F.lit(1)).alias("triples"),
+        F.countDistinct("subj").alias("distinctSubjects"),
+        F.countDistinct("obj").alias("distinctObjects"),
+        F.countDistinct("pred").alias("properties"),
+    ).selectExpr(
+        "stack(4, 'triples', triples, 'distinctSubjects', distinctSubjects, "
+        "'distinctObjects', distinctObjects, 'properties', properties) "
+        "as (key, n)"
+    ).select(F.lit("dataset").alias("part"), "key", "n")
+    prop_part = (
+        t.groupBy(F.col("pred").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("property").alias("part"), "key", "n")
+    )
+    class_part = (
+        t.filter(F.col("pred") == RDF_TYPE)
+        .groupBy(F.col("obj").alias("key"))
+        .agg(F.countDistinct("subj").alias("n"))
+        .select(F.lit("class").alias("part"), "key", "n")
+    )
+    return globals_.unionByName(prop_part).unionByName(class_part)
+
+
+def void_triples(triples: DataFrame, dataset_iri: str) -> DataFrame:
+    """Render :func:`void_stats` as a VoID RDF description of the dataset
+    (void:triples / void:distinctSubjects / ... plus one deterministic
+    partition node per predicate/class) ready to release alongside the
+    graph itself."""
+    V = "http://rdfs.org/ns/void#"
+    stats = void_stats(triples)
+    ds = F.lit(dataset_iri)
+    lit_n = F.concat(
+        F.lit('"'), F.col("n").cast("string"),
+        F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'))
+    glob = stats.filter(F.col("part") == "dataset").select(
+        ds.alias("subj"),
+        F.concat(F.lit(f"<{V}"), F.col("key"), F.lit(">")).alias("pred"),
+        lit_n.alias("obj"),
+    )
+    # partition nodes: deterministic IRIs derived from the partition key so
+    # output is stable across runs and cluster sizes (no blank-node state)
+    pnode = F.concat(
+        F.lit(dataset_iri[:-1] + "/part/"),
+        F.md5(F.concat(F.col("part"), F.lit("\x1f"), F.col("key"))),
+        F.lit(">"))
+    parts = stats.filter(F.col("part") != "dataset")
+    link = parts.select(
+        ds.alias("subj"),
+        F.when(F.col("part") == "property",
+               F.lit(f"<{V}propertyPartition>"))
+        .otherwise(F.lit(f"<{V}classPartition>")).alias("pred"),
+        pnode.alias("obj"),
+    )
+    member = parts.select(
+        pnode.alias("subj"),
+        F.when(F.col("part") == "property", F.lit(f"<{V}property>"))
+        .otherwise(F.lit(f"<{V}class>")).alias("pred"),
+        F.col("key").alias("obj"),
+    )
+    counts = parts.select(
+        pnode.alias("subj"),
+        F.when(F.col("part") == "property", F.lit(f"<{V}triples>"))
+        .otherwise(F.lit(f"<{V}entities>")).alias("pred"),
+        lit_n.alias("obj"),
+    )
+    return glob.unionByName(link).unionByName(member).unionByName(counts)

@@ -256,3 +256,41 @@ class TestTrivialFilters:
             for p in ("summoned/", "prov/", "orgs/")
         }
         assert counts == {"summoned/": 3, "prov/": 1, "orgs/": 1}
+
+
+class TestVoidStats:
+    ROWS = [
+        ("<urn:a>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<urn:C>"),
+        ("<urn:b>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<urn:C>"),
+        ("<urn:a>", "<urn:p>", '"x"'),
+        ("<urn:a>", "<urn:p>", '"y"'),
+    ]
+
+    def test_stats_rows(self, spark):
+        from nabu_spark.operators.stats import void_stats
+
+        df = spark.createDataFrame(
+            self.ROWS, "subj string, pred string, obj string")
+        got = {(r.part, r.key): r.n for r in void_stats(df).collect()}
+        assert got[("dataset", "triples")] == 4
+        assert got[("dataset", "distinctSubjects")] == 2
+        assert got[("dataset", "properties")] == 2
+        assert got[("property", "<urn:p>")] == 2
+        assert got[("class", "<urn:C>")] == 2
+
+    def test_void_rdf_deterministic_and_linked(self, spark):
+        from nabu_spark.operators.stats import void_triples
+
+        df = spark.createDataFrame(
+            self.ROWS, "subj string, pred string, obj string")
+        a = sorted(tuple(r) for r in void_triples(df, "<urn:ds>").collect())
+        b = sorted(tuple(r) for r in void_triples(df, "<urn:ds>").collect())
+        assert a == b  # partition-node IRIs are content-derived, not bnodes
+        # every partition node the dataset links to carries its key + count
+        links = {o for s, p, o in a if p.endswith("Partition>")}
+        subjects = {s for s, _, _ in a}
+        assert links and links <= subjects
+        assert ("<urn:ds>", "<http://rdfs.org/ns/void#triples>",
+                '"4"^^<http://www.w3.org/2001/XMLSchema#integer>') in a
