@@ -151,6 +151,8 @@ def build_parser() -> argparse.ArgumentParser:
     qy.add_argument("--out", help="write results as parquet (default: print)")
     qy.add_argument("--limit", type=int, default=50,
                     help="max rows to print when --out is not given")
+    qy.add_argument("--format", choices=["text", "json"], default="text",
+                    help="json = W3C SPARQL 1.1 Query Results JSON")
 
     up = sub.add_parser(
         "store",
@@ -172,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--to-version", type=int, help="rollback target")
     up.add_argument("--out", help="query: write results as parquet")
     up.add_argument("--limit", type=int, default=50)
+    up.add_argument("--format", choices=["text", "json"], default="text",
+                    help="query: json = W3C SPARQL Query Results JSON")
     return p
 
 
@@ -466,6 +470,10 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"cmd": "query", "rows": n, "cols": out.columns}))
+        elif args.format == "json":
+            from .sparql import sparql_results_json
+
+            print(json.dumps(sparql_results_json(out, limit=args.limit)))
         else:
             rows = out.limit(args.limit).collect()
             for r in rows:
@@ -506,6 +514,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"cmd": "store", "action": "query",
                                   "rows": spark.read.parquet(args.out).count(),
                                   "cols": out.columns}))
+            elif args.format == "json":
+                from .sparql import sparql_results_json
+
+                print(json.dumps(sparql_results_json(out, limit=args.limit)))
             else:
                 for r in out.limit(args.limit).collect():
                     print("\t".join("" if r[c] is None else str(r[c])

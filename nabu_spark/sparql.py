@@ -2026,3 +2026,57 @@ def sparql_eval_local(
                 out.append(dict(zip(("subj", "pred", "obj"), vals)))
         return out
     return _apply_select_local(ev, q, rows)
+
+
+# ---------------------------------------------------------------------------
+# W3C SPARQL 1.1 Query Results JSON (application/sparql-results+json)
+# ---------------------------------------------------------------------------
+
+
+def _term_json(v) -> dict:
+    """One RDF term (N-Triples string or native value from an aggregate)
+    -> the W3C results-JSON binding object."""
+    from .functions.ntriples import unescape_literal
+
+    if isinstance(v, bool):
+        return {"type": "literal", "value": "true" if v else "false",
+                "datatype": "http://www.w3.org/2001/XMLSchema#boolean"}
+    if isinstance(v, int):
+        return {"type": "literal", "value": str(v),
+                "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+    if isinstance(v, float):
+        return {"type": "literal", "value": repr(v),
+                "datatype": "http://www.w3.org/2001/XMLSchema#double"}
+    if v.startswith("<") and v.endswith(">"):
+        return {"type": "uri", "value": v[1:-1]}
+    if v.startswith("_:"):
+        return {"type": "bnode", "value": v[2:]}
+    if v.startswith('"'):
+        out: dict = {"type": "literal",
+                     "value": unescape_literal(term_lex(v))}
+        lang = term_lang(v)
+        if lang:
+            out["xml:lang"] = lang
+        else:
+            dt = term_datatype(v)
+            if dt and dt != XSD_STRING:
+                out["datatype"] = dt
+        return out
+    # plain strings from GROUP_CONCAT etc.
+    return {"type": "literal", "value": v}
+
+
+def sparql_results_json(df: DataFrame, *, limit: int | None = None) -> dict:
+    """Collect a SPARQL result DataFrame into the W3C SPARQL 1.1 Query
+    Results JSON structure (driver-side — results are the small end of a
+    query; cap with ``limit`` when exposing big relations)."""
+    cols = df.columns
+    if cols == ["ask"]:
+        return {"head": {}, "boolean": bool(df.first()["ask"])}
+    if limit is not None:
+        df = df.limit(limit)
+    bindings = [
+        {c: _term_json(row[c]) for c in cols if row[c] is not None}
+        for row in df.collect()
+    ]
+    return {"head": {"vars": cols}, "results": {"bindings": bindings}}

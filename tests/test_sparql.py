@@ -973,3 +973,52 @@ class TestRandomQuadGraphs:
                 got = sorted(tuple(r[c] for c in cols) for r in out.collect())
                 loc = sorted(tuple(r.get(c) for c in cols) for r in local)
                 assert got == loc, f"trial {trial}: {q}\n df={got}\n local={loc}"
+
+
+class TestResultsJson:
+    """W3C SPARQL 1.1 Query Results JSON serialization."""
+
+    def test_bindings_shape(self, spark):
+        from nabu_spark.sparql import sparql_results_json
+
+        df = spark.createDataFrame(
+            [("<urn:a>", iri("p"), '"x\\nx"@en'),
+             ("_:b0", iri("p"), num(3))],
+            "subj string, pred string, obj string",
+        )
+        out = sparql_query(
+            df, "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:p ?o } "
+                "ORDER BY ?s")
+        res = sparql_results_json(out)
+        assert res["head"]["vars"] == ["s", "o"]
+        b = res["results"]["bindings"]
+        assert b[0]["s"] == {"type": "uri", "value": "urn:a"}
+        assert b[0]["o"] == {"type": "literal", "value": "x\nx",
+                             "xml:lang": "en"}  # escapes decoded
+        assert b[1]["s"] == {"type": "bnode", "value": "b0"}
+        assert b[1]["o"]["datatype"].endswith("integer")
+
+    def test_unbound_omitted_and_aggregates_typed(self, spark):
+        from nabu_spark.sparql import sparql_results_json
+
+        df = spark.createDataFrame(
+            [(iri("a"), iri("p"), iri("b"))],
+            "subj string, pred string, obj string",
+        )
+        out = sparql_query(
+            df, "PREFIX t: <urn:t:> SELECT ?s ?x (COUNT(*) AS ?n) WHERE "
+                "{ ?s t:p ?o OPTIONAL { ?s t:q ?x } } GROUP BY ?s ?x")
+        b = sparql_results_json(out)["results"]["bindings"]
+        assert "x" not in b[0]          # unbound var omitted per spec
+        assert b[0]["n"]["datatype"].endswith("integer")
+
+    def test_ask_boolean(self, spark):
+        from nabu_spark.sparql import sparql_results_json
+
+        df = spark.createDataFrame(
+            [(iri("a"), iri("p"), iri("b"))],
+            "subj string, pred string, obj string",
+        )
+        res = sparql_results_json(
+            sparql_query(df, "PREFIX t: <urn:t:> ASK { ?s t:p ?o }"))
+        assert res == {"head": {}, "boolean": True}
