@@ -32,6 +32,7 @@ _TOKEN_RE = re.compile(
   | (?P<dtsep>\^\^)
   | (?P<punct>\[|\]|\(|\)|;|,|\.(?=[\s#]|$))
   | (?P<keyword>@prefix|@base|\ba\b(?=[\s\[<]))
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][\w.\-]*)?:(?P<local>(?:[\w\-:%#/]|\.(?=[\w.\-:%#/]))*)
   | (?P<bare>[A-Za-z_][\w.\-]*)
@@ -136,6 +137,9 @@ class _Parser:
                 if not dt.startswith("<"):
                     raise TurtleError(f"datatype must be an IRI, got {dt!r}")
                 return term + "^^" + dt
+            if nxt is not None and nxt.lastgroup == "langtag":
+                self._next()
+                return term + nxt.group(0)
             return term
         if kind == "number":
             if "." in text:
@@ -246,3 +250,91 @@ class _Parser:
 def parse_turtle(text: str) -> list[tuple[str, str, str]]:
     """Parse a Turtle document into ``(subj, pred, obj)`` term triples."""
     return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# serializer (deterministic, roundtrips through parse_turtle)
+# ---------------------------------------------------------------------------
+
+_SER_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+_PN_LOCAL_RE = re.compile(r"[A-Za-z_][\w\-]*\Z")
+
+
+def _escape_lex(s: str) -> str:
+    return "".join(_SER_ESCAPES.get(ch, ch) for ch in s)
+
+
+def _compact(term: str, prefixes: dict[str, str]) -> str:
+    """IRI -> pname when a prefix matches and the local part is a safe
+    PN_LOCAL (conservative subset — falls back to the full IRI form)."""
+    if not (term.startswith("<") and term.endswith(">")):
+        return term
+    iri = term[1:-1]
+    for pfx, ns in prefixes.items():
+        if iri.startswith(ns):
+            local = iri[len(ns):]
+            if _PN_LOCAL_RE.match(local):
+                return f"{pfx}:{local}"
+    return term
+
+
+_LIT_SER_RE = re.compile(
+    r'\A"(.*)"(?:@([A-Za-z0-9-]+)|\^\^<([^<>]*)>)?\Z', re.S)
+
+
+def _render_term(term: str, prefixes: dict[str, str]) -> str:
+    if term.startswith('"'):
+        from .ntriples import unescape_literal
+
+        m = _LIT_SER_RE.match(term)
+        if not m:
+            return term  # already-serialized oddity: pass through
+        lex, lang, dt = m.groups()
+        # decode the engine's N-Triples escaping, then apply Turtle's —
+        # the parser inverts exactly this, so roundtrips compare equal on
+        # decoded lexical forms whatever convention the input used
+        out = f'"{_escape_lex(unescape_literal(lex))}"'
+        if lang:
+            out += f"@{lang}"
+        elif dt and dt != "http://www.w3.org/2001/XMLSchema#string":
+            out += "^^" + _compact(f"<{dt}>", prefixes)
+        return out
+    if term == RDF_TYPE:
+        return "a"
+    return _compact(term, prefixes)
+
+
+def serialize_turtle(
+    triples, prefixes: dict[str, str] | None = None
+) -> str:
+    """Deterministic Turtle text for an iterable of (subj, pred, obj)
+    N-Triples-term triples: prefix table, subjects sorted, one subject
+    block each with ``;``-joined predicates (sorted, rdf:type first) and
+    ``,``-joined objects (sorted). Literal escapes and prefix compaction
+    are the exact inverse of this module's parser — the roundtrip is
+    pinned by tests. Driver-side by design (shape files, VoID
+    descriptions, per-graph release documents — the small artifacts);
+    bulk data stays in N-Quads/parquet."""
+    prefixes = dict(prefixes or {})
+    by_subj: dict[str, dict[str, list[str]]] = {}
+    for s, p, o in triples:
+        by_subj.setdefault(s, {}).setdefault(p, []).append(o)
+    lines = [
+        f"@prefix {pfx}: <{ns}> ." for pfx, ns in sorted(prefixes.items())
+    ]
+    if lines:
+        lines.append("")
+    for s in sorted(by_subj):
+        preds = by_subj[s]
+        # rdf:type first (Turtle convention), then sorted predicates
+        order = sorted(preds, key=lambda p: (p != RDF_TYPE, p))
+        pparts = []
+        for p in order:
+            objs = ", ".join(
+                _render_term(o, prefixes) for o in sorted(set(preds[p]))
+            )
+            pparts.append(f"{_render_term(p, prefixes)} {objs}")
+        subj = s if s.startswith("_:") else _compact(s, prefixes)
+        sep = " ;\n" + " " * 4
+        lines.append(f"{subj} {sep.join(pparts)} .")
+    return "\n".join(lines) + "\n"

@@ -454,3 +454,94 @@ class TestContainerFuzz:
 
         text, kept, dropped = extract_main_text(blob)
         assert isinstance(text, str) and kept >= 0 and dropped >= 0
+
+
+class TestTurtleSerializer:
+    """serialize_turtle <-> parse_turtle roundtrip (decoded-lexical
+    equality — the two sides' escape conventions are exact inverses)."""
+
+    @staticmethod
+    def _norm(t):
+        import re
+
+        from nabu_spark.functions.ntriples import unescape_literal
+
+        m = re.match(r'\A"(.*)"(@[A-Za-z0-9-]+|\^\^<[^<>]*>)?\Z', t, re.S)
+        return t if not m else (unescape_literal(m.group(1)),
+                                m.group(2) or "")
+
+    def _roundtrip(self, g, prefixes=None):
+        from nabu_spark.functions.turtle import parse_turtle, serialize_turtle
+
+        ttl = serialize_turtle(g, prefixes)
+        back = parse_turtle(ttl)
+        a = {tuple(self._norm(x) for x in t) for t in back}
+        b = {tuple(self._norm(x) for x in t) for t in g}
+        assert a == b, f"\n{ttl}\n extra={a - b}\n missing={b - a}"
+        return ttl
+
+    def test_fixed_graph_roundtrip_and_layout(self):
+        from nabu_spark.functions.turtle import RDF_TYPE
+
+        g = [
+            ("<urn:x:a>", RDF_TYPE, "<urn:x:C>"),
+            ("<urn:x:a>", "<urn:x:p>", '"he said \\"hi\\"\\nnl"'),
+            ("<urn:x:a>", "<urn:x:p>", '"fr"@fr'),
+            ("<urn:x:a>", "<urn:x:q>",
+             '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            ("_:b0", "<urn:x:p>", "<urn:x:a>"),
+        ]
+        ttl = self._roundtrip(
+            g, {"x": "urn:x:", "xsd": "http://www.w3.org/2001/XMLSchema#"})
+        assert "x:a a x:C ;" in ttl          # rdf:type first, compacted
+        assert '"3"^^xsd:integer' in ttl     # datatype compaction
+        assert ttl == self._roundtrip(
+            list(reversed(g)),
+            {"x": "urn:x:", "xsd": "http://www.w3.org/2001/XMLSchema#"},
+        )  # deterministic under input order
+
+    def test_random_graphs_roundtrip(self):
+        import random
+
+        rng = random.Random(11)
+        lexes = ["plain", 'q"uote', "back\\slash", "new\nline", "tab\there",
+                 "uni\u00e9"]
+        for _ in range(20):
+            g = set()
+            for _ in range(rng.randint(1, 12)):
+                s = rng.choice(["<urn:s:1>", "<urn:s:2>", "_:bn"])
+                p = rng.choice(["<urn:p:a>", "<urn:p:b>"])
+                kind = rng.random()
+                if kind < 0.4:
+                    o = rng.choice(["<urn:o:x>", "_:bo"])
+                else:
+                    lex = rng.choice(lexes).replace("\\", "\\\\") \
+                        .replace('"', '\\"').replace("\n", "\\n") \
+                        .replace("\t", "\\t")
+                    o = f'"{lex}"'
+                    if kind < 0.6:
+                        o += "@en-GB"
+                    elif kind < 0.8:
+                        o += "^^<urn:dt:d>"
+                g.add((s, p, o))
+            self._roundtrip(sorted(g))
+
+    def test_parser_language_tags(self):
+        from nabu_spark.functions.turtle import parse_turtle
+
+        got = parse_turtle(
+            '@prefix x: <urn:x:> . x:a x:p "hi"@en-GB, "ho" .')
+        objs = sorted(o for _, _, o in got)
+        assert objs == ['"hi"@en-GB', '"ho"']
+
+    def test_void_description_roundtrips(self, spark):
+        from nabu_spark.functions.turtle import parse_turtle, serialize_turtle
+        from nabu_spark.operators.stats import void_triples
+
+        df = spark.createDataFrame(
+            [("<urn:a>", "<urn:p>", '"x"'), ("<urn:b>", "<urn:p>", '"y"')],
+            "subj string, pred string, obj string")
+        rows = [tuple(r) for r in void_triples(df, "<urn:ds>").collect()]
+        ttl = serialize_turtle(rows, {"void": "http://rdfs.org/ns/void#"})
+        assert "void:triples" in ttl
+        assert {tuple(t) for t in parse_turtle(ttl)} == set(rows)
