@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--exit-on-failure", action="store_true",
         help="non-zero exit when any graph fails (reference --exit-on-shacl-failure)",
     )
+    v.add_argument(
+        "--report-quads", action="store_true",
+        help="also write standard sh:ValidationReport graphs "
+             "(one per document graph) under <out>/shacl_report_quads",
+    )
 
     ln = sub.add_parser("link", help="entity-link quads against a known-IRI dict")
     ln.add_argument("--quads", required=True)
@@ -375,6 +380,12 @@ def main(argv: list[str] | None = None) -> int:
             shapes_ttl = fh.read()
         report = shacl_validate_quads(quads, shapes_ttl)
         report.write.mode("overwrite").parquet(os.path.join(args.out, "shacl_report"))
+        if args.report_quads:
+            from .operators.shacl import shacl_report_quads
+
+            shacl_report_quads(quads, shapes_ttl).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(args.out, "shacl_report_quads"))
         report = spark.read.parquet(os.path.join(args.out, "shacl_report"))
         agg = report.agg(
             F.count("*").alias("total"),

@@ -664,3 +664,118 @@ def geoconnex_shapes_ttl() -> str:
     path = "/root/reference/shacl_validator/shapes/geoconnex.ttl"
     with open(path) as fh:
         return fh.read()
+
+
+# ---------------------------------------------------------------------------
+# standard sh:ValidationReport rendering
+# ---------------------------------------------------------------------------
+
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("prov", T.StringType()),
+    ]
+)
+
+_RDF_TYPE_IRI = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+# internal short component names -> standard SHACL constraint components
+_COMPONENT_IRI = {
+    "OrConstraint": "Or", "PreCheck": "Node",
+    "QualifiedMinCount": "QualifiedMinCount",
+    "QualifiedMaxCount": "QualifiedMaxCount",
+}
+
+
+def _component_iri(name: str) -> str:
+    base = _COMPONENT_IRI.get(name, name)
+    return _sh(f"{base}ConstraintComponent")
+
+
+def _report_rows(prov, triples, sg, precheck: bool) -> list[dict]:
+    """One graph's sh:ValidationReport as quad rows in that graph's prov.
+    Node IRIs are content-derived (hash of prov / result tuple + index) so
+    the report is deterministic across runs and cluster sizes."""
+    import hashlib
+
+    conforms, results = validate_graph(sg, triples, precheck=precheck)
+    h = hashlib.sha256(("report\x1f" + (prov or "")).encode()).hexdigest()[:16]
+    rep = f"<urn:shacl:report:{h}>"
+    rows = [
+        (rep, _RDF_TYPE_IRI, _sh("ValidationReport")),
+        (rep, _sh("conforms"),
+         f'"{"true" if conforms else "false"}"'
+         '^^<http://www.w3.org/2001/XMLSchema#boolean>'),
+    ]
+    for i, (focus, path, component, message, severity) in enumerate(
+            sorted(results)):
+        rh = hashlib.sha256(
+            "\x1f".join(["result", prov or "", str(i), focus, path,
+                         component, message, severity]).encode()
+        ).hexdigest()[:16]
+        res = f"<urn:shacl:result:{rh}>"
+        rows.append((rep, _sh("result"), res))
+        rows.append((res, _RDF_TYPE_IRI, _sh("ValidationResult")))
+        if focus:
+            rows.append((res, _sh("focusNode"), focus))
+        if path:
+            # plain-IRI paths emit as IRIs; composite path display forms
+            # (sequences/inverses) as literals — lossless either way
+            p = path if path.startswith("<") else f'"{_escape_lit(path)}"'
+            rows.append((res, _sh("resultPath"), p))
+        rows.append((res, _sh("resultMessage"), f'"{_escape_lit(message)}"'))
+        rows.append((res, _sh("resultSeverity"), _sh(severity)))
+        rows.append((res, _sh("sourceConstraintComponent"),
+                     _component_iri(component)))
+    return [
+        {"subj": s, "pred": p, "obj": o, "prov": prov} for s, p, o in rows
+    ]
+
+
+def _escape_lit(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def shacl_report_quads(
+    quads: DataFrame, shapes_ttl: str, *, precheck: bool = True
+) -> DataFrame:
+    """Distributed standard-vocabulary validation reports: one
+    sh:ValidationReport graph PER document graph, tagged with the same
+    prov, ready to release beside the data or serialize with
+    functions.turtle.serialize_turtle. Same single-shuffle partition
+    streaming as :func:`shacl_validate_quads`."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    sg = parse_shapes(shapes_ttl)
+
+    def eval_partition(it):
+        pending_prov = None
+        pending: list[tuple[str, str, str]] = []
+        out: list[dict] = []
+        for pdf in it:
+            for prov, s, p, o in zip(
+                pdf["prov"], pdf["subj"], pdf["pred"], pdf["obj"]
+            ):
+                if prov != pending_prov:
+                    if pending_prov is not None:
+                        out.extend(_report_rows(pending_prov, pending, sg,
+                                                precheck))
+                    pending_prov, pending = prov, []
+                pending.append((s, p, o))
+            if out:
+                yield pd.DataFrame(out)
+                out = []
+        if pending_prov is not None:
+            out.extend(_report_rows(pending_prov, pending, sg, precheck))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        quads.select("prov", "subj", "pred", "obj")
+        .repartition(F.col("prov"))
+        .sortWithinPartitions("prov")
+        .mapInPandas(eval_partition, REPORT_SCHEMA)
+    )

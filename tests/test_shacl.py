@@ -765,3 +765,77 @@ ex:NoSelfAlias a sh:NodeShape ;
         assert "name equals alternateName" in \
             out["<urn:iow:summoned:d:0>"]["violations"][0]
         assert out["<urn:iow:summoned:d:1>"]["conforms"] is True
+
+
+class TestValidationReportQuads:
+    """Standard sh:ValidationReport rendering (shacl_report_quads)."""
+
+    SHAPES = """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix schema: <https://schema.org/> .
+        @prefix ex: <urn:ex:> .
+        ex:S a sh:NodeShape ;
+          sh:targetClass schema:Place ;
+          sh:property [ sh:path schema:name ; sh:minCount 1 ] .
+    """
+
+    def _quads(self, spark):
+        rows = [
+            # g1 conforms, g2 misses schema:name
+            ("<urn:a>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+             "<https://schema.org/Place>", "<urn:g1>"),
+            ("<urn:a>", "<https://schema.org/name>", '"A"', "<urn:g1>"),
+            ("<urn:b>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+             "<https://schema.org/Place>", "<urn:g2>"),
+        ]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, prov string")
+
+    def test_report_agrees_with_validation(self, spark):
+        from nabu_spark.operators.shacl import (
+            shacl_report_quads, shacl_validate_quads,
+        )
+
+        quads = self._quads(spark)
+        rep = shacl_report_quads(quads, self.SHAPES, precheck=False)
+        rows = [tuple(r) for r in rep.collect()]
+        SH = "http://www.w3.org/ns/shacl#"
+        conf = {
+            prov: obj for s, p, obj, prov in rows
+            if p == f"<{SH}conforms>"
+        }
+        val = {r.prov: r.conforms
+               for r in shacl_validate_quads(
+                   quads, self.SHAPES, precheck=False).collect()}
+        want = {p: f'"{"true" if c else "false"}"'
+                   '^^<http://www.w3.org/2001/XMLSchema#boolean>'
+                for p, c in val.items()}
+        assert conf == want
+        # the failing graph carries a full ValidationResult node
+        g2 = [(s, p, o) for s, p, o, prov in rows if prov == "<urn:g2>"]
+        preds = {p for _, p, _ in g2}
+        for local in ("result>", "focusNode>", "resultMessage>",
+                      "resultSeverity>", "sourceConstraintComponent>",
+                      "resultPath>"):
+            assert any(p.endswith(local) for p in preds), local
+        assert ("<urn:b>" in {o for _, p, o in g2
+                              if p == f"<{SH}focusNode>"})
+        assert f"<{SH}MinCountConstraintComponent>" in {
+            o for _, p, o in g2 if p == f"<{SH}sourceConstraintComponent>"}
+
+    def test_report_deterministic_and_turtle_serializable(self, spark):
+        from nabu_spark.functions.turtle import parse_turtle, serialize_turtle
+        from nabu_spark.operators.shacl import shacl_report_quads
+
+        quads = self._quads(spark)
+        a = sorted(tuple(r) for r in
+                   shacl_report_quads(quads, self.SHAPES,
+                                      precheck=False).collect())
+        b = sorted(tuple(r) for r in
+                   shacl_report_quads(
+                       quads.repartition(7), self.SHAPES,
+                       precheck=False).collect())
+        assert a == b  # content-derived node IRIs: partitioning-invariant
+        g2 = [(s, p, o) for s, p, o, prov in a if prov == "<urn:g2>"]
+        ttl = serialize_turtle(g2, {"sh": "http://www.w3.org/ns/shacl#"})
+        assert {tuple(t) for t in parse_turtle(ttl)} == set(g2)
