@@ -169,7 +169,10 @@ class MaterializedView:
         dels = window.filter(F.col("__op") == "d").limit(1).count()
         if dels:
             return self._full(head)  # deletes: DRed territory, recompute
-        delta_quads = window.select(*QUAD_COLS).distinct()
+        # the delta is the small side of every Σ_i join by construction —
+        # pin the broadcast rather than hoping AQE notices (at 100 TB the
+        # store-side relations must never shuffle for a small refresh)
+        delta_quads = window.select(*QUAD_COLS).distinct().hint("broadcast")
         # a FROM/FROM NAMED dataset clause restricts all three relations
         # identically (the delta included), so the expansion stays sound
         ds = (self.query.from_graphs, self.query.from_named)

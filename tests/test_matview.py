@@ -244,3 +244,35 @@ class TestStreamingStoreAndView:
         sv, vv = st.tbl.latest_version(), mv.tbl.latest_version()
         run()
         assert (st.tbl.latest_version(), mv.tbl.latest_version()) == (sv, vv)
+
+
+class TestIncrementalPlanShape:
+    def test_delta_side_broadcasts(self, spark, tmp_path):
+        """100-TB invariant: the Σ_i expansion joins must broadcast the
+        (small) delta relation — a shuffle of the store per refresh would
+        defeat the point of incremental maintenance."""
+        from nabu_spark.matview import _delta_solutions
+        from nabu_spark.sparql import _DfCompiler
+
+        st = _store(spark, tmp_path)
+        mv = MaterializedView(st, str(tmp_path / "view"), VIEW_Q)
+        mv.refresh()
+        v0 = mv.synced_version()
+        st.update('INSERT DATA { <urn:c> <urn:knows> <urn:d> . '
+                  '<urn:c> <urn:name> "C" }')
+        head = st.tbl.latest_version()
+        win = st.raw_window(v0, head)
+        delta = (win.select("subj", "pred", "obj", "prov").distinct()
+                 .hint("broadcast"))
+        sol = _delta_solutions(
+            mv.query,
+            old=_DfCompiler(st.read(v0), "prov"),
+            new=_DfCompiler(st.read(head), "prov"),
+            delta=_DfCompiler(delta, "prov"),
+        )
+        plan = sol._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        # and the correctness side: rows match a refresh's additions
+        res = mv.refresh()
+        assert res["mode"] == "incremental"
+        _assert_matches_recompute(mv)
