@@ -1441,6 +1441,24 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
 
 
+def q_curate_funnel_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel in NEAR-DUP mode under the oracle gate:
+    hygiene -> language ID -> Gopher gate -> exact dedup -> MinHash-LSH
+    near-dup dedup (min-id survivor per connected component). At r=2x64
+    banding P(miss | J>=0.5) ~ 1e-8, so banding recall is total on the
+    gate corpus and the exact-Jaccard verify stage makes the funnel's
+    output identical to the oracle's all-pairs + recursive-CC replay."""
+    from nabu_spark.curate import curate_corpus
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    union = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    out, _report = curate_corpus(
+        union, near_dup_threshold=0.5, report=False,
+        near_dup_params={"num_perm": 128, "bands": 64},
+    )
+    return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
+
+
 def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 Update applied as pure DataFrame set algebra
     (nabu_spark/graphstore.py): a three-op script — DELETE/INSERT WHERE
@@ -1794,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update": q_sparql_update,
         "graph_sync": q_graph_sync,
         "curate_funnel": q_curate_funnel,
+        "curate_funnel_near": q_curate_funnel_near,
         "nquads_parse": q_nquads_parse,
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
@@ -3130,6 +3149,95 @@ def oracle_sql() -> dict[str, str]:
                    g
             FROM docs WHERE doc_id % 3 = 0
             ORDER BY prov, subj, pred, obj
+        """,
+        "curate_funnel_near": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, text FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) AS t
+              FROM base
+            ), toks AS (
+              SELECT doc_id, t,
+                     list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                                 x -> x <> '') AS tk
+              FROM c
+            ), feats AS (
+              SELECT doc_id, t,
+                     len(tk) AS n_tokens,
+                     CASE WHEN len(tk) > 0
+                          THEN (SELECT sum(len(x)) FROM unnest(tk) AS u(x))
+                               * 1.0 / len(tk)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN len(tk) > 0
+                          THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                               * 1.0 / len(tk)
+                          ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN length(t) > 0
+                          THEN (length(t) - length(regexp_replace(t,
+                               '[#\\.\\{\\}\\[\\]<>\\|\\\\]', '', 'g')))
+                               * 1.0 / length(t)
+                          ELSE 0.0 END AS symbol_ratio,
+                     len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','with','for','was'))) AS s_en,
+                     len(list_filter(tk, x -> x IN ('el','la','de','que','los','las','una','por','con','es'))) AS s_es,
+                     len(list_filter(tk, x -> x IN ('le','la','les','des','est','dans','que','une','pour','qui'))) AS s_fr,
+                     len(list_filter(tk, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auf'))) AS s_de
+              FROM toks
+            ), gate AS (
+              SELECT doc_id, t,
+                     CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                          WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                          ELSE 'de' END AS lang_pred
+              FROM feats
+              WHERE n_tokens >= 50 AND n_tokens <= 100000
+                AND mean_wl >= 3 AND mean_wl <= 10
+                AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id FROM gate GROUP BY t
+            )
+            , surv AS (
+              SELECT g.doc_id, g.t, g.lang_pred
+              FROM gate g JOIN canon USING (doc_id)
+            ), toks2 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                                 x -> x <> '') AS tk
+              FROM surv
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4] AS s
+              FROM toks2, unnest(range(1, len(tk) - 3)) AS u(i)
+              WHERE len(tk) >= 5
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), cc(id, reach) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, cc.reach FROM edges e JOIN cc ON cc.id = e.b
+            ), removed AS (
+              SELECT id FROM cc GROUP BY id HAVING min(reach) < id
+            )
+            SELECT s.doc_id, s.t AS text, s.lang_pred
+            FROM surv s LEFT JOIN removed r ON r.id = s.doc_id
+            WHERE r.id IS NULL
+            ORDER BY doc_id
         """,
         "curate_funnel": """
             WITH base AS (

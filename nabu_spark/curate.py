@@ -77,6 +77,7 @@ def curate_corpus(
     text_col: str = "text",
     lang: str | None = None,
     near_dup_threshold: float | None = 0.7,
+    near_dup_params: dict | None = None,
     cap_per_host: int | None = None,
     host_col: str = "url",
     c4: bool = False,
@@ -89,6 +90,9 @@ def curate_corpus(
     gate — still inline codegen, no extra pass.
     ``near_dup_threshold=None`` skips the MinHash near-dup stage entirely
     (exact-dedup-only mode — the fully oracle-checkable funnel).
+    ``near_dup_params`` forwards kwargs to ``minhash_dedup`` (num_perm,
+    bands, shingle_k, max_bucket) — the contract gate runs the funnel at
+    exhaustive banding so even near-dup mode is oracle-checkable.
     ``report=False`` skips every counting action (funnel aggregation,
     stage counts, caches): the return is fully lazy — ONE plan from input
     to survivors — and the report is None. Use it when the caller only
@@ -187,7 +191,7 @@ def curate_corpus(
         obs = Observation("curate_lsh_dropped") if report else None
         pairs = minhash_dedup(
             uniq, id_col, text_col, threshold=near_dup_threshold,
-            observation=obs,
+            observation=obs, **(near_dup_params or {}),
         )
         survivors = dedup_survivors(uniq, pairs, id_col)
 
