@@ -165,7 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
              "query / compact / history / rollback",
     )
     up.add_argument("action", choices=["init", "update", "query", "compact",
-                                       "history", "rollback", "sync", "view"])
+                                       "history", "rollback", "sync", "view",
+                                       "entail"])
     up.add_argument("--store", required=True, help="graph store root dir")
     up.add_argument("--quads",
                     help="init/sync: parquet with (subj,pred,obj,prov)")
@@ -552,6 +553,10 @@ def main(argv: list[str] | None = None) -> int:
 
             res = MaterializedView(gs, args.view_root, text).refresh()
             print(json.dumps({"cmd": "store", "action": "view", **res}))
+        elif args.action == "entail":
+            v = gs.entail()
+            print(json.dumps({"cmd": "store", "action": "entail",
+                              "version": v}))
         elif args.action == "compact":
             v = gs.compact()
             print(json.dumps({"cmd": "store", "action": "compact",

@@ -783,6 +783,37 @@ class GraphStore:
         into = f" INTO GRAPH {graph}" if graph else ""
         return self.update(f"LOAD <file://{path}>{into}")
 
+    def entail(self, graph: str = "<urn:nabu:inference>") -> int:
+        """Materialize the RDFS-lite closure (operators/reasoner.py) of the
+        merged store into ``graph``: the inference graph is REPLACED with
+        exactly the derived-but-not-asserted triples, committed as delta
+        rows (delete markers for stale inferences + adds for new ones), so
+        re-entailing after an update is idempotent and never rewrites the
+        base. Asserted quads keep their graphs; queries see inferred
+        answers through the union default graph, and ``GRAPH <urn:nabu:
+        inference>`` isolates them."""
+        from .operators.reasoner import rdfs_materialize
+
+        cur = self.read()
+        asserted = cur.filter(
+            F.col("prov").isNull() | (F.col("prov") != graph))
+        base_triples = asserted.select("subj", "pred", "obj").distinct()
+        derived = (
+            rdfs_materialize(base_triples)
+            .join(base_triples, on=["subj", "pred", "obj"], how="left_anti")
+            .withColumn("prov", F.lit(graph))
+        )
+        old_inf = cur.filter(F.col("prov") == graph)
+        dels = _quad_minus(old_inf, derived)
+        adds = _quad_minus(derived, old_inf)
+        seq = self._next_seq()
+        delta = (
+            dels.withColumn("__op", F.lit("d")).withColumn("__seq", F.lit(seq))
+            .unionByName(adds.withColumn("__op", F.lit("a"))
+                         .withColumn("__seq", F.lit(seq + 1)))
+        )
+        return self._commit_delta(delta, seq + 1, "rdfs-entail")
+
     def compact(self) -> int:
         """Fold the delete log: rewrite the merged view as pure add rows."""
         seq = self._next_seq()

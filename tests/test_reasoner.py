@@ -73,3 +73,40 @@ class TestRules:
         pairs = transitive_closure(
             _df(spark, rows).selectExpr("subj as child", "obj as parent"))
         assert pairs.count() == 40 * 41 // 2
+
+
+class TestStoreEntailment:
+    def test_entail_update_reentail(self, spark, tmp_path):
+        """GraphStore.entail maintains <urn:nabu:inference>: derived-only
+        triples live there, queries see them via the union default graph,
+        re-entailment after updates is exact (stale inferences retracted),
+        and a no-op re-entail commits an empty delta."""
+        from nabu_spark.graphstore import GraphStore
+
+        st = GraphStore(spark, str(tmp_path / "store"))
+        st.init(spark.createDataFrame(
+            [("<urn:C1>", SUBCLASS, "<urn:C2>", None),
+             ("<urn:x>", RDF_TYPE, "<urn:C1>", "<urn:g1>")],
+            "subj string, pred string, obj string, prov string"))
+        st.entail()
+        inf = {(r.subj, r.pred, r.obj) for r in st.read().filter(
+            "prov = '<urn:nabu:inference>'").collect()}
+        assert inf == {("<urn:x>", RDF_TYPE, "<urn:C2>")}
+        # SPARQL over the store sees the inferred type via union default
+        got = st.query(
+            "SELECT ?s WHERE { ?s "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:C2> }"
+        ).collect()
+        assert [r.s for r in got] == ["<urn:x>"]
+
+        # update retracts the class edge -> the inference must disappear
+        st.update(f"DELETE DATA {{ <urn:C1> "
+                  f"<http://www.w3.org/2000/01/rdf-schema#subClassOf> "
+                  f"<urn:C2> }}")
+        st.entail()
+        assert st.read().filter(
+            "prov = '<urn:nabu:inference>'").count() == 0
+
+        # idempotent: a second entail commits an empty delta
+        v = st.entail()
+        assert st.tbl.manifest(v)["row_count"] == 0
