@@ -478,6 +478,11 @@ def main(argv: list[str] | None = None) -> int:
         if "error_code" in quads.columns:
             quads = quads.filter(F.col("error_code").isNull())
         out = sparql_query(quads, text)
+        if args.out and args.format == "json":
+            print(json.dumps({"cmd": "query", "error":
+                              "--out writes parquet; --format json only "
+                              "applies when printing"}))
+            return 2
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
@@ -521,6 +526,11 @@ def main(argv: list[str] | None = None) -> int:
                                   "error": "--sparql[-file] required"}))
                 return 2
             out = gs.query(text)
+            if args.out and args.format == "json":
+                print(json.dumps({"cmd": "store", "error":
+                                  "--out writes parquet; --format json "
+                                  "only applies when printing"}))
+                return 2
             if args.out:
                 out.write.mode("overwrite").parquet(args.out)
                 print(json.dumps({"cmd": "store", "action": "query",

@@ -103,18 +103,6 @@ def _delta_solutions(q: Query, old: _DfCompiler, new: _DfCompiler,
     return out
 
 
-def _instantiate_construct(q: Query, sol: DataFrame) -> DataFrame:
-    def tcol(atom):
-        return F.lit(atom[1]) if atom[0] == "term" else F.col(atom[1])
-
-    out = None
-    for _, s, p, o in q.construct:
-        part = sol.select(tcol(s).alias("subj"), tcol(p).alias("pred"),
-                          tcol(o).alias("obj"))
-        out = part if out is None else out.unionByName(part)
-    return out.na.drop().distinct()
-
-
 class MaterializedView:
     """A CONSTRUCT view over a :class:`GraphStore`, persisted as its own
     :class:`SnapshotTable` (so the view itself has atomic commits, time
@@ -184,9 +172,14 @@ class MaterializedView:
         )
         if sol is None:
             return self._full(head)
-        fresh = _instantiate_construct(self.query, sol)
+        from .sparql import instantiate_construct
+
+        fresh = instantiate_construct(sol, self.query.construct)
         cur = self.read()
-        adds = fresh.join(cur, on=list(VIEW_COLS), how="left_anti").distinct()
+        # localCheckpoint: the commit below re-reads `adds` for the write —
+        # without it the whole Σ_i expansion would execute twice
+        adds = (fresh.join(cur, on=list(VIEW_COLS), how="left_anti")
+                .distinct().localCheckpoint(eager=True))
         n = adds.count()
         version = self.tbl.commit(
             adds, operation="append", stage="matview-incremental",

@@ -735,7 +735,8 @@ def _report_rows(prov, triples, sg, precheck: bool) -> list[dict]:
 
 
 def _escape_lit(s: str) -> str:
-    return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
 
 
 def shacl_report_quads(

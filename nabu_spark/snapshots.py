@@ -189,7 +189,11 @@ class SnapshotTable:
             "stage": old.get("stage"),
             "new_files": old["files"],
             "row_count": old["row_count"],
-            "metrics": {"rolled_back_to": version},
+            # carry the target's metrics forward: sequence counters (e.g.
+            # GraphStore's max_seq) must keep counting from the restored
+            # state or later delta rows would lose the max_by merge
+            "metrics": {**(old.get("metrics") or {}),
+                        "rolled_back_to": version},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         }
         return self._publish(manifest)

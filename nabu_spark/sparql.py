@@ -877,9 +877,13 @@ class _DfCompiler:
                 raise SparqlError(
                     "FROM/FROM NAMED used but quads have no graph column")
             fg = from_graphs or []
+            # the default graph is the RDF MERGE of the FROM graphs — a
+            # SET of triples, so one triple asserted in several FROM
+            # graphs matches once, not once per graph (§13.2)
             self.default_quads = (
-                quads.filter(F.col(graph_col).isin(fg)) if fg
-                else quads.limit(0)
+                quads.filter(F.col(graph_col).isin(fg))
+                .select("subj", "pred", "obj").distinct()
+                if fg else quads.limit(0).select("subj", "pred", "obj")
             )
             self.named_set: list | None = from_named or []
         else:
@@ -1378,6 +1382,24 @@ def _apply_select(comp: _DfCompiler, df: DataFrame, q: Query) -> DataFrame:
     return df
 
 
+def instantiate_construct(sol: DataFrame, construct: list) -> DataFrame:
+    """Instantiate CONSTRUCT template triples against a solution relation:
+    the distinct graph of fully-bound instantiations (rows with an unbound
+    template variable are dropped). ONE implementation shared by
+    sparql_query and the incremental-view refresh path so the two can
+    never diverge on template semantics."""
+    def tcol(atom) -> Column:
+        return F.lit(atom[1]) if atom[0] == "term" else F.col(atom[1])
+
+    out = None
+    for _, s, p, o in construct:
+        part = sol.select(
+            tcol(s).alias("subj"), tcol(p).alias("pred"), tcol(o).alias("obj")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.na.drop().distinct()
+
+
 def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> DataFrame:
     """Run a SPARQL SELECT over a quad DataFrame with columns
     (subj, pred, obj[, graph_col]). Returns one column per selected
@@ -1435,16 +1457,7 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
         if q.limit is not None:
             df = df.limit(q.limit)
 
-        def tcol(atom) -> Column:
-            return F.lit(atom[1]) if atom[0] == "term" else F.col(atom[1])
-
-        out = None
-        for _, s, p, o in q.construct:
-            part = df.select(
-                tcol(s).alias("subj"), tcol(p).alias("pred"), tcol(o).alias("obj")
-            )
-            out = part if out is None else out.unionByName(part)
-        return out.na.drop().distinct()
+        return instantiate_construct(df, q.construct)
     return _apply_select(comp, df, q)
 
 
@@ -1463,9 +1476,11 @@ class _LocalEval:
         # store's dataset (see the DataFrame compiler for the semantics)
         if from_graphs is not None or from_named is not None:
             fg = set(from_graphs or ())
-            self.default_triples = [
-                t for t in triples if len(t) > 3 and t[3] in fg
-            ]
+            # RDF merge = triple SET across the FROM graphs (mirrors the
+            # DataFrame compiler's distinct default graph)
+            self.default_triples = sorted({
+                t[:3] for t in triples if len(t) > 3 and t[3] in fg
+            })
             self.named_set: set | None = set(from_named or ())
         else:
             self.default_triples = triples
@@ -2071,8 +2086,12 @@ def sparql_results_json(df: DataFrame, *, limit: int | None = None) -> dict:
     Results JSON structure (driver-side — results are the small end of a
     query; cap with ``limit`` when exposing big relations)."""
     cols = df.columns
-    if cols == ["ask"]:
-        return {"head": {}, "boolean": bool(df.first()["ask"])}
+    # ASK results are exactly one BOOLEAN column named 'ask' — a SELECT
+    # projecting a VARIABLE ?ask yields a string column and must not hit
+    # this branch
+    if cols == ["ask"] and str(df.schema["ask"].dataType) == "BooleanType()":
+        row = df.first()
+        return {"head": {}, "boolean": bool(row["ask"]) if row else False}
     if limit is not None:
         df = df.limit(limit)
     bindings = [

@@ -517,3 +517,21 @@ class TestUpdateFuzz:
             assert got == loc, (
                 f"trial {trial} diverged\nscript: {script}\n"
                 f"store: {rows}\n df={got}\n local={loc}")
+
+
+class TestRollbackSequencing:
+    def test_update_after_rollback_still_wins_merge(self, spark, tmp_path):
+        """Review fix: rollback must carry max_seq forward — a delete
+        committed after a rollback has to out-sequence the restored rows
+        or the max_by merge silently ignores it."""
+        st = GraphStore(spark, str(tmp_path / "store"))
+        st.init(_store(spark, BASE))
+        st.update('INSERT DATA { <urn:z> <urn:p> "9" }')
+        v_before = st.tbl.latest_version()
+        st.update('INSERT DATA { <urn:z2> <urn:p> "10" }')
+        st.rollback(v_before)
+        st.update('DELETE DATA { <urn:a> <urn:p> "1" }')
+        rows = {tuple(r) for r in st.read().collect()}
+        assert ("<urn:a>", "<urn:p>", '"1"', None) not in rows
+        assert ("<urn:z>", "<urn:p>", '"9"', None) in rows
+        assert not any(s == "<urn:z2>" for s, _, _, _ in rows)

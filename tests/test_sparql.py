@@ -1022,3 +1022,40 @@ class TestResultsJson:
         res = sparql_results_json(
             sparql_query(df, "PREFIX t: <urn:t:> ASK { ?s t:p ?o }"))
         assert res == {"head": {}, "boolean": True}
+
+
+class TestDatasetMergeSemantics:
+    def test_from_merge_is_set_union(self, spark):
+        """§13.2: the dataset default graph is the RDF MERGE of the FROM
+        graphs — a triple asserted in BOTH graphs matches once, and
+        aggregates must not double count (review fix)."""
+        quads = [
+            (iri("s"), iri("p"), num(1), "<urn:g:a>"),
+            (iri("s"), iri("p"), num(1), "<urn:g:b>"),   # same triple
+            (iri("s"), iri("p"), num(2), "<urn:g:b>"),
+        ]
+        q = ("PREFIX t: <urn:t:> SELECT ?s (COUNT(?o) AS ?n) "
+             "FROM <urn:g:a> FROM <urn:g:b> "
+             "WHERE { ?s t:p ?o } GROUP BY ?s")
+        local = sparql_eval_local(
+            [(s, p, o, g) for s, p, o, g in quads], q)
+        assert local == [{"s": iri("s"), "n": 2}]
+        df = spark.createDataFrame(
+            quads, "subj string, pred string, obj string, prov string")
+        row = sparql_query(df, q).first()
+        assert (row.s, row.n) == (iri("s"), 2)
+
+    def test_select_var_named_ask_not_boolean(self, spark):
+        from nabu_spark.sparql import sparql_results_json
+
+        df = spark.createDataFrame(
+            [(iri("a"), iri("p"), iri("b"))],
+            "subj string, pred string, obj string")
+        res = sparql_results_json(sparql_query(
+            df, "PREFIX t: <urn:t:> SELECT ?ask WHERE { ?ask t:p ?o }"))
+        assert res["head"]["vars"] == ["ask"]
+        assert res["results"]["bindings"][0]["ask"]["type"] == "uri"
+        # and the empty case must not crash
+        res2 = sparql_results_json(sparql_query(
+            df, "PREFIX t: <urn:t:> SELECT ?ask WHERE { ?ask t:q ?o }"))
+        assert res2["results"]["bindings"] == []
