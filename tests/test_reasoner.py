@@ -68,11 +68,19 @@ class TestRules:
         assert ("<urn:C1>", SUBCLASS, "<urn:C1>") in got  # via the cycle
 
     def test_deep_chain_logarithmic_closure(self, spark):
-        # 40-deep chain closes within the 32-round doubling budget
+        # 40-deep chain; both kernels must agree: the driver fast path
+        # (vocabulary-sized) and the distributed pointer doubling
         rows = [(f"<urn:C{i}>", SUBCLASS, f"<urn:C{i+1}>") for i in range(40)]
-        pairs = transitive_closure(
-            _df(spark, rows).selectExpr("subj as child", "obj as parent"))
-        assert pairs.count() == 40 * 41 // 2
+        edges = _df(spark, rows).selectExpr("subj as child", "obj as parent")
+        fast = sorted(tuple(r) for r in transitive_closure(edges).collect())
+        dist = sorted(tuple(r) for r in
+                      transitive_closure(edges, driver_max=0).collect())
+        assert fast == dist
+        assert len(fast) == 40 * 41 // 2
+
+    def test_empty_edges_close_to_empty(self, spark):
+        edges = spark.createDataFrame([], "child string, parent string")
+        assert transitive_closure(edges).count() == 0
 
 
 class TestStoreEntailment:
