@@ -302,6 +302,28 @@ class _Parser:
             return Query([], False, where, [], [], None, 0, None, False,
                          describe, from_graphs=fg, from_named=fn)
         if self._kw("CONSTRUCT"):
+            if self._peek()[1] != "{":
+                # CONSTRUCT WHERE { bgp } shorthand (§10.2.3): the pattern
+                # doubles as the template — dataset clause may precede WHERE
+                fg, fn = self._dataset_clause()
+                if not self._kw("WHERE"):
+                    raise SparqlError("CONSTRUCT needs a template or WHERE")
+                tmpl = self._group()
+                construct = [it for it in tmpl.items if it[0] == "triple"]
+                if len(construct) != len(tmpl.items) or any(
+                        it[2][0] == "path" for it in construct):
+                    raise SparqlError(
+                        "CONSTRUCT WHERE shorthand allows only plain "
+                        "triple patterns")
+                group_by, having, order_by, limit, offset = \
+                    self._solution_modifiers()
+                q = Query([], False, tmpl, group_by, order_by, limit,
+                          offset, construct, False, None, having)
+                q.from_graphs, q.from_named = fg, fn
+                if self._peek()[0] != "EOF":
+                    raise SparqlError(
+                        f"trailing tokens at {self._peek()[1]!r}")
+                return q
             tmpl = self._group()
             construct = [it for it in tmpl.items if it[0] == "triple"]
             if len(construct) != len(tmpl.items):
@@ -343,6 +365,11 @@ class _Parser:
         if not self._kw("WHERE"):
             raise SparqlError("expected WHERE")
         where = self._group()
+        group_by, having, order_by, limit, offset = self._solution_modifiers()
+        return Query(select, distinct, where, group_by, order_by, limit, offset,
+                     construct, False, None, having)
+
+    def _solution_modifiers(self):
         group_by: list[str] = []
         having = None
         if self._kw("GROUP"):
@@ -378,8 +405,7 @@ class _Parser:
                 limit = int(self._next()[1])
             elif self._kw("OFFSET"):
                 offset = int(self._next()[1])
-        return Query(select, distinct, where, group_by, order_by, limit, offset,
-                     construct, False, None, having)
+        return group_by, having, order_by, limit, offset
 
     def _agg_spec(self) -> Agg:
         kind, fn = self._next()

@@ -1059,3 +1059,48 @@ class TestDatasetMergeSemantics:
         res2 = sparql_results_json(sparql_query(
             df, "PREFIX t: <urn:t:> SELECT ?ask WHERE { ?ask t:q ?o }"))
         assert res2["results"]["bindings"] == []
+
+
+class TestConstructWhereShorthand:
+    QUADS = [
+        (iri("a"), iri("p"), iri("b")),
+        (iri("b"), iri("p"), iri("c")),
+        (iri("a"), iri("q"), '"x"'),
+    ]
+
+    def _both(self, spark, q):
+        local = sparql_eval_local(self.QUADS, q)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+        out = sparql_query(df, q)
+        got = sorted(tuple(r) for r in out.collect())
+        loc = sorted((r["subj"], r["pred"], r["obj"]) for r in local)
+        assert got == loc, f"{q}\n df={got}\n local={loc}"
+        return got
+
+    def test_shorthand_equals_explicit_template(self, spark):
+        got = self._both(
+            spark, "PREFIX t: <urn:t:> CONSTRUCT WHERE { ?s t:p ?o }")
+        want = self._both(
+            spark,
+            "PREFIX t: <urn:t:> CONSTRUCT { ?s t:p ?o } WHERE { ?s t:p ?o }")
+        assert got == want == [
+            (iri("a"), iri("p"), iri("b")),
+            (iri("b"), iri("p"), iri("c")),
+        ]
+
+    def test_shorthand_with_limit_and_order(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> CONSTRUCT WHERE { ?s t:p ?o } "
+            "ORDER BY ?s LIMIT 1")
+        assert got == [(iri("a"), iri("p"), iri("b"))]
+
+    def test_shorthand_rejects_filters_and_paths(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                'PREFIX t: <urn:t:> CONSTRUCT WHERE '
+                '{ ?s t:p ?o FILTER(?o != "x") }')
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "PREFIX t: <urn:t:> CONSTRUCT WHERE { ?s t:p+ ?o }")
