@@ -1748,6 +1748,68 @@ def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_materialize(data.unionByName(schema))
 
 
+def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL-lite materialization (operators/reasoner.py::
+    owl_rl_materialize) over a deterministic doc graph: 5-doc `next`
+    chains (transitive + inverseOf prev), symmetric `near` edges on the
+    same pairs, a functional `canonLang` asserted with two lexical
+    variants per doc (driving a sameAs merge + canonical rewrite onto the
+    alias IRI, which sorts first), and lang ≡ langEq ⊑ attr property
+    subsumption. The oracle states the closure in closed form: chain
+    closure = ordered same-block pairs, canonicalization = the alias
+    rewrite, and the 6-pair subPropertyOf cycle closure is enumerated."""
+    from nabu_spark.operators.reasoner import (
+        EQ_PROP, FUNCTIONAL, INVERSE_OF, RDF_TYPE, SUBPROP, SYMMETRIC,
+        TRANSITIVE, owl_rl_materialize,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang").filter(
+        F.col("lang").isNotNull())
+    d = F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">"))
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"),
+              F.col("b.doc_id") == F.col("a.doc_id") + F.lit(1))
+        .filter(F.col("a.doc_id") % 5 != 4)
+        .select(
+            F.concat(F.lit("<urn:doc:"), F.col("a.doc_id"),
+                     F.lit(">")).alias("i"),
+            F.concat(F.lit("<urn:doc:"), F.col("b.doc_id"),
+                     F.lit(">")).alias("j"))
+    )
+    lang_iri = F.concat(F.lit("<urn:lang:"), F.col("lang"), F.lit(">"))
+    alias_iri = F.concat(F.lit("<urn:alias:"), F.col("lang"), F.lit(">"))
+    data = (
+        pairs.select(F.col("i").alias("subj"),
+                     F.lit("<urn:p:next>").alias("pred"),
+                     F.col("j").alias("obj"))
+        .unionByName(pairs.select(
+            F.col("i").alias("subj"), F.lit("<urn:p:near>").alias("pred"),
+            F.col("j").alias("obj")))
+        .unionByName(docs.select(
+            d.alias("subj"), F.lit("<urn:p:lang>").alias("pred"),
+            lang_iri.alias("obj")))
+        .unionByName(docs.select(
+            d.alias("subj"), F.lit("<urn:p:canonLang>").alias("pred"),
+            lang_iri.alias("obj")))
+        .unionByName(docs.select(
+            d.alias("subj"), F.lit("<urn:p:canonLang>").alias("pred"),
+            alias_iri.alias("obj")))
+    )
+    schema = spark.createDataFrame(
+        [
+            ("<urn:p:next>", RDF_TYPE, TRANSITIVE),
+            ("<urn:p:next>", INVERSE_OF, "<urn:p:prev>"),
+            ("<urn:p:near>", RDF_TYPE, SYMMETRIC),
+            ("<urn:p:canonLang>", RDF_TYPE, FUNCTIONAL),
+            ("<urn:p:lang>", EQ_PROP, "<urn:p:langEq>"),
+            ("<urn:p:lang>", SUBPROP, "<urn:p:attr>"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return owl_rl_materialize(data.unionByName(schema))
+
+
 def q_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID dataset statistics (operators/stats.py::void_stats): global
     triple/subject/object/property counts plus property and class
@@ -1803,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": q_sparql_union,
         "sparql_dataset": q_sparql_dataset,
         "rdfs_entail": q_rdfs_entail,
+        "owl_entail": q_owl_entail,
         "void_stats": q_void_stats,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
@@ -3021,6 +3084,72 @@ def oracle_sql() -> dict[str, str]:
               ('<urn:class:Lang>',
                '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
                '<urn:class:Thing>')
+            ) s(subj, pred, obj)
+        """,
+        "owl_entail": """
+            WITH docs AS (
+              SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL
+            ), pairs AS (
+              SELECT a.doc_id AS i, b.doc_id AS j
+              FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 5 <> 4
+            ), closure AS (
+              -- transitive closure of the 5-doc chains in closed form:
+              -- every ordered pair inside one block (doc_ids contiguous)
+              SELECT a.doc_id AS i, b.doc_id AS j
+              FROM docs a JOIN docs b
+                ON b.doc_id > a.doc_id AND a.doc_id // 5 = b.doc_id // 5
+            ), langs AS (SELECT DISTINCT lang FROM docs)
+            SELECT '<urn:doc:' || i || '>' AS subj,
+                   '<urn:p:next>' AS pred,
+                   '<urn:doc:' || j || '>' AS obj FROM closure
+            UNION SELECT '<urn:doc:' || j || '>', '<urn:p:prev>',
+                   '<urn:doc:' || i || '>' FROM closure
+            UNION SELECT '<urn:doc:' || i || '>', '<urn:p:near>',
+                   '<urn:doc:' || j || '>' FROM pairs
+            UNION SELECT '<urn:doc:' || j || '>', '<urn:p:near>',
+                   '<urn:doc:' || i || '>' FROM pairs
+            UNION SELECT '<urn:doc:' || doc_id || '>', p,
+                   '<urn:alias:' || lang || '>'
+              FROM docs, (VALUES ('<urn:p:lang>'), ('<urn:p:langEq>'),
+                                 ('<urn:p:attr>'),
+                                 ('<urn:p:canonLang>')) ps(p)
+            UNION SELECT '<urn:lang:' || lang || '>',
+                   '<http://www.w3.org/2002/07/owl#sameAs>',
+                   '<urn:alias:' || lang || '>' FROM langs
+            UNION SELECT * FROM (VALUES
+              ('<urn:p:next>',
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+               '<http://www.w3.org/2002/07/owl#TransitiveProperty>'),
+              ('<urn:p:next>', '<http://www.w3.org/2002/07/owl#inverseOf>',
+               '<urn:p:prev>'),
+              ('<urn:p:near>',
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+               '<http://www.w3.org/2002/07/owl#SymmetricProperty>'),
+              ('<urn:p:canonLang>',
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+               '<http://www.w3.org/2002/07/owl#FunctionalProperty>'),
+              ('<urn:p:lang>',
+               '<http://www.w3.org/2002/07/owl#equivalentProperty>',
+               '<urn:p:langEq>'),
+              ('<urn:p:lang>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:attr>'),
+              ('<urn:p:lang>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:langEq>'),
+              ('<urn:p:lang>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:lang>'),
+              ('<urn:p:langEq>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:lang>'),
+              ('<urn:p:langEq>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:attr>'),
+              ('<urn:p:langEq>',
+               '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+               '<urn:p:langEq>')
             ) s(subj, pred, obj)
         """,
         "span_dedup": """

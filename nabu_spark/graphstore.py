@@ -783,23 +783,31 @@ class GraphStore:
         into = f" INTO GRAPH {graph}" if graph else ""
         return self.update(f"LOAD <file://{path}>{into}")
 
-    def entail(self, graph: str = "<urn:nabu:inference>") -> int:
-        """Materialize the RDFS-lite closure (operators/reasoner.py) of the
-        merged store into ``graph``: the inference graph is REPLACED with
-        exactly the derived-but-not-asserted triples, committed as delta
-        rows (delete markers for stale inferences + adds for new ones), so
-        re-entailing after an update is idempotent and never rewrites the
-        base. Asserted quads keep their graphs; queries see inferred
-        answers through the union default graph, and ``GRAPH <urn:nabu:
-        inference>`` isolates them."""
-        from .operators.reasoner import rdfs_materialize
+    def entail(self, graph: str = "<urn:nabu:inference>",
+               profile: str = "rdfs") -> int:
+        """Materialize the entailment closure (operators/reasoner.py) of
+        the merged store into ``graph``: the inference graph is REPLACED
+        with exactly the derived-but-not-asserted triples, committed as
+        delta rows (delete markers for stale inferences + adds for new
+        ones), so re-entailing after an update is idempotent and never
+        rewrites the base. Asserted quads keep their graphs; queries see
+        inferred answers through the union default graph, and ``GRAPH
+        <urn:nabu:inference>`` isolates them. ``profile`` selects the rule
+        set: ``rdfs`` (ρdf core) or ``owl-rl`` (adds inverse/symmetric/
+        transitive/functional property rules with sameAs
+        canonicalization)."""
+        from .operators.reasoner import owl_rl_materialize, rdfs_materialize
 
+        if profile not in ("rdfs", "owl-rl"):
+            raise ValueError(f"unknown entailment profile {profile!r}")
+        materialize = (rdfs_materialize if profile == "rdfs"
+                       else owl_rl_materialize)
         cur = self.read()
         asserted = cur.filter(
             F.col("prov").isNull() | (F.col("prov") != graph))
         base_triples = asserted.select("subj", "pred", "obj").distinct()
         derived = (
-            rdfs_materialize(base_triples)
+            materialize(base_triples)
             .join(base_triples, on=["subj", "pred", "obj"], how="left_anti")
             .withColumn("prov", F.lit(graph))
         )
@@ -812,7 +820,7 @@ class GraphStore:
             .unionByName(adds.withColumn("__op", F.lit("a"))
                          .withColumn("__seq", F.lit(seq + 1)))
         )
-        return self._commit_delta(delta, seq + 1, "rdfs-entail")
+        return self._commit_delta(delta, seq + 1, f"{profile}-entail")
 
     def compact(self) -> int:
         """Fold the delete log: rewrite the merged view as pure add rows."""

@@ -155,3 +155,264 @@ def rdfs_materialize(triples: DataFrame) -> DataFrame:
         .unionByName(types_up).unionByName(schema_closed)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# OWL-RL-lite profile
+# --------------------------------------------------------------------------
+#
+# Extends the ρdf core with the property-centric OWL 2 RL rules that
+# production KG pipelines actually materialize (the reference leaves all
+# entailment to its triplestore endpoint — /root/reference/internal/
+# synchronizer, studied not copied — so this whole profile is north-star
+# surface, built Spark-first):
+#
+#     prp-inv1/2   p owl:inverseOf q        ∧ (s p o) → (o q s)
+#     prp-symp     p a owl:SymmetricProperty ∧ (s p o) → (o p s)
+#     prp-trp      p a owl:TransitiveProperty → per-property closure
+#     prp-fp       p a owl:FunctionalProperty ∧ (s p o1)(s p o2) → o1 = o2
+#     prp-ifp      p a owl:InverseFunctionalProperty ∧ (s1 p o)(s2 p o)
+#                                                            → s1 = s2
+#     scm-eqp/eqc  owl:equivalentProperty/Class ≡ mutual subsumption
+#     eq-*         owl:sameAs is an equivalence; equal nodes interchangeable
+#
+# Documented boundaries (each the standard production choice):
+# - sameAs is handled by CANONICALIZATION, not by eq-rep materialization:
+#   every triple is rewritten onto each component's minimum-IRI
+#   representative and one (member owl:sameAs canonical) triple per
+#   non-canonical member records the mapping. Full eq-rep (duplicating
+#   every triple across every member) is O(|component|²) and no at-scale
+#   system does it.
+# - Predicates are not rewritten through sameAs (eq-rep-p): sameAs between
+#   properties is vanishingly rare on web data and rewriting preds would
+#   add a third shuffle per round.
+# - Functional/InverseFunctional equality is derived for IRI/bnode nodes
+#   only (no literal identity — OWL RL's eq-diff on literals is
+#   value-space comparison, out of scope).
+# - Class-centric RL rules beyond the ρdf core (hasValue, someValuesFrom,
+#   intersections) are out of scope; SHACL covers shape validation.
+#
+# Execution shape: each round is a bounded set of broadcast joins of the
+# data against vocabulary-sized schema relations, per-transitive-property
+# pointer-doubling closures, and ONE connected-components run over the
+# (data-sized but sparse) sameAs edge set — never an all-pairs product.
+# Rule interaction (e.g. a functional-property merge enabling a new
+# transitive hop) is handled by an outer fixpoint over rounds; real
+# vocabularies converge in 1–2 rounds.
+
+OWL = "http://www.w3.org/2002/07/owl#"
+SAMEAS = f"<{OWL}sameAs>"
+INVERSE_OF = f"<{OWL}inverseOf>"
+EQ_PROP = f"<{OWL}equivalentProperty>"
+EQ_CLASS = f"<{OWL}equivalentClass>"
+SYMMETRIC = f"<{OWL}SymmetricProperty>"
+TRANSITIVE = f"<{OWL}TransitiveProperty>"
+FUNCTIONAL = f"<{OWL}FunctionalProperty>"
+INV_FUNCTIONAL = f"<{OWL}InverseFunctionalProperty>"
+
+_MAX_OWL_ROUNDS = 8
+_MAX_TRANSITIVE_PREDS = 10_000
+
+
+def _non_literal(col: str):
+    return ~F.col(col).startswith('"')
+
+
+def _rdfs7(data: DataFrame, spo: DataFrame) -> DataFrame:
+    """Lift data triples up the CLOSED property hierarchy."""
+    return (
+        data.join(F.broadcast(spo), data["pred"] == spo["child"])
+        .select("subj", F.col("parent").alias("pred"), "obj")
+    )
+
+
+def _typed_props(t: DataFrame, cls: str) -> list[str]:
+    rows = (
+        t.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == cls))
+        .select("subj").distinct().limit(_MAX_TRANSITIVE_PREDS + 1).collect()
+    )
+    if len(rows) > _MAX_TRANSITIVE_PREDS:
+        raise RuntimeError(
+            f"more than {_MAX_TRANSITIVE_PREDS} properties typed {cls}: "
+            "not a vocabulary-sized schema")
+    return sorted(r.subj for r in rows)
+
+
+def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
+    """One stratified application of every rule; returns t ∪ derived."""
+    spark = t.sparkSession
+
+    # --- schema relations (vocabulary-sized) -----------------------------
+    eqp = _edges(t, EQ_PROP)
+    subp = (
+        _edges(t, SUBPROP)
+        .unionByName(eqp)
+        .unionByName(eqp.select(F.col("parent").alias("child"),
+                                F.col("child").alias("parent")))
+    )
+    spo = transitive_closure(subp, driver_max=driver_max)
+    eqc = _edges(t, EQ_CLASS)
+    subc = (
+        _edges(t, SUBCLASS)
+        .unionByName(eqc)
+        .unionByName(eqc.select(F.col("parent").alias("child"),
+                                F.col("child").alias("parent")))
+    )
+    sco = transitive_closure(subc, driver_max=driver_max)
+
+    inv = t.filter(F.col("pred") == INVERSE_OF).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q"))
+    sym_as_inv = spark.createDataFrame(
+        [(p, p) for p in _typed_props(t, SYMMETRIC)] or [],
+        "p string, q string")
+    inv_pairs = (
+        inv.unionByName(inv.select(F.col("q").alias("p"),
+                                   F.col("p").alias("q")))
+        .unionByName(sym_as_inv).distinct()
+    )
+
+    # --- property rules ---------------------------------------------------
+    data_p = t.unionByName(_rdfs7(t, spo))
+    inv_derived = (
+        data_p.filter(_non_literal("obj"))
+        .join(F.broadcast(inv_pairs), data_p["pred"] == inv_pairs["p"])
+        .select(F.col("obj").alias("subj"), F.col("q").alias("pred"),
+                F.col("subj").alias("obj"))
+    )
+    # lift inverse-derived triples too, so a p'⊑p / p inv q / q⊑r chain
+    # closes within one round instead of three
+    data_pi = data_p.unionByName(inv_derived).unionByName(
+        _rdfs7(inv_derived, spo))
+
+    trans_parts = []
+    for p in _typed_props(t, TRANSITIVE):
+        edges = (
+            data_pi.filter((F.col("pred") == p) & _non_literal("obj"))
+            .select(F.col("subj").alias("child"),
+                    F.col("obj").alias("parent"))
+        )
+        trans_parts.append(
+            transitive_closure(edges, driver_max=driver_max).select(
+                F.col("child").alias("subj"), F.lit(p).alias("pred"),
+                F.col("parent").alias("obj")))
+    data_pit = data_pi
+    for part in trans_parts:
+        data_pit = data_pit.unionByName(part)
+
+    # --- domain / range / class rules (same shape as rdfs_materialize) ---
+    dom, rng = _edges(t, DOMAIN), _edges(t, RANGE)
+    types_dom = (
+        data_pit.join(F.broadcast(dom), data_pit["pred"] == dom["child"])
+        .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                F.col("parent").alias("obj"))
+    )
+    types_rng = (
+        data_pit.filter(_non_literal("obj"))
+        .join(F.broadcast(rng), data_pit["pred"] == rng["child"])
+        .select(F.col("obj").alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+                F.col("parent").alias("obj"))
+    )
+    all_types = (
+        data_pit.filter(F.col("pred") == RDF_TYPE)
+        .unionByName(types_dom).unionByName(types_rng)
+    )
+    types_up = (
+        all_types.join(F.broadcast(sco), all_types["obj"] == sco["child"])
+        .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                F.col("parent").alias("obj"))
+    )
+    schema_closed = (
+        spo.select(F.col("child").alias("subj"),
+                   F.lit(SUBPROP).alias("pred"),
+                   F.col("parent").alias("obj"))
+        .unionByName(sco.select(F.col("child").alias("subj"),
+                                F.lit(SUBCLASS).alias("pred"),
+                                F.col("parent").alias("obj")))
+    )
+    full = (
+        data_pit.unionByName(types_dom).unionByName(types_rng)
+        .unionByName(types_up).unionByName(schema_closed).distinct()
+    )
+
+    # --- equality rules ---------------------------------------------------
+    func = spark.createDataFrame(
+        [(p,) for p in _typed_props(t, FUNCTIONAL)] or [], "fp string")
+    ifp = spark.createDataFrame(
+        [(p,) for p in _typed_props(t, INV_FUNCTIONAL)] or [], "fp string")
+
+    fgrp = (
+        full.join(F.broadcast(func), full["pred"] == func["fp"])
+        .filter(_non_literal("obj"))
+        .select("subj", "pred", "obj")
+    )
+    freps = fgrp.groupBy("subj", "pred").agg(F.min("obj").alias("rep"))
+    f_edges = (
+        fgrp.join(freps, ["subj", "pred"])
+        .filter(F.col("obj") != F.col("rep"))
+        .select(F.col("obj").alias("id_a"), F.col("rep").alias("id_b"))
+    )
+    igrp = (
+        full.join(F.broadcast(ifp), full["pred"] == ifp["fp"])
+        .select("subj", "pred", "obj")
+    )
+    ireps = igrp.groupBy("pred", "obj").agg(F.min("subj").alias("rep"))
+    i_edges = (
+        igrp.join(ireps, ["pred", "obj"])
+        .filter(F.col("subj") != F.col("rep"))
+        .select(F.col("subj").alias("id_a"), F.col("rep").alias("id_b"))
+    )
+    asserted_sameas = (
+        full.filter((F.col("pred") == SAMEAS) & _non_literal("obj"))
+        .select(F.col("subj").alias("id_a"), F.col("obj").alias("id_b"))
+    )
+    sameas_edges = (
+        asserted_sameas.unionByName(f_edges).unionByName(i_edges)
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    if sameas_edges.isEmpty():
+        return full
+
+    from .graphops import sameas_closure
+
+    mapping = sameas_closure(sameas_edges)
+    m_subj = mapping.select(F.col("iri").alias("subj"),
+                            F.col("canonical_iri").alias("_cs"))
+    m_obj = mapping.select(F.col("iri").alias("obj"),
+                           F.col("canonical_iri").alias("_co"))
+    rewritten = (
+        full.filter(F.col("pred") != SAMEAS)
+        .join(m_subj, "subj", "left")
+        .join(m_obj, "obj", "left")
+        .select(F.coalesce("_cs", "subj").alias("subj"), "pred",
+                F.coalesce("_co", "obj").alias("obj"))
+    )
+    mapping_triples = (
+        mapping.filter(F.col("iri") != F.col("canonical_iri"))
+        .select(F.col("iri").alias("subj"), F.lit(SAMEAS).alias("pred"),
+                F.col("canonical_iri").alias("obj"))
+    )
+    return rewritten.unionByName(mapping_triples).distinct()
+
+
+def owl_rl_materialize(triples: DataFrame, *,
+                       driver_max: int = 20_000,
+                       max_rounds: int = _MAX_OWL_ROUNDS) -> DataFrame:
+    """The OWL-RL-lite closure of (subj, pred, obj): ρdf plus the property
+    and equality rules above, with sameAs components canonicalized onto
+    their minimum-IRI member. Fixpoint over stratified rounds. The
+    canonical rewrite makes rounds non-monotone (a merge can rewrite as
+    many triples as it derives), so a stable count alone does NOT imply a
+    stable set — convergence requires count equality AND an empty
+    anti-join of the new set against the old."""
+    t = (triples.select("subj", "pred", "obj").distinct()
+         .localCheckpoint(eager=True))
+    prev = t.count()
+    for _ in range(max_rounds):
+        nxt = _owl_round(t, driver_max).localCheckpoint(eager=True)
+        cnt = nxt.count()
+        if cnt == prev and nxt.join(
+                t, ["subj", "pred", "obj"], "left_anti").isEmpty():
+            return nxt
+        t, prev = nxt, cnt
+    raise RuntimeError(
+        f"OWL-RL closure did not converge in {max_rounds} rounds")

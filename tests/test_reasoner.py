@@ -118,3 +118,144 @@ class TestStoreEntailment:
         # idempotent: a second entail commits an empty delta
         v = st.entail()
         assert st.tbl.manifest(v)["row_count"] == 0
+
+
+class TestOwlRlLite:
+    """owl_rl_materialize: property + equality rules over the ρdf core."""
+
+    @staticmethod
+    def _owl(spark, rows, **kw):
+        from nabu_spark.operators.reasoner import owl_rl_materialize
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+        return {tuple(r) for r in owl_rl_materialize(df, **kw).collect()}
+
+    def test_inverse_and_symmetric(self, spark):
+        from nabu_spark.operators.reasoner import (
+            INVERSE_OF, SYMMETRIC,
+        )
+        got = self._owl(spark, [
+            ("<urn:p>", INVERSE_OF, "<urn:q>"),
+            ("<urn:r>", RDF_TYPE, SYMMETRIC),
+            ("<urn:a>", "<urn:p>", "<urn:b>"),
+            ("<urn:c>", "<urn:q>", "<urn:d>"),
+            ("<urn:e>", "<urn:r>", "<urn:f>"),
+            ("<urn:a>", "<urn:p>", '"lit"'),
+        ])
+        assert ("<urn:b>", "<urn:q>", "<urn:a>") in got
+        assert ("<urn:d>", "<urn:p>", "<urn:c>") in got      # both directions
+        assert ("<urn:f>", "<urn:r>", "<urn:e>") in got
+        assert not any(s == '"lit"' for s, _, _ in got)      # no literal subj
+
+    def test_transitive_property(self, spark):
+        from nabu_spark.operators.reasoner import TRANSITIVE
+        got = self._owl(spark, [
+            ("<urn:t>", RDF_TYPE, TRANSITIVE),
+            ("<urn:a>", "<urn:t>", "<urn:b>"),
+            ("<urn:b>", "<urn:t>", "<urn:c>"),
+            ("<urn:c>", "<urn:t>", "<urn:d>"),
+        ])
+        for s, o in (("a", "c"), ("a", "d"), ("b", "d")):
+            assert (f"<urn:{s}>", "<urn:t>", f"<urn:{o}>") in got
+
+    def test_functional_merges_and_canonicalizes(self, spark):
+        from nabu_spark.operators.reasoner import FUNCTIONAL, SAMEAS
+        got = self._owl(spark, [
+            ("<urn:f>", RDF_TYPE, FUNCTIONAL),
+            ("<urn:x>", "<urn:f>", "<urn:n2>"),
+            ("<urn:x>", "<urn:f>", "<urn:n1>"),
+            ("<urn:n2>", "<urn:p>", "<urn:y>"),
+        ])
+        # n1 < n2 lexicographically -> n1 is canonical; n2's triple rewrites
+        assert ("<urn:n2>", SAMEAS, "<urn:n1>") in got
+        assert ("<urn:n1>", "<urn:p>", "<urn:y>") in got
+        assert ("<urn:x>", "<urn:f>", "<urn:n1>") in got
+        assert ("<urn:x>", "<urn:f>", "<urn:n2>") not in got  # canonicalized
+
+    def test_inverse_functional(self, spark):
+        from nabu_spark.operators.reasoner import INV_FUNCTIONAL, SAMEAS
+        got = self._owl(spark, [
+            ("<urn:k>", RDF_TYPE, INV_FUNCTIONAL),
+            ("<urn:s1>", "<urn:k>", "<urn:o>"),
+            ("<urn:s2>", "<urn:k>", "<urn:o>"),
+        ])
+        assert ("<urn:s2>", SAMEAS, "<urn:s1>") in got
+        assert ("<urn:s1>", "<urn:k>", "<urn:o>") in got
+        assert ("<urn:s2>", "<urn:k>", "<urn:o>") not in got
+
+    def test_equivalent_property_and_class(self, spark):
+        from nabu_spark.operators.reasoner import EQ_CLASS, EQ_PROP
+        got = self._owl(spark, [
+            ("<urn:p>", EQ_PROP, "<urn:q>"),
+            ("<urn:C>", EQ_CLASS, "<urn:D>"),
+            ("<urn:a>", "<urn:q>", "<urn:b>"),
+            ("<urn:x>", RDF_TYPE, "<urn:C>"),
+        ])
+        assert ("<urn:a>", "<urn:p>", "<urn:b>") in got
+        assert ("<urn:x>", RDF_TYPE, "<urn:D>") in got
+        # mutual subsumption is itself entailed
+        assert ("<urn:p>", SUBPROP, "<urn:q>") in got
+        assert ("<urn:q>", SUBPROP, "<urn:p>") in got
+
+    def test_rule_interaction_needs_second_round(self, spark):
+        """A functional merge creates a sameAs that only then completes a
+        transitive chain — exercises the outer fixpoint."""
+        from nabu_spark.operators.reasoner import FUNCTIONAL, TRANSITIVE
+        got = self._owl(spark, [
+            ("<urn:t>", RDF_TYPE, TRANSITIVE),
+            ("<urn:f>", RDF_TYPE, FUNCTIONAL),
+            ("<urn:x>", "<urn:f>", "<urn:m1>"),
+            ("<urn:x>", "<urn:f>", "<urn:m2>"),
+            ("<urn:a>", "<urn:t>", "<urn:m2>"),
+            ("<urn:m1>", "<urn:t>", "<urn:c>"),
+        ])
+        assert ("<urn:a>", "<urn:t>", "<urn:c>") in got
+
+    def test_subsumes_rdfs_closure(self, spark):
+        """On pure-RDFS input the OWL profile derives a superset of (here:
+        exactly) the ρdf closure."""
+        rows = [
+            ("<urn:C1>", SUBCLASS, "<urn:C2>"),
+            ("<urn:p>", SUBPROP, "<urn:q>"),
+            ("<urn:p>", DOMAIN, "<urn:C1>"),
+            ("<urn:r>", RANGE, "<urn:C2>"),
+            ("<urn:a>", "<urn:p>", "<urn:b>"),
+        ]
+        assert self._owl(spark, rows) == set(_run(spark, rows))
+
+    def test_idempotent(self, spark):
+        from nabu_spark.operators.reasoner import (
+            FUNCTIONAL, INVERSE_OF, TRANSITIVE, owl_rl_materialize,
+        )
+        rows = [
+            ("<urn:t>", RDF_TYPE, TRANSITIVE),
+            ("<urn:p>", INVERSE_OF, "<urn:q>"),
+            ("<urn:f>", RDF_TYPE, FUNCTIONAL),
+            ("<urn:a>", "<urn:t>", "<urn:b>"),
+            ("<urn:b>", "<urn:t>", "<urn:c>"),
+            ("<urn:a>", "<urn:p>", "<urn:b>"),
+            ("<urn:x>", "<urn:f>", "<urn:u>"),
+            ("<urn:x>", "<urn:f>", "<urn:v>"),
+        ]
+        once = owl_rl_materialize(spark.createDataFrame(
+            rows, "subj string, pred string, obj string"))
+        twice = {tuple(r) for r in owl_rl_materialize(once).collect()}
+        assert twice == {tuple(r) for r in once.collect()}
+
+    def test_store_entail_owl_profile(self, spark, tmp_path):
+        from nabu_spark.graphstore import GraphStore
+        from nabu_spark.operators.reasoner import INVERSE_OF
+        st = GraphStore(spark, str(tmp_path / "store"))
+        st.init(spark.createDataFrame(
+            [("<urn:p>", INVERSE_OF, "<urn:q>", None),
+             ("<urn:a>", "<urn:p>", "<urn:b>", "<urn:g1>")],
+            "subj string, pred string, obj string, prov string"))
+        st.entail(profile="owl-rl")
+        inf = {(r.subj, r.pred, r.obj) for r in st.read().filter(
+            "prov = '<urn:nabu:inference>'").collect()}
+        assert ("<urn:b>", "<urn:q>", "<urn:a>") in inf
+        got = st.query("SELECT ?s WHERE { ?s <urn:q> <urn:a> }").collect()
+        assert [r.s for r in got] == ["<urn:b>"]
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            st.entail(profile="owl-full")
