@@ -156,8 +156,10 @@ def build_parser() -> argparse.ArgumentParser:
     qy.add_argument("--out", help="write results as parquet (default: print)")
     qy.add_argument("--limit", type=int, default=50,
                     help="max rows to print when --out is not given")
-    qy.add_argument("--format", choices=["text", "json"], default="text",
-                    help="json = W3C SPARQL 1.1 Query Results JSON")
+    qy.add_argument("--format", choices=["text", "json", "csv", "tsv"],
+                    default="text",
+                    help="json/csv/tsv = W3C SPARQL 1.1 Query Results "
+                         "formats")
 
     up = sub.add_parser(
         "store",
@@ -180,8 +182,10 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--to-version", type=int, help="rollback target")
     up.add_argument("--out", help="query: write results as parquet")
     up.add_argument("--limit", type=int, default=50)
-    up.add_argument("--format", choices=["text", "json"], default="text",
-                    help="query: json = W3C SPARQL Query Results JSON")
+    up.add_argument("--format", choices=["text", "json", "csv", "tsv"],
+                    default="text",
+                    help="query: json/csv/tsv = W3C SPARQL Query Results "
+                         "formats")
     return p
 
 
@@ -478,9 +482,9 @@ def main(argv: list[str] | None = None) -> int:
         if "error_code" in quads.columns:
             quads = quads.filter(F.col("error_code").isNull())
         out = sparql_query(quads, text)
-        if args.out and args.format == "json":
+        if args.out and args.format != "text":
             print(json.dumps({"cmd": "query", "error":
-                              "--out writes parquet; --format json only "
+                              "--out writes parquet; --format only "
                               "applies when printing"}))
             return 2
         if args.out:
@@ -491,6 +495,12 @@ def main(argv: list[str] | None = None) -> int:
             from .sparql import sparql_results_json
 
             print(json.dumps(sparql_results_json(out, limit=args.limit)))
+        elif args.format in ("csv", "tsv"):
+            from .sparql import sparql_results_csv, sparql_results_tsv
+
+            fn = sparql_results_csv if args.format == "csv" \
+                else sparql_results_tsv
+            print(fn(out, limit=args.limit), end="")
         else:
             rows = out.limit(args.limit).collect()
             for r in rows:
@@ -526,9 +536,9 @@ def main(argv: list[str] | None = None) -> int:
                                   "error": "--sparql[-file] required"}))
                 return 2
             out = gs.query(text)
-            if args.out and args.format == "json":
+            if args.out and args.format != "text":
                 print(json.dumps({"cmd": "store", "error":
-                                  "--out writes parquet; --format json "
+                                  "--out writes parquet; --format "
                                   "only applies when printing"}))
                 return 2
             if args.out:
@@ -540,6 +550,12 @@ def main(argv: list[str] | None = None) -> int:
                 from .sparql import sparql_results_json
 
                 print(json.dumps(sparql_results_json(out, limit=args.limit)))
+            elif args.format in ("csv", "tsv"):
+                from .sparql import sparql_results_csv, sparql_results_tsv
+
+                fn = sparql_results_csv if args.format == "csv" \
+                    else sparql_results_tsv
+                print(fn(out, limit=args.limit), end="")
             else:
                 for r in out.limit(args.limit).collect():
                     print("\t".join("" if r[c] is None else str(r[c])

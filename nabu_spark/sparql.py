@@ -2125,3 +2125,84 @@ def sparql_results_json(df: DataFrame, *, limit: int | None = None) -> dict:
         for row in df.collect()
     ]
     return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+
+
+def _is_ask(df: DataFrame) -> bool:
+    return (df.columns == ["ask"]
+            and str(df.schema["ask"].dataType) == "BooleanType()")
+
+
+def _term_csv(v) -> str:
+    """One term -> the W3C results-CSV field: lexical value only (IRIs
+    without angle brackets, literals without quoting/tags, bnodes kept as
+    _:label); RFC 4180 quoting is the writer's job."""
+    from .functions.ntriples import unescape_literal
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v) if isinstance(v, float) else str(v)
+    if v.startswith("<") and v.endswith(">"):
+        return v[1:-1]
+    if v.startswith('"'):
+        return unescape_literal(term_lex(v))
+    return v  # bnodes and plain strings from GROUP_CONCAT etc.
+
+
+def _term_tsv(v) -> str:
+    """One term -> the W3C results-TSV field: full N-Triples syntax
+    (already the engine's native representation), with native aggregate
+    values rendered as the grammar's unquoted numeric/boolean literals or
+    a canonical typed literal for doubles."""
+    from .functions.ntriples import canonical_double, escape_literal
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return (f'"{canonical_double(v)}"'
+                '^^<http://www.w3.org/2001/XMLSchema#double>')
+    if v.startswith("<") or v.startswith("_:") or v.startswith('"'):
+        return v  # N-Triples terms embed no raw tabs/newlines (escaped)
+    return f'"{escape_literal(v)}"'
+
+
+def sparql_results_csv(df: DataFrame, *, limit: int | None = None) -> str:
+    """Collect a SELECT result into the W3C SPARQL 1.1 Query Results CSV
+    format (RFC 4180: CRLF rows, minimal quoting). The CSV/TSV formats
+    cannot carry boolean ASK results — callers must use JSON for those."""
+    import csv
+    import io
+
+    if _is_ask(df):
+        raise SparqlError("ASK results are not expressible in CSV/TSV; "
+                          "use the JSON results format")
+    if limit is not None:
+        df = df.limit(limit)
+    cols = df.columns
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n")
+    w.writerow(cols)
+    for row in df.collect():
+        w.writerow([_term_csv(row[c]) for c in cols])
+    return buf.getvalue()
+
+
+def sparql_results_tsv(df: DataFrame, *, limit: int | None = None) -> str:
+    """Collect a SELECT result into the W3C SPARQL 1.1 Query Results TSV
+    format: ?-prefixed header, full N-Triples term syntax per field."""
+    if _is_ask(df):
+        raise SparqlError("ASK results are not expressible in CSV/TSV; "
+                          "use the JSON results format")
+    if limit is not None:
+        df = df.limit(limit)
+    cols = df.columns
+    lines = ["\t".join("?" + c for c in cols)]
+    for row in df.collect():
+        lines.append("\t".join(_term_tsv(row[c]) for c in cols))
+    return "\n".join(lines) + "\n"

@@ -251,3 +251,33 @@ def test_cli_store(spark, tmp_path):
                             "SELECT ?s WHERE { ?s <urn:p> "'"1"'" }"])
     assert code == 0, stdout
     assert "<urn:a>" in stdout
+
+
+@pytest.mark.slow
+def test_cli_query_csv_tsv_formats(spark, tmp_path):
+    quads = spark.createDataFrame(
+        [("<urn:d:1>", "<urn:p:lang>", '"en"', None),
+         ("<urn:d:2>", "<urn:p:lang>", '"de"', None)],
+        "subj string, pred string, obj string, prov string",
+    )
+    qpath = str(tmp_path / "quads")
+    quads.write.parquet(qpath)
+    q = "PREFIX p: <urn:p:> SELECT ?d ?l WHERE { ?d p:lang ?l } ORDER BY ?d"
+
+    code, stdout = run_cli(
+        ["query", "--quads", qpath, "--sparql", q, "--format", "csv"])
+    assert code == 0, stdout
+    assert stdout.splitlines()[0] == "d,l"
+    assert "urn:d:1,en" in stdout
+
+    code, stdout = run_cli(
+        ["query", "--quads", qpath, "--sparql", q, "--format", "tsv"])
+    assert code == 0, stdout
+    assert stdout.splitlines()[0] == "?d\t?l"
+    assert '<urn:d:2>\t"de"' in stdout
+
+    # --out + a print format is a usage error
+    code, stdout = run_cli(
+        ["query", "--quads", qpath, "--sparql", q, "--format", "csv",
+         "--out", str(tmp_path / "res")])
+    assert code == 2

@@ -1104,3 +1104,88 @@ class TestConstructWhereShorthand:
         with pytest.raises(SparqlError):
             parse_sparql(
                 "PREFIX t: <urn:t:> CONSTRUCT WHERE { ?s t:p+ ?o }")
+
+
+class TestResultsCsvTsv:
+    """W3C SPARQL 1.1 Query Results CSV and TSV formats."""
+
+    QUADS = [
+        ("<urn:d:1>", iri("name"), '"plain, with \\"comma\\""'),
+        ("<urn:d:1>", iri("note"), '"line1\\nline2"'),
+        ("<urn:d:2>", iri("name"), '"hallo"@de'),
+        ("<urn:d:2>", iri("size"),
+         '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("_:b0", iri("name"), '"anon"'),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+
+    def test_csv_lexical_values_and_quoting(self, spark):
+        from nabu_spark.sparql import sparql_results_csv
+        out = sparql_results_csv(sparql_query(
+            self._df(spark),
+            "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:name ?o } "
+            "ORDER BY ?s"))
+        lines = out.split("\r\n")
+        assert lines[0] == "s,o"
+        # IRI without brackets; embedded comma + quote RFC4180-escaped
+        assert lines[1] == '"plain, with ""comma""",urn:d:1'.replace(
+            '"plain, with ""comma""",urn:d:1',
+            'urn:d:1,"plain, with ""comma"""')
+        # lang literal -> bare lexical form; bnode label kept
+        assert "urn:d:2,hallo" in lines
+        assert "_:b0,anon" in lines
+
+    def test_csv_embedded_newline(self, spark):
+        from nabu_spark.sparql import sparql_results_csv
+        out = sparql_results_csv(sparql_query(
+            self._df(spark),
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { ?s t:note ?o }"))
+        assert '"line1\nline2"' in out
+
+    def test_csv_unbound_is_empty(self, spark):
+        from nabu_spark.sparql import sparql_results_csv
+        out = sparql_results_csv(sparql_query(
+            self._df(spark),
+            "PREFIX t: <urn:t:> SELECT ?s ?z WHERE "
+            "{ ?s t:size ?n OPTIONAL { ?s t:missing ?z } }"))
+        assert out.split("\r\n")[1] == "urn:d:2,"
+
+    def test_tsv_full_term_syntax(self, spark):
+        from nabu_spark.sparql import sparql_results_tsv
+        out = sparql_results_tsv(sparql_query(
+            self._df(spark),
+            "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:name ?o } "
+            "ORDER BY ?s"))
+        lines = out.rstrip("\n").split("\n")
+        assert lines[0] == "?s\t?o"
+        assert '_:b0\t"anon"' in lines
+        assert '<urn:d:2>\t"hallo"@de' in lines
+        # escapes survive verbatim (no raw newline in the field)
+        assert any("\\\"comma\\\"" in ln for ln in lines)
+
+    def test_tsv_aggregates(self, spark):
+        from nabu_spark.sparql import sparql_results_tsv
+        out = sparql_results_tsv(sparql_query(
+            self._df(spark),
+            "PREFIX t: <urn:t:> SELECT (COUNT(?s) AS ?n) (AVG(?v) AS ?a) "
+            "WHERE { ?s t:size ?v }"))
+        lines = out.rstrip("\n").split("\n")
+        assert lines[0] == "?n\t?a"
+        n, a = lines[1].split("\t")
+        assert n == "1"
+        assert a == ('"4.2E1"^^<http://www.w3.org/2001/XMLSchema#double>')
+
+    def test_ask_rejected(self, spark):
+        from nabu_spark.sparql import (
+            sparql_results_csv, sparql_results_tsv,
+        )
+        res = sparql_query(
+            self._df(spark),
+            "PREFIX t: <urn:t:> ASK { ?s t:name ?o }")
+        with pytest.raises(SparqlError):
+            sparql_results_csv(res)
+        with pytest.raises(SparqlError):
+            sparql_results_tsv(res)
