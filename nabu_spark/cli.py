@@ -168,7 +168,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     up.add_argument("action", choices=["init", "update", "query", "compact",
                                        "history", "rollback", "sync", "view",
-                                       "entail"])
+                                       "entail", "export"])
+    up.add_argument("--profile", choices=["rdfs", "owl-rl"], default="rdfs",
+                    help="entail: entailment rule profile")
     up.add_argument("--store", required=True, help="graph store root dir")
     up.add_argument("--quads",
                     help="init/sync: parquet with (subj,pred,obj,prov)")
@@ -580,9 +582,19 @@ def main(argv: list[str] | None = None) -> int:
             res = MaterializedView(gs, args.view_root, text).refresh()
             print(json.dumps({"cmd": "store", "action": "view", **res}))
         elif args.action == "entail":
-            v = gs.entail()
+            v = gs.entail(profile=args.profile)
             print(json.dumps({"cmd": "store", "action": "entail",
-                              "version": v}))
+                              "profile": args.profile, "version": v}))
+        elif args.action == "export":
+            text_out = gs.to_trig()
+            if args.out:
+                with open(args.out, "w") as fh:
+                    fh.write(text_out)
+                print(json.dumps({"cmd": "store", "action": "export",
+                                  "path": args.out,
+                                  "bytes": len(text_out.encode())}))
+            else:
+                print(text_out, end="")
         elif args.action == "compact":
             v = gs.compact()
             print(json.dumps({"cmd": "store", "action": "compact",

@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<sqstring>'(?:[^'\\]|\\.)*')
   | (?P<dtsep>\^\^)
-  | (?P<punct>\[|\]|\(|\)|;|,|\.(?=[\s#]|$))
+  | (?P<punct>\[|\]|\(|\)|\{|\}|;|,|\.(?=[\s#]|$))
   | (?P<keyword>@prefix|@base|\ba\b(?=[\s\[<]))
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<number>[+-]?\d+(?:\.\d+)?)
@@ -196,9 +196,12 @@ class _Parser:
         return self._term(tok)
 
     def _predicate_object_list(self, subject: str) -> None:
+        # "}" terminates statements only inside TriG graph blocks; plain
+        # Turtle never reaches one (the tokenizer would have had no source
+        # for it outside a literal)
         while True:
             tok = self._peek()
-            if tok is None or tok.group(0) in ("]", "."):
+            if tok is None or tok.group(0) in ("]", ".", "}"):
                 return
             tok = self._next()
             if tok.group(0) == ";":
@@ -213,9 +216,29 @@ class _Parser:
                     continue
                 break
             nxt = self._peek()
-            if nxt is None or nxt.group(0) in ("]", "."):
+            if nxt is None or nxt.group(0) in ("]", ".", "}"):
                 return
             self._expect_punct(";")
+
+    def _directive(self, text: str) -> bool:
+        """Consume an @prefix/@base directive; False if not one."""
+        if text == "@prefix":
+            self._next()
+            name_tok = self._next()
+            name = name_tok.group(0).rstrip(":").split(":")[0]
+            iri_tok = self._next()
+            if iri_tok.lastgroup != "iri":
+                raise TurtleError("@prefix expects an IRI")
+            self.prefixes[name] = iri_tok.group(0)[1:-1]
+            self._expect_punct(".")
+            return True
+        if text == "@base":
+            self._next()
+            iri_tok = self._next()
+            self.base = iri_tok.group(0)[1:-1]
+            self._expect_punct(".")
+            return True
+        return False
 
     def parse(self) -> list[tuple[str, str, str]]:
         while True:
@@ -223,21 +246,7 @@ class _Parser:
             if tok is None:
                 return self.triples
             text = tok.group(0)
-            if text == "@prefix":
-                self._next()
-                name_tok = self._next()
-                name = name_tok.group(0).rstrip(":").split(":")[0]
-                iri_tok = self._next()
-                if iri_tok.lastgroup != "iri":
-                    raise TurtleError("@prefix expects an IRI")
-                self.prefixes[name] = iri_tok.group(0)[1:-1]
-                self._expect_punct(".")
-                continue
-            if text == "@base":
-                self._next()
-                iri_tok = self._next()
-                self.base = iri_tok.group(0)[1:-1]
-                self._expect_punct(".")
+            if self._directive(text):
                 continue
             if text == ".":
                 self._next()
@@ -316,14 +325,25 @@ def serialize_turtle(
     descriptions, per-graph release documents — the small artifacts);
     bulk data stays in N-Quads/parquet."""
     prefixes = dict(prefixes or {})
-    by_subj: dict[str, dict[str, list[str]]] = {}
-    for s, p, o in triples:
-        by_subj.setdefault(s, {}).setdefault(p, []).append(o)
     lines = [
         f"@prefix {pfx}: <{ns}> ." for pfx, ns in sorted(prefixes.items())
     ]
     if lines:
         lines.append("")
+    lines.extend(statement_lines(triples, prefixes))
+    return "\n".join(lines) + "\n"
+
+
+def statement_lines(triples, prefixes: dict[str, str],
+                    indent: int = 0) -> list[str]:
+    """The sorted subject-block statements of ``serialize_turtle`` as a
+    list of lines, indented ``indent`` spaces (for embedding in TriG
+    graph blocks)."""
+    pad = " " * indent
+    by_subj: dict[str, dict[str, list[str]]] = {}
+    for s, p, o in triples:
+        by_subj.setdefault(s, {}).setdefault(p, []).append(o)
+    lines = []
     for s in sorted(by_subj):
         preds = by_subj[s]
         # rdf:type first (Turtle convention), then sorted predicates
@@ -335,6 +355,6 @@ def serialize_turtle(
             )
             pparts.append(f"{_render_term(p, prefixes)} {objs}")
         subj = s if s.startswith("_:") else _compact(s, prefixes)
-        sep = " ;\n" + " " * 4
-        lines.append(f"{subj} {sep.join(pparts)} .")
-    return "\n".join(lines) + "\n"
+        sep = " ;\n" + pad + " " * 4
+        lines.append(f"{pad}{subj} {sep.join(pparts)} .")
+    return lines

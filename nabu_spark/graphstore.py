@@ -822,6 +822,25 @@ class GraphStore:
         )
         return self._commit_delta(delta, seq + 1, f"{profile}-entail")
 
+    def to_trig(self, prefixes: dict[str, str] | None = None, *,
+                max_quads: int = 100_000,
+                version: int | None = None) -> str:
+        """The merged store (or a past ``version``) as a deterministic
+        TriG document: default graph first, one GRAPH block per named
+        graph. Driver-side by design — refuses stores above ``max_quads``
+        (bulk data belongs in the N-Quads/parquet release paths, TriG is
+        for the small artifacts: shapes, VoID, reports, inference)."""
+        from .functions.trig import serialize_trig
+
+        rows = (self.read(version).select("subj", "pred", "obj", "prov")
+                .limit(max_quads + 1).collect())
+        if len(rows) > max_quads:
+            raise ValueError(
+                f"store exceeds max_quads={max_quads}; export N-Quads/"
+                "parquet instead or raise the cap explicitly")
+        return serialize_trig(
+            ((r.subj, r.pred, r.obj, r.prov) for r in rows), prefixes)
+
     def compact(self) -> int:
         """Fold the delete log: rewrite the merged view as pure add rows."""
         seq = self._next_seq()
