@@ -298,6 +298,16 @@ def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
     data_pit = data_pi
     for part in trans_parts:
         data_pit = data_pit.unionByName(part)
+        # invert the freshly closed edges too (inverse of a closure is the
+        # closure of the inverse) so p-transitive + p-inv-q converges in
+        # one round instead of two
+        part_inv = (
+            part.join(F.broadcast(inv_pairs), part["pred"] == inv_pairs["p"])
+            .select(F.col("obj").alias("subj"), F.col("q").alias("pred"),
+                    F.col("subj").alias("obj"))
+        )
+        data_pit = data_pit.unionByName(part_inv).unionByName(
+            _rdfs7(part_inv, spo))
 
     # --- domain / range / class rules (same shape as rdfs_materialize) ---
     dom, rng = _edges(t, DOMAIN), _edges(t, RANGE)
@@ -396,6 +406,7 @@ def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
 
 def owl_rl_materialize(triples: DataFrame, *,
                        driver_max: int = 20_000,
+                       driver_fast_max: int = 100_000,
                        max_rounds: int = _MAX_OWL_ROUNDS) -> DataFrame:
     """The OWL-RL-lite closure of (subj, pred, obj): ρdf plus the property
     and equality rules above, with sameAs components canonicalized onto
@@ -403,9 +414,26 @@ def owl_rl_materialize(triples: DataFrame, *,
     canonical rewrite makes rounds non-monotone (a merge can rewrite as
     many triples as it derives), so a stable count alone does NOT imply a
     stable set — convergence requires count equality AND an empty
-    anti-join of the new set against the old."""
+    anti-join of the new set against the old.
+
+    Graphs of up to ``driver_fast_max`` distinct triples close in-memory
+    via the exact twin (``owl_closure_local``) and ship back as one local
+    relation — a multi-round distributed fixpoint costs hundreds of Spark
+    jobs of fixed overhead, which dwarfs compute at ontology scale (the
+    same economics as ``transitive_closure``'s driver path). Larger
+    graphs run the distributed rounds; twin/distributed agreement is
+    pinned by randomized tests. Pass ``driver_fast_max=0`` to force the
+    distributed path."""
     t = (triples.select("subj", "pred", "obj").distinct()
          .localCheckpoint(eager=True))
+    if driver_fast_max:
+        rows = t.limit(driver_fast_max + 1).collect()
+        if len(rows) <= driver_fast_max:
+            closed = owl_closure_local(
+                [(r.subj, r.pred, r.obj) for r in rows],
+                max_rounds=max_rounds)
+            return t.sparkSession.createDataFrame(
+                sorted(closed), "subj string, pred string, obj string")
     prev = t.count()
     for _ in range(max_rounds):
         nxt = _owl_round(t, driver_max).localCheckpoint(eager=True)
@@ -414,5 +442,136 @@ def owl_rl_materialize(triples: DataFrame, *,
                 t, ["subj", "pred", "obj"], "left_anti").isEmpty():
             return nxt
         t, prev = nxt, cnt
+    raise RuntimeError(
+        f"OWL-RL closure did not converge in {max_rounds} rounds")
+
+
+# --- exact in-memory twin (fast path + agreement oracle) -------------------
+
+def _closure_local(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
+    """Strict transitive closure, same semantics as transitive_closure's
+    driver path (cycles yield reflexive pairs)."""
+    adj: dict[str, set] = {}
+    for c, p in edges:
+        adj.setdefault(c, set()).add(p)
+    closed: set[tuple[str, str]] = set()
+    for start in adj:
+        stack, seen = list(adj[start]), set()
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            closed.add((start, n))
+            stack.extend(adj.get(n, ()))
+    return closed
+
+
+def _owl_round_local(t: set) -> set:
+    """Pure-Python mirror of _owl_round — rule for rule, filter for
+    filter, so the two paths agree exactly (pinned by tests)."""
+    def edges(pred):
+        return {(s, o) for s, p, o in t if p == pred}
+
+    def lit(x):
+        return x.startswith('"')
+
+    eqp = edges(EQ_PROP)
+    spo = _closure_local(
+        edges(SUBPROP) | eqp | {(b, a) for a, b in eqp})
+    eqc = edges(EQ_CLASS)
+    sco = _closure_local(
+        edges(SUBCLASS) | eqc | {(b, a) for a, b in eqc})
+    typed = {}
+    for cls in (SYMMETRIC, TRANSITIVE, FUNCTIONAL, INV_FUNCTIONAL):
+        typed[cls] = {s for s, p, o in t if p == RDF_TYPE and o == cls}
+    inv = edges(INVERSE_OF)
+    inv_pairs = inv | {(b, a) for a, b in inv} | {
+        (p, p) for p in typed[SYMMETRIC]}
+
+    def rdfs7(data):
+        return {(s, q, o) for s, p, o in data for (c, q) in spo if c == p}
+
+    def invert(data):
+        return {(o, q, s) for s, p, o in data if not lit(o)
+                for (c, q) in inv_pairs if c == p}
+
+    data_p = t | rdfs7(t)
+    inv_d = invert(data_p)
+    data_pi = data_p | inv_d | rdfs7(inv_d)
+
+    data_pit = set(data_pi)
+    for p in sorted(typed[TRANSITIVE]):
+        closed = _closure_local(
+            {(s, o) for s, pp, o in data_pi if pp == p and not lit(o)})
+        part = {(s, p, o) for s, o in closed}
+        part_inv = invert(part)
+        data_pit |= part | part_inv | rdfs7(part_inv)
+
+    dom, rng = edges(DOMAIN), edges(RANGE)
+    types_dom = {(s, RDF_TYPE, cc) for s, p, o in data_pit
+                 for (c, cc) in dom if c == p}
+    types_rng = {(o, RDF_TYPE, cc) for s, p, o in data_pit if not lit(o)
+                 for (c, cc) in rng if c == p}
+    all_types = {x for x in data_pit if x[1] == RDF_TYPE} \
+        | types_dom | types_rng
+    types_up = {(s, RDF_TYPE, d) for s, _, o in all_types
+                for (c, d) in sco if c == o}
+    schema_closed = {(c, SUBPROP, p) for c, p in spo} \
+        | {(c, SUBCLASS, d) for c, d in sco}
+    full = data_pit | types_dom | types_rng | types_up | schema_closed
+
+    groups: dict[tuple[str, str], list[str]] = {}
+    for s, p, o in full:
+        if p in typed[FUNCTIONAL] and not lit(o):
+            groups.setdefault((s, p), []).append(o)
+    same = {(o, min(objs)) for objs in groups.values()
+            for o in objs if o != min(objs)}
+    igroups: dict[tuple[str, str], list[str]] = {}
+    for s, p, o in full:
+        if p in typed[INV_FUNCTIONAL]:
+            igroups.setdefault((p, o), []).append(s)
+    same |= {(s, min(subjs)) for subjs in igroups.values()
+             for s in subjs if s != min(subjs)}
+    same |= {(s, o) for s, p, o in full
+             if p == SAMEAS and not lit(o) and s != o}
+    if not same:
+        return full
+
+    # connected components, canonical = component minimum
+    adj: dict[str, set] = {}
+    for a, b in same:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    canon: dict[str, str] = {}
+    for node in adj:
+        if node in canon:
+            continue
+        comp, stack = [], [node]
+        seen = set()
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            comp.append(n)
+            stack.extend(adj[n])
+        rep = min(comp)
+        for n in comp:
+            canon[n] = rep
+    rewritten = {(canon.get(s, s), p, canon.get(o, o))
+                 for s, p, o in full if p != SAMEAS}
+    mapping = {(n, SAMEAS, r) for n, r in canon.items() if n != r}
+    return rewritten | mapping
+
+
+def owl_closure_local(triples, *, max_rounds: int = _MAX_OWL_ROUNDS) -> set:
+    """owl_rl_materialize's semantics over an in-memory triple iterable."""
+    t = set(triples)
+    for _ in range(max_rounds):
+        nxt = _owl_round_local(t)
+        if nxt == t:
+            return nxt
+        t = nxt
     raise RuntimeError(
         f"OWL-RL closure did not converge in {max_rounds} rounds")

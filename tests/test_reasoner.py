@@ -259,3 +259,65 @@ class TestOwlRlLite:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             st.entail(profile="owl-full")
+
+
+class TestOwlTwinAgreement:
+    """The distributed OWL-RL path (driver_fast_max=0) must agree exactly
+    with the in-memory twin that serves as the small-graph fast path."""
+
+    def _both(self, spark, rows):
+        from nabu_spark.operators.reasoner import (
+            owl_closure_local, owl_rl_materialize,
+        )
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+        dist = {tuple(r) for r in
+                owl_rl_materialize(df, driver_fast_max=0).collect()}
+        local = owl_closure_local(rows)
+        assert dist == local, (f"extra={sorted(dist - local)[:5]} "
+                               f"missing={sorted(local - dist)[:5]}")
+        return dist
+
+    def test_combined_fixture(self, spark):
+        from nabu_spark.operators.reasoner import (
+            EQ_PROP, FUNCTIONAL, INVERSE_OF, SYMMETRIC, TRANSITIVE,
+        )
+        self._both(spark, [
+            ("<urn:t>", RDF_TYPE, TRANSITIVE),
+            ("<urn:t>", INVERSE_OF, "<urn:t_inv>"),
+            ("<urn:near>", RDF_TYPE, SYMMETRIC),
+            ("<urn:f>", RDF_TYPE, FUNCTIONAL),
+            ("<urn:p>", EQ_PROP, "<urn:q>"),
+            ("<urn:p>", SUBPROP, "<urn:attr>"),
+            ("<urn:p>", DOMAIN, "<urn:C>"),
+            ("<urn:C>", SUBCLASS, "<urn:D>"),
+            ("<urn:a>", "<urn:t>", "<urn:b>"),
+            ("<urn:b>", "<urn:t>", "<urn:c>"),
+            ("<urn:a>", "<urn:near>", "<urn:b>"),
+            ("<urn:x>", "<urn:f>", "<urn:n1>"),
+            ("<urn:x>", "<urn:f>", "<urn:n2>"),
+            ("<urn:n2>", "<urn:p>", '"lit"'),
+        ])
+
+    def test_random_graphs(self, spark):
+        import random
+
+        from nabu_spark.operators.reasoner import (
+            FUNCTIONAL, INVERSE_OF, SAMEAS, SYMMETRIC, TRANSITIVE,
+        )
+        rng = random.Random(23)
+        preds = ["<urn:p1>", "<urn:p2>", "<urn:p3>"]
+        nodes = [f"<urn:n{i}>" for i in range(8)]
+        for _ in range(2):
+            rows = [
+                ("<urn:p1>", RDF_TYPE, rng.choice([TRANSITIVE, SYMMETRIC])),
+                ("<urn:p2>", RDF_TYPE, FUNCTIONAL),
+                ("<urn:p2>", INVERSE_OF, "<urn:p3>"),
+                ("<urn:p3>", SUBPROP, "<urn:p1>"),
+            ]
+            for _ in range(rng.randint(5, 12)):
+                rows.append((rng.choice(nodes), rng.choice(preds),
+                             rng.choice(nodes + ['"v"'])))
+            if rng.random() < 0.5:
+                rows.append((nodes[0], SAMEAS, nodes[1]))
+            self._both(spark, rows)
