@@ -171,6 +171,10 @@ def build_parser() -> argparse.ArgumentParser:
                                        "entail", "export"])
     up.add_argument("--profile", choices=["rdfs", "owl-rl"], default="rdfs",
                     help="entail: entailment rule profile")
+    up.add_argument("--incremental", action="store_true",
+                    help="entail: maintain the inference graph from the "
+                         "append window since the last entail (falls back "
+                         "to full recompute when unsound)")
     up.add_argument("--store", required=True, help="graph store root dir")
     up.add_argument("--quads",
                     help="init/sync: parquet with (subj,pred,obj,prov)")
@@ -582,7 +586,8 @@ def main(argv: list[str] | None = None) -> int:
             res = MaterializedView(gs, args.view_root, text).refresh()
             print(json.dumps({"cmd": "store", "action": "view", **res}))
         elif args.action == "entail":
-            v = gs.entail(profile=args.profile)
+            v = gs.entail(profile=args.profile,
+                          incremental=args.incremental)
             print(json.dumps({"cmd": "store", "action": "entail",
                               "profile": args.profile, "version": v}))
         elif args.action == "export":

@@ -784,7 +784,7 @@ class GraphStore:
         return self.update(f"LOAD <file://{path}>{into}")
 
     def entail(self, graph: str = "<urn:nabu:inference>",
-               profile: str = "rdfs") -> int:
+               profile: str = "rdfs", incremental: bool = False) -> int:
         """Materialize the entailment closure (operators/reasoner.py) of
         the merged store into ``graph``: the inference graph is REPLACED
         with exactly the derived-but-not-asserted triples, committed as
@@ -795,11 +795,28 @@ class GraphStore:
         <urn:nabu:inference>`` isolates them. ``profile`` selects the rule
         set: ``rdfs`` (ρdf core) or ``owl-rl`` (adds inverse/symmetric/
         transitive/functional property rules with sameAs
-        canonicalization)."""
+        canonicalization).
+
+        ``incremental=True`` maintains the inference graph from the delta
+        window since the last entail instead of re-closing the store:
+        every ρdf rule joins ONE data triple against vocabulary-sized
+        schema relations, so for an append-only window that asserts no
+        schema triples, closure(T ∪ Δ) = closure(T) ∪ closure(Δ ∪
+        schema) — the job reads only the window files plus a
+        predicate-pushed schema scan, O(Δ), never a full re-closure. The
+        same honesty discipline as matview: any condition that makes the
+        shortcut unsound (no prior entail, a non-append window, delete
+        markers, schema-touching delta, or the owl-rl profile — whose
+        canonical rewrite is non-monotone) falls back to the full
+        recompute, and each fallback reason is pinned by a test."""
         from .operators.reasoner import owl_rl_materialize, rdfs_materialize
 
         if profile not in ("rdfs", "owl-rl"):
             raise ValueError(f"unknown entailment profile {profile!r}")
+        if incremental and profile == "rdfs":
+            v = self._entail_incremental(graph)
+            if v is not None:
+                return v
         materialize = (rdfs_materialize if profile == "rdfs"
                        else owl_rl_materialize)
         cur = self.read()
@@ -820,7 +837,72 @@ class GraphStore:
             .unionByName(adds.withColumn("__op", F.lit("a"))
                          .withColumn("__seq", F.lit(seq + 1)))
         )
-        return self._commit_delta(delta, seq + 1, f"{profile}-entail")
+        return self._commit_delta(delta, seq + 1, f"{profile}-entail",
+                                  extra={"entail_graph": graph})
+
+    _SCHEMA_PREDS = (
+        "<http://www.w3.org/2000/01/rdf-schema#subClassOf>",
+        "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>",
+        "<http://www.w3.org/2000/01/rdf-schema#domain>",
+        "<http://www.w3.org/2000/01/rdf-schema#range>",
+    )
+
+    def _entail_incremental(self, graph: str) -> int | None:
+        """The semi-naive append path of entail(); None -> caller must
+        run the full recompute."""
+        from .operators.reasoner import rdfs_materialize
+
+        last = next(
+            (h["version"] for h in self.history()
+             if h.get("stage") == "rdfs-entail"
+             and h.get("metrics", {}).get("entail_graph") == graph),
+            None)
+        if last is None:
+            return None
+        head = self.tbl.latest_version()
+        if head == last:  # nothing committed since -> no-op delta
+            seq = self._next_seq()
+            empty = self.spark.createDataFrame(
+                [], "subj string, pred string, obj string, prov string"
+            ).withColumn("__op", F.lit("a")).withColumn(
+                "__seq", F.lit(seq))
+            return self._commit_delta(
+                empty, seq, "rdfs-entail",
+                extra={"entail_mode": "incremental", "entail_graph": graph})
+        window = self.raw_window(last, head)
+        if window is None:
+            return None
+        window = window.localCheckpoint(eager=True)
+        unsound = window.filter(
+            (F.col("__op") != "a")
+            | (F.col("prov") == graph)
+            | F.col("pred").isin(*self._SCHEMA_PREDS)
+        ).limit(1).count()
+        if unsound:
+            return None
+        cur = self.read()
+        asserted = cur.filter(
+            F.col("prov").isNull() | (F.col("prov") != graph))
+        # vocabulary-sized by nature; the filter pushes to the scan
+        schema = asserted.filter(
+            F.col("pred").isin(*self._SCHEMA_PREDS)
+        ).select("subj", "pred", "obj").distinct()
+        seed = (window.select("subj", "pred", "obj").distinct()
+                .unionByName(schema))
+        derived = (
+            rdfs_materialize(seed)
+            .join(asserted.select("subj", "pred", "obj").distinct(),
+                  on=["subj", "pred", "obj"], how="left_anti")
+            .withColumn("prov", F.lit(graph))
+        )
+        old_inf = cur.filter(F.col("prov") == graph)
+        adds = _quad_minus(derived, old_inf)
+        seq = self._next_seq()
+        delta = (adds.withColumn("__op", F.lit("a"))
+                 .withColumn("__seq", F.lit(seq)))
+        return self._commit_delta(
+            delta, seq, "rdfs-entail",
+            extra={"entail_mode": "incremental", "entail_graph": graph})
 
     def to_trig(self, prefixes: dict[str, str] | None = None, *,
                 max_quads: int = 100_000,

@@ -100,10 +100,26 @@ def _edges(triples: DataFrame, pred: str) -> DataFrame:
         F.col("subj").alias("child"), F.col("obj").alias("parent"))
 
 
-def rdfs_materialize(triples: DataFrame) -> DataFrame:
+def rdfs_materialize(triples: DataFrame, *,
+                     driver_fast_max: int = 100_000) -> DataFrame:
     """The entailed graph: asserted (subj, pred, obj) triples plus every
-    triple the rules above derive, as one distinct relation."""
+    triple the rules above derive, as one distinct relation.
+
+    Ontology-scale graphs (≤ ``driver_fast_max`` distinct triples) close
+    through the exact in-memory mirror (``rdfs_closure_local``) and ship
+    back as one local relation — the stratified plan still costs ~10
+    Spark jobs of fixed overhead, which dwarfs compute at that size (the
+    same economics as the OWL profile's fast path); agreement between
+    the two paths is pinned by tests. Pass 0 to force the distributed
+    plan."""
     t = triples.select("subj", "pred", "obj")
+    if driver_fast_max:
+        rows = t.distinct().limit(driver_fast_max + 1).collect()
+        if len(rows) <= driver_fast_max:
+            closed = rdfs_closure_local(
+                [(r.subj, r.pred, r.obj) for r in rows])
+            return t.sparkSession.createDataFrame(
+                sorted(closed), "subj string, pred string, obj string")
 
     spo = transitive_closure(_edges(t, SUBPROP))
     sco = transitive_closure(_edges(t, SUBCLASS))
@@ -444,6 +460,31 @@ def owl_rl_materialize(triples: DataFrame, *,
         t, prev = nxt, cnt
     raise RuntimeError(
         f"OWL-RL closure did not converge in {max_rounds} rounds")
+
+
+def rdfs_closure_local(triples) -> set:
+    """rdfs_materialize's semantics over an in-memory triple iterable —
+    the same stratified rule order, mirror for mirror."""
+    t = set(triples)
+
+    def edges(pred):
+        return {(s, o) for s, p, o in t if p == pred}
+
+    spo = _closure_local(edges(SUBPROP))
+    sco = _closure_local(edges(SUBCLASS))
+    data_p = t | {(s, q, o) for s, p, o in t for (c, q) in spo if c == p}
+    dom, rng = edges(DOMAIN), edges(RANGE)
+    types_dom = {(s, RDF_TYPE, cc) for s, p, o in data_p
+                 for (c, cc) in dom if c == p}
+    types_rng = {(o, RDF_TYPE, cc) for s, p, o in data_p
+                 if not o.startswith('"') for (c, cc) in rng if c == p}
+    all_types = {x for x in data_p if x[1] == RDF_TYPE} \
+        | types_dom | types_rng
+    types_up = {(s, RDF_TYPE, d) for s, _, o in all_types
+                for (c, d) in sco if c == o}
+    schema_closed = {(c, SUBPROP, p) for c, p in spo} \
+        | {(c, SUBCLASS, d) for c, d in sco}
+    return data_p | types_dom | types_rng | types_up | schema_closed
 
 
 # --- exact in-memory twin (fast path + agreement oracle) -------------------

@@ -321,3 +321,114 @@ class TestOwlTwinAgreement:
             if rng.random() < 0.5:
                 rows.append((nodes[0], SAMEAS, nodes[1]))
             self._both(spark, rows)
+
+
+class TestRdfsTwinAgreement:
+    def test_distributed_equals_local(self, spark):
+        from nabu_spark.operators.reasoner import (
+            rdfs_closure_local, rdfs_materialize,
+        )
+        rows = [
+            ("<urn:C1>", SUBCLASS, "<urn:C2>"),
+            ("<urn:C2>", SUBCLASS, "<urn:C3>"),
+            ("<urn:p>", SUBPROP, "<urn:q>"),
+            ("<urn:q>", SUBPROP, "<urn:r>"),
+            ("<urn:p>", DOMAIN, "<urn:C1>"),
+            ("<urn:r>", RANGE, "<urn:C2>"),
+            ("<urn:a>", "<urn:p>", "<urn:b>"),
+            ("<urn:x>", RDF_TYPE, "<urn:C1>"),
+            ("<urn:a>", "<urn:p>", '"lit"'),
+        ]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+        dist = {tuple(r) for r in
+                rdfs_materialize(df, driver_fast_max=0).collect()}
+        fast = {tuple(r) for r in rdfs_materialize(df).collect()}
+        local = rdfs_closure_local(rows)
+        assert dist == local == fast
+
+
+class TestIncrementalEntail:
+    """entail(incremental=True): semi-naive maintenance from the append
+    window, with every unsound condition falling back to full recompute."""
+
+    SCHEMA = [
+        ("<urn:C1>", SUBCLASS, "<urn:C2>", None),
+        ("<urn:p>", SUBPROP, "<urn:q>", None),
+        ("<urn:p>", DOMAIN, "<urn:C1>", None),
+    ]
+
+    def _store(self, spark, tmp_path, name="store"):
+        from nabu_spark.graphstore import GraphStore
+
+        st = GraphStore(spark, str(tmp_path / name))
+        st.init(spark.createDataFrame(
+            self.SCHEMA + [("<urn:a>", "<urn:p>", "<urn:b>", "<urn:g1>")],
+            "subj string, pred string, obj string, prov string"))
+        return st
+
+    @staticmethod
+    def _mode(st, v):
+        return st.tbl.manifest(v)["metrics"].get("entail_mode")
+
+    @staticmethod
+    def _inf(st):
+        from pyspark.sql import functions as F
+        return {(r.subj, r.pred, r.obj) for r in st.read().filter(
+            F.col("prov") == "<urn:nabu:inference>").collect()}
+
+    def test_incremental_equals_full(self, spark, tmp_path):
+        st = self._store(spark, tmp_path, "inc")
+        st.entail()
+        st.update("INSERT DATA { GRAPH <urn:g2> "
+                  "{ <urn:c> <urn:p> <urn:d> } }")
+        v = st.entail(incremental=True)
+        assert self._mode(st, v) == "incremental"
+
+        full = self._store(spark, tmp_path, "full")
+        full.update("INSERT DATA { GRAPH <urn:g2> "
+                    "{ <urn:c> <urn:p> <urn:d> } }")
+        full.entail()
+        assert self._inf(st) == self._inf(full)
+        # the new doc's inferences actually landed
+        assert ("<urn:c>", RDF_TYPE, "<urn:C2>") in self._inf(st)
+
+        # chain a second incremental on top of the first
+        st.update("INSERT DATA { <urn:e> <urn:p> <urn:f> }")
+        v2 = st.entail(incremental=True)
+        assert self._mode(st, v2) == "incremental"
+        assert ("<urn:e>", RDF_TYPE, "<urn:C2>") in self._inf(st)
+
+    def test_noop_window_commits_empty_delta(self, spark, tmp_path):
+        st = self._store(spark, tmp_path)
+        st.entail()
+        v = st.entail(incremental=True)
+        assert self._mode(st, v) == "incremental"
+        assert st.tbl.manifest(v)["row_count"] == 0
+
+    def test_schema_delta_falls_back_to_full(self, spark, tmp_path):
+        st = self._store(spark, tmp_path)
+        st.entail()
+        st.update("INSERT DATA { <urn:C2> "
+                  "<http://www.w3.org/2000/01/rdf-schema#subClassOf> "
+                  "<urn:C3> }")
+        v = st.entail(incremental=True)
+        assert self._mode(st, v) is None  # full path ran
+        # old data re-derived through the NEW schema edge
+        assert ("<urn:a>", RDF_TYPE, "<urn:C3>") in self._inf(st)
+
+    def test_delete_window_falls_back_and_retracts(self, spark, tmp_path):
+        st = self._store(spark, tmp_path)
+        st.entail()
+        assert ("<urn:a>", RDF_TYPE, "<urn:C2>") in self._inf(st)
+        st.update("DELETE DATA { GRAPH <urn:g1> "
+                  "{ <urn:a> <urn:p> <urn:b> } }")
+        v = st.entail(incremental=True)
+        assert self._mode(st, v) is None
+        assert ("<urn:a>", RDF_TYPE, "<urn:C2>") not in self._inf(st)
+
+    def test_no_prior_entail_falls_back(self, spark, tmp_path):
+        st = self._store(spark, tmp_path)
+        v = st.entail(incremental=True)
+        assert self._mode(st, v) is None
+        assert ("<urn:a>", RDF_TYPE, "<urn:C2>") in self._inf(st)
