@@ -506,6 +506,26 @@ def _load_quads(spark: SparkSession, op: Load) -> DataFrame | None:
     if path.startswith("file://"):
         path = path[len("file://"):]
     try:
+        # Turtle / TriG are the small-artifact formats (shapes, VoID,
+        # reports): parsed driver-side and shipped as one local relation.
+        # N-Quads/N-Triples stay the bulk path (distributed line parse).
+        if path.endswith(".ttl"):
+            from .functions.turtle import parse_turtle
+
+            with open(path) as fh:
+                triples = parse_turtle(fh.read())
+            return spark.createDataFrame(
+                [(s, p, o, op.graph) for s, p, o in triples],
+                "subj string, pred string, obj string, prov string")
+        if path.endswith(".trig"):
+            from .functions.trig import parse_trig
+
+            with open(path) as fh:
+                quads = parse_trig(fh.read())
+            return spark.createDataFrame(
+                [(s, p, o, op.graph if op.graph is not None else g)
+                 for s, p, o, g in quads],
+                "subj string, pred string, obj string, prov string")
         df = read_nquads(spark, path)
     except Exception:
         if op.silent:

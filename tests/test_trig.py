@@ -153,3 +153,53 @@ class TestStoreExport:
                                 "--out", str(outp)])
         assert code == 0, stdout
         assert _canon(parse_trig(outp.read_text())) == _canon(parse_trig(trig))
+
+
+class TestLoadTextFormats:
+    """SPARQL LOAD of .ttl / .trig files into the graph store."""
+
+    def test_load_turtle_and_trig(self, spark, tmp_path):
+        from nabu_spark.graphstore import GraphStore
+
+        (tmp_path / "d.ttl").write_text(
+            "@prefix ex: <urn:ex:> . ex:s ex:p ex:o .")
+        (tmp_path / "d.trig").write_text(
+            "@prefix ex: <urn:ex:> .\n"
+            "ex:d ex:p \"v\" .\n"
+            "GRAPH ex:g { ex:a ex:p ex:b . }")
+        st = GraphStore(spark, str(tmp_path / "store"))
+        st.init(spark.createDataFrame(
+            [], "subj string, pred string, obj string, prov string"))
+        st.load(str(tmp_path / "d.ttl"))
+        st.load(str(tmp_path / "d.trig"))
+        got = {tuple(r) for r in st.read().collect()}
+        assert got == {
+            ("<urn:ex:s>", "<urn:ex:p>", "<urn:ex:o>", None),
+            ("<urn:ex:d>", "<urn:ex:p>", '"v"', None),
+            ("<urn:ex:a>", "<urn:ex:p>", "<urn:ex:b>", "<urn:ex:g>"),
+        }
+        # INTO GRAPH overrides the document's own graphs
+        st.update(f"LOAD <file://{tmp_path}/d.trig> INTO GRAPH <urn:all>")
+        in_all = {tuple(r) for r in st.read().collect()
+                  if r.prov == "<urn:all>"}
+        assert in_all == {
+            ("<urn:ex:d>", "<urn:ex:p>", '"v"', "<urn:all>"),
+            ("<urn:ex:a>", "<urn:ex:p>", "<urn:ex:b>", "<urn:all>"),
+        }
+
+    def test_load_silent_on_bad_turtle(self, spark, tmp_path):
+        from nabu_spark.graphstore import GraphStore
+        from nabu_spark.sparql import SparqlError  # noqa: F401
+
+        (tmp_path / "bad.ttl").write_text("this is { not turtle")
+        st = GraphStore(spark, str(tmp_path / "store"))
+        st.init(spark.createDataFrame(
+            [("<urn:s>", "<urn:p>", "<urn:o>", None)],
+            "subj string, pred string, obj string, prov string"))
+        v0 = st.tbl.latest_version()
+        st.update(f"LOAD SILENT <file://{tmp_path}/bad.ttl>")
+        assert st.read().count() == 1
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            st.update(f"LOAD <file://{tmp_path}/bad.ttl>")
+        assert st.read().count() == 1
