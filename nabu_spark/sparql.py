@@ -583,6 +583,9 @@ class _Parser:
         if v == "^":
             self.i += 1
             return ("inv", self._path_primary())
+        if v == "!":
+            self.i += 1
+            return self._path_nps()
         if v == "(":
             self.i += 1
             p = self._path()
@@ -592,6 +595,43 @@ class _Parser:
         if atom[0] != "term" or not atom[1].startswith("<"):
             raise SparqlError(f"path element must be an IRI, got {atom!r}")
         return ("p", atom[1])
+
+    def _path_nps(self):
+        """Negated property set after '!': per the spec's translation,
+        `!(F... | ^I...)` becomes alt(NPS(F), inv(NPS(I))) — so only ONE
+        primitive ('nps', excluded-iris) = forward triples whose predicate
+        is not in the set; `!()` matches every forward triple."""
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def one():
+            target = fwd
+            if self._peek()[1] == "^":
+                self.i += 1
+                target = inv
+            atom = self._term_atom()
+            if atom[0] != "term" or not atom[1].startswith("<"):
+                raise SparqlError(
+                    f"negated property set needs IRIs, got {atom!r}")
+            target.append(atom[1])
+
+        if self._peek()[1] == "(":
+            self.i += 1
+            if self._peek()[1] != ")":
+                one()
+                while self._peek()[1] == "|":
+                    self.i += 1
+                    one()
+            self._expect(")")
+        else:
+            one()
+        fwd_ast = ("nps", tuple(sorted(set(fwd))))
+        inv_ast = ("inv", ("nps", tuple(sorted(set(inv)))))
+        if inv and not fwd:
+            return inv_ast
+        if inv:
+            return ("alt", [fwd_ast, inv_ast])
+        return fwd_ast
 
     def _pred_slot(self):
         """Predicate position: a plain variable, or a property path. A
@@ -1150,6 +1190,14 @@ class _DfCompiler:
         tag = ast[0]
         if tag == "p":
             q = self._graph_quads(graph).filter(F.col("pred") == ast[1])
+            sel = [F.col("subj").alias("__src"), F.col("obj").alias("__dst")]
+            if keyed:
+                sel.append(F.col(self.graph_col).alias("__g"))
+            return q.select(*sel)
+        if tag == "nps":
+            q = self._graph_quads(graph)
+            if ast[1]:
+                q = q.filter(~F.col("pred").isin(*ast[1]))
             sel = [F.col("subj").alias("__src"), F.col("obj").alias("__dst")]
             if keyed:
                 sel.append(F.col(self.graph_col).alias("__g"))
@@ -1764,6 +1812,9 @@ class _LocalEval:
         if tag == "p":
             return {(t[0], t[2]) for t in self._graph_triples(graph)
                     if t[1] == ast[1]}
+        if tag == "nps":
+            return {(t[0], t[2]) for t in self._graph_triples(graph)
+                    if t[1] not in ast[1]}
         if tag == "inv":
             return {(d, s) for s, d in self._path_pairs(ast[1], graph)}
         if tag == "seq":

@@ -1189,3 +1189,60 @@ class TestResultsCsvTsv:
             sparql_results_csv(res)
         with pytest.raises(SparqlError):
             sparql_results_tsv(res)
+
+
+class TestNegatedPropertySets:
+    QUADS = [
+        (iri("a"), iri("p"), iri("b")),
+        (iri("a"), iri("q"), iri("c")),
+        (iri("a"), iri("r"), iri("d")),
+        (iri("b"), iri("p"), iri("c")),
+    ]
+
+    def _both(self, spark, q):
+        local = sparql_eval_local(self.QUADS, q)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+        out = sparql_query(df, q)
+        got = sorted(tuple(r) for r in out.collect())
+        cols = out.columns
+        loc = sorted(tuple(r[c] for c in cols) for r in local)
+        assert got == loc, f"{q}\n df={got}\n local={loc}"
+        return got
+
+    def test_single_negation(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { t:a !t:p ?o } ORDER BY ?o")
+        assert got == [(iri("c"),), (iri("d"),)]
+
+    def test_set_negation(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { t:a !(t:p|t:q) ?o }")
+        assert got == [(iri("d"),)]
+
+    def test_inverse_only(self, spark):
+        # !(^t:p): inverted triples whose pred is not p — never forward ones
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s WHERE { t:c !(^t:p) ?s }")
+        assert got == [(iri("a"),)]  # via q, inverted; b-p-c excluded
+
+    def test_mixed_set(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?x WHERE { t:b !(t:p|^t:p) ?x } "
+            "ORDER BY ?x")
+        assert got == []  # b's only edges are p (fwd) and p (inv)
+
+    def test_empty_set_matches_everything_forward(self, spark):
+        got = self._both(
+            spark, "PREFIX t: <urn:t:> SELECT ?o WHERE { t:b !() ?o }")
+        assert got == [(iri("c"),)]
+
+    def test_in_sequence(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?o WHERE { t:a t:p/!t:q ?o }")
+        assert got == [(iri("c"),)]
