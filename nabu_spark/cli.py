@@ -502,11 +502,17 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(sparql_results_json(out, limit=args.limit)))
         elif args.format in ("csv", "tsv"):
-            from .sparql import sparql_results_csv, sparql_results_tsv
+            from .sparql import (
+                SparqlError, sparql_results_csv, sparql_results_tsv,
+            )
 
             fn = sparql_results_csv if args.format == "csv" \
                 else sparql_results_tsv
-            print(fn(out, limit=args.limit), end="")
+            try:
+                print(fn(out, limit=args.limit), end="")
+            except SparqlError as e:
+                print(json.dumps({"cmd": "query", "error": str(e)}))
+                return 2
         else:
             rows = out.limit(args.limit).collect()
             for r in rows:
@@ -557,11 +563,17 @@ def main(argv: list[str] | None = None) -> int:
 
                 print(json.dumps(sparql_results_json(out, limit=args.limit)))
             elif args.format in ("csv", "tsv"):
-                from .sparql import sparql_results_csv, sparql_results_tsv
+                from .sparql import (
+                    SparqlError, sparql_results_csv, sparql_results_tsv,
+                )
 
                 fn = sparql_results_csv if args.format == "csv" \
                     else sparql_results_tsv
-                print(fn(out, limit=args.limit), end="")
+                try:
+                    print(fn(out, limit=args.limit), end="")
+                except SparqlError as e:
+                    print(json.dumps({"cmd": "store", "error": str(e)}))
+                    return 2
             else:
                 for r in out.limit(args.limit).collect():
                     print("\t".join("" if r[c] is None else str(r[c])

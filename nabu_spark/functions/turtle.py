@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<sqstring>'(?:[^'\\]|\\.)*')
   | (?P<dtsep>\^\^)
-  | (?P<punct>\[|\]|\(|\)|\{|\}|;|,|\.(?=[\s#]|$))
+  | (?P<punct>\[|\]|\(|\)|\{|\}|;|,|\.(?=[\s#}]|$))
   | (?P<keyword>@prefix|@base|\ba\b(?=[\s\[<]))
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<number>[+-]?\d+(?:\.\d+)?)

@@ -917,11 +917,20 @@ class GraphStore:
         )
         old_inf = cur.filter(F.col("prov") == graph)
         adds = _quad_minus(derived, old_inf)
+        # a triple the window newly ASSERTS may currently live in the
+        # inference graph — retract it there so the "exactly
+        # derived-but-not-asserted" invariant survives increments
+        dels = old_inf.join(
+            window.select("subj", "pred", "obj").distinct(),
+            on=["subj", "pred", "obj"], how="left_semi")
         seq = self._next_seq()
-        delta = (adds.withColumn("__op", F.lit("a"))
-                 .withColumn("__seq", F.lit(seq)))
+        delta = (
+            dels.withColumn("__op", F.lit("d")).withColumn("__seq", F.lit(seq))
+            .unionByName(adds.withColumn("__op", F.lit("a"))
+                         .withColumn("__seq", F.lit(seq + 1)))
+        )
         return self._commit_delta(
-            delta, seq, "rdfs-entail",
+            delta, seq + 1, "rdfs-entail",
             extra={"entail_mode": "incremental", "entail_graph": graph})
 
     def to_trig(self, prefixes: dict[str, str] | None = None, *,

@@ -114,7 +114,10 @@ def rdfs_materialize(triples: DataFrame, *,
     plan."""
     t = triples.select("subj", "pred", "obj")
     if driver_fast_max:
-        rows = t.distinct().limit(driver_fast_max + 1).collect()
+        # checkpoint the probed distinct so an over-cap probe's shuffle
+        # feeds the distributed plan instead of being recomputed
+        t = t.distinct().localCheckpoint(eager=True)
+        rows = t.limit(driver_fast_max + 1).collect()
         if len(rows) <= driver_fast_max:
             closed = rdfs_closure_local(
                 [(r.subj, r.pred, r.obj) for r in rows])
@@ -405,8 +408,10 @@ def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
                             F.col("canonical_iri").alias("_cs"))
     m_obj = mapping.select(F.col("iri").alias("obj"),
                            F.col("canonical_iri").alias("_co"))
+    # IRI-object sameAs assertions fold into the mapping; literal-object
+    # ones (ill-typed but possible on web data) are kept as data
     rewritten = (
-        full.filter(F.col("pred") != SAMEAS)
+        full.filter((F.col("pred") != SAMEAS) | F.col("obj").startswith('"'))
         .join(m_subj, "subj", "left")
         .join(m_obj, "obj", "left")
         .select(F.coalesce("_cs", "subj").alias("subj"), "pred",
@@ -601,7 +606,7 @@ def _owl_round_local(t: set) -> set:
         for n in comp:
             canon[n] = rep
     rewritten = {(canon.get(s, s), p, canon.get(o, o))
-                 for s, p, o in full if p != SAMEAS}
+                 for s, p, o in full if p != SAMEAS or lit(o)}
     mapping = {(n, SAMEAS, r) for n, r in canon.items() if n != r}
     return rewritten | mapping
 

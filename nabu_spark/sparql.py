@@ -2166,7 +2166,7 @@ def sparql_results_json(df: DataFrame, *, limit: int | None = None) -> dict:
     # ASK results are exactly one BOOLEAN column named 'ask' — a SELECT
     # projecting a VARIABLE ?ask yields a string column and must not hit
     # this branch
-    if cols == ["ask"] and str(df.schema["ask"].dataType) == "BooleanType()":
+    if _is_ask(df):
         row = df.first()
         return {"head": {}, "boolean": bool(row["ask"]) if row else False}
     if limit is not None:

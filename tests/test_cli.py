@@ -281,3 +281,18 @@ def test_cli_query_csv_tsv_formats(spark, tmp_path):
         ["query", "--quads", qpath, "--sparql", q, "--format", "csv",
          "--out", str(tmp_path / "res")])
     assert code == 2
+
+
+@pytest.mark.slow
+def test_cli_query_ask_csv_is_json_error(spark, tmp_path):
+    quads = spark.createDataFrame(
+        [("<urn:d:1>", "<urn:p:lang>", '"en"', None)],
+        "subj string, pred string, obj string, prov string",
+    )
+    qpath = str(tmp_path / "quads")
+    quads.write.parquet(qpath)
+    code, stdout = run_cli(
+        ["query", "--quads", qpath, "--sparql",
+         "ASK { ?s ?p ?o }", "--format", "csv"])
+    assert code == 2
+    assert "error" in json.loads(stdout.strip().splitlines()[-1])

@@ -432,3 +432,46 @@ class TestIncrementalEntail:
         v = st.entail(incremental=True)
         assert self._mode(st, v) is None
         assert ("<urn:a>", RDF_TYPE, "<urn:C2>") in self._inf(st)
+
+    def test_window_asserting_an_inference_retracts_it(self, spark, tmp_path):
+        """A triple the append window newly asserts must leave the
+        inference graph (exactly derived-but-NOT-asserted), same as a
+        full re-entail would."""
+        st = self._store(spark, tmp_path, "retract")
+        st.entail()
+        assert ("<urn:a>", "<urn:q>", "<urn:b>") in self._inf(st)
+        st.update("INSERT DATA { GRAPH <urn:g2> "
+                  "{ <urn:a> <urn:q> <urn:b> } }")
+        v = st.entail(incremental=True)
+        assert self._mode(st, v) == "incremental"
+        assert ("<urn:a>", "<urn:q>", "<urn:b>") not in self._inf(st)
+
+        full = self._store(spark, tmp_path, "retract_full")
+        full.update("INSERT DATA { GRAPH <urn:g2> "
+                    "{ <urn:a> <urn:q> <urn:b> } }")
+        full.entail()
+        assert self._inf(st) == self._inf(full)
+
+
+class TestOwlLiteralSameas:
+    def test_literal_object_sameas_is_kept_as_data(self, spark):
+        from nabu_spark.operators.reasoner import (
+            SAMEAS, owl_closure_local, owl_rl_materialize,
+        )
+        rows = [
+            ("<urn:x>", SAMEAS, '"v"'),
+            ("<urn:b>", SAMEAS, "<urn:a>"),
+            ("<urn:b>", "<urn:p>", "<urn:c>"),
+        ]
+        local = owl_closure_local(rows)
+        # literal-object assertion survives; IRI sameAs folds to mapping;
+        # subjects rewrite onto the canonical member
+        assert ("<urn:x>", SAMEAS, '"v"') in local
+        assert ("<urn:b>", SAMEAS, "<urn:a>") in local
+        assert ("<urn:a>", "<urn:p>", "<urn:c>") in local
+        assert ("<urn:b>", "<urn:p>", "<urn:c>") not in local
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+        dist = {tuple(r) for r in
+                owl_rl_materialize(df, driver_fast_max=0).collect()}
+        assert dist == local

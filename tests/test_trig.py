@@ -203,3 +203,8 @@ class TestLoadTextFormats:
         with _pytest.raises(Exception):
             st.update(f"LOAD <file://{tmp_path}/bad.ttl>")
         assert st.read().count() == 1
+
+
+def test_dot_immediately_before_closing_brace():
+    assert parse_trig("<urn:g> { <urn:s> <urn:p> <urn:o> .}") == [
+        ("<urn:s>", "<urn:p>", "<urn:o>", "<urn:g>")]
