@@ -1165,6 +1165,7 @@ class _DfCompiler:
 
     # -- property paths -----------------------------------------------------
     _CLOSURE_MAX_ITERS = 32
+    _CLOSURE_DRIVER_MAX = 100_000  # 0 forces the distributed fixpoint
 
     def _graph_quads(self, graph) -> DataFrame:
         if graph is None:
@@ -1237,6 +1238,40 @@ class _DfCompiler:
             # diameter-D graph converges in ceil(log2 D) joins (a 500-hop
             # chain takes 9 rounds, not 500); localCheckpoint bounds lineage
             base = self._path_pairs(ast[1], graph).distinct()
+            if self._CLOSURE_DRIVER_MAX:
+                # bounded relations close in-memory: a multi-round Spark
+                # fixpoint costs ~0.4 s/round of fixed scheduling overhead,
+                # which dwarfs compute below ~100k pairs (same economics as
+                # the reasoner's driver path); bigger relations fall through
+                base = base.localCheckpoint(eager=True)
+                rows = base.limit(self._CLOSURE_DRIVER_MAX + 1).collect()
+                if len(rows) <= self._CLOSURE_DRIVER_MAX:
+                    adj: dict = {}
+                    for r in rows:
+                        key = r["__g"] if keyed else None
+                        adj.setdefault(key, {}).setdefault(
+                            r["__src"], set()
+                        ).add(r["__dst"])
+                    closed = []
+                    for key, edges in adj.items():
+                        for start in edges:
+                            stack, seen = list(edges[start]), set()
+                            while stack:
+                                n = stack.pop()
+                                if n in seen:
+                                    continue
+                                seen.add(n)
+                                closed.append(
+                                    (start, n, key) if keyed else (start, n))
+                                stack.extend(edges.get(n, ()))
+                    schema = ("__src string, __dst string" +
+                              (", __g string" if keyed else ""))
+                    result = base.sparkSession.createDataFrame(
+                        sorted(closed), schema)
+                    if tag == "star":
+                        result = result.unionByName(
+                            self._identity_pairs(graph)).distinct()
+                    return result
             result = base.localCheckpoint(eager=True)
             prev = result.count()
             for _ in range(self._CLOSURE_MAX_ITERS):

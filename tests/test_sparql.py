@@ -1246,3 +1246,40 @@ class TestNegatedPropertySets:
             spark,
             "PREFIX t: <urn:t:> SELECT ?o WHERE { t:a t:p/!t:q ?o }")
         assert got == [(iri("c"),)]
+
+
+class TestClosureDriverFastPath:
+    """The bounded in-memory closure path must agree with the distributed
+    pointer-doubling fixpoint, including per-graph keyed closures."""
+
+    QUADS = [
+        (iri("a"), iri("p"), iri("b"), "<urn:g:1>"),
+        (iri("b"), iri("p"), iri("c"), "<urn:g:1>"),
+        (iri("c"), iri("p"), iri("d"), "<urn:g:2>"),
+        (iri("a"), iri("q"), iri("a"), "<urn:g:2>"),  # cycle
+    ]
+
+    def _run(self, spark, q, force_distributed):
+        from nabu_spark.sparql import _DfCompiler
+
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string, prov string")
+        old = _DfCompiler._CLOSURE_DRIVER_MAX
+        try:
+            _DfCompiler._CLOSURE_DRIVER_MAX = 0 if force_distributed else old
+            out = sparql_query(df, q, graph_col="prov")
+            return sorted(tuple(r) for r in out.collect())
+        finally:
+            _DfCompiler._CLOSURE_DRIVER_MAX = old
+
+    @pytest.mark.parametrize("q", [
+        "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:p+ ?o }",
+        "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:p* ?o }",
+        "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s (t:p|t:q)+ ?o }",
+        "PREFIX t: <urn:t:> SELECT ?g ?s ?o WHERE "
+        "{ GRAPH ?g { ?s t:p+ ?o } }",
+    ])
+    def test_fast_equals_distributed(self, spark, q):
+        fast = self._run(spark, q, force_distributed=False)
+        dist = self._run(spark, q, force_distributed=True)
+        assert fast == dist and fast, q
