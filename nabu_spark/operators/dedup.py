@@ -352,7 +352,8 @@ def minhash_dedup_ml(
 # --- near-dup clustering -------------------------------------------------------
 
 
-def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50,
+                   driver_max: int = 200_000) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = the component's minimum id (the canonical survivor).
 
@@ -364,12 +365,45 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50) -> DataFrame:
     emits all intra-cluster pairs), so 2-3 rounds in practice. Each round is
     two equi-joins + a groupBy; lineage is cut with localCheckpoint so the
     plan doesn't grow unboundedly. Raises RuntimeError instead of silently
-    returning partial components if the cap is ever hit."""
+    returning partial components if the cap is ever hit.
+
+    Edge sets up to ``driver_max`` rows label in-memory (one bounded
+    collect + union-find) — the iterative rounds cost ~1 s/round of fixed
+    job overhead, which dwarfs compute on bounded relations; larger edge
+    sets run the distributed rounds (``driver_max=0`` forces them, and an
+    agreement test pins the two kernels to identical labels)."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint(eager=True)
+    if driver_max:
+        rows = sym.limit(driver_max + 1).collect()
+        if len(rows) <= driver_max:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                a, b = find(r.src), find(r.dst)
+                if a != b:
+                    # union by canonical order so min stays reachable
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            labeled = sorted(
+                {(x, find(x)) for r in rows for x in (r.src, r.dst)})
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = pairs.schema["id_a"].dataType  # preserve caller type
+            return pairs.sparkSession.createDataFrame(
+                labeled, StructType([StructField("id", id_type),
+                                     StructField("cluster_id", id_type)]))
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)

@@ -1591,3 +1591,34 @@ class TestExactSpanDedup:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCcDriverFastPath:
+    """dedup_clusters' bounded union-find path must agree exactly with
+    the distributed label-propagation kernel."""
+
+    def test_agreement_on_random_graphs(self, spark):
+        import random
+
+        from nabu_spark.operators.dedup import dedup_clusters
+
+        rng = random.Random(41)
+        for _ in range(3):
+            n = rng.randint(5, 40)
+            pairs = [(f"id{rng.randint(0, n)}", f"id{rng.randint(0, n)}")
+                     for _ in range(rng.randint(3, 60))]
+            df = spark.createDataFrame(pairs, "id_a string, id_b string")
+            fast = {(r.id, r.cluster_id)
+                    for r in dedup_clusters(df).collect()}
+            dist = {(r.id, r.cluster_id)
+                    for r in dedup_clusters(df, driver_max=0).collect()}
+            assert fast == dist and fast
+
+    def test_chain_min_label(self, spark):
+        from nabu_spark.operators.dedup import dedup_clusters
+
+        # a long chain built in descending order exercises union ordering
+        pairs = [(f"id{i+1:03d}", f"id{i:03d}") for i in range(30)]
+        df = spark.createDataFrame(pairs, "id_a string, id_b string")
+        got = {(r.id, r.cluster_id) for r in dedup_clusters(df).collect()}
+        assert got == {(f"id{i:03d}", "id000") for i in range(31)}
