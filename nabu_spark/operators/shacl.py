@@ -100,6 +100,7 @@ class NodeShape:
     and_shapes: list[str] = field(default_factory=list)
     xone_shapes: list[str] = field(default_factory=list)
     severity: str = SEVERITY_VIOLATION
+    deactivated: bool = False               # sh:deactivated true (§2.1.3.3)
     closed: bool = False                    # sh:closed true
     ignored_props: list[str] = field(default_factory=list)  # sh:ignoredProperties
     cls: str | None = None        # node-level sh:class (focus must be typed C)
@@ -202,6 +203,8 @@ class ShapesGraph:
         for head in self._objs(s, _sh("xone")):
             shape.xone_shapes.extend(self._list_items(head))
         shape.severity = self._severity(s)
+        deact = self._objs(s, _sh("deactivated"))
+        shape.deactivated = bool(deact) and deact[0].startswith('"true"')
         cls = self._objs(s, _sh("class"))
         shape.cls = cls[0] if cls else None
         dt = self._objs(s, _sh("datatype"))
@@ -226,6 +229,9 @@ class ShapesGraph:
             paths = self._objs(ps, _sh("path"))
             if not paths:
                 continue
+            deact_ps = self._objs(ps, _sh("deactivated"))
+            if deact_ps and deact_ps[0].startswith('"true"'):
+                continue  # sh:deactivated property shape: no results
             pexpr = _normalize_path(self._compile_path(paths[0]))
             path = _path_display(pexpr)
             inverse = pexpr[0] == "ip"
@@ -446,6 +452,8 @@ def _validate_node(
     """Append (focus, path, component, message, severity) result rows."""
     if depth > 8:  # defensive bound against cyclic sh:node references
         return
+    if shape.deactivated:  # sh:deactivated true: produces NO results,
+        return             # whether targeted or referenced via sh:node
     sev = shape.severity
     if shape.or_alternatives:
         if not any(_check_alt(g, node, alt) for alt in shape.or_alternatives):

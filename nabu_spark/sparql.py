@@ -352,7 +352,21 @@ class _Parser:
                 select = []
             elif v == "(":
                 self.i += 1
-                select.append(self._agg_spec())
+                nkind, nv = self._peek()
+                if nkind == "NAME" and nv.upper() in (
+                        "COUNT", "SUM", "AVG", "MIN", "MAX",
+                        "GROUP_CONCAT", "SAMPLE"):
+                    select.append(self._agg_spec())
+                else:
+                    # SELECT expression (expr AS ?v): desugared in _body
+                    # to a trailing BIND + plain var projection
+                    e = self._expr()
+                    if not self._kw("AS"):
+                        raise SparqlError("SELECT expression needs AS ?var")
+                    vkind, vv = self._next()
+                    if vkind != "VAR":
+                        raise SparqlError("AS must bind a variable")
+                    select.append(("exprsel", e, vv[1:]))
                 self._expect(")")
             else:
                 break
@@ -366,6 +380,18 @@ class _Parser:
             raise SparqlError("expected WHERE")
         where = self._group()
         group_by, having, order_by, limit, offset = self._solution_modifiers()
+        exprsels = [it for it in select
+                    if isinstance(it, tuple) and it[0] == "exprsel"]
+        if exprsels:
+            if group_by:
+                raise SparqlError(
+                    "SELECT expressions over GROUP BY are not supported — "
+                    "BIND the expression or aggregate it")
+            for _, e, var in exprsels:
+                where.items.append(("bind", e, var))
+            select = [("var", it[2])
+                      if isinstance(it, tuple) and it[0] == "exprsel" else it
+                      for it in select]
         return Query(select, distinct, where, group_by, order_by, limit, offset,
                      construct, False, None, having)
 
@@ -740,7 +766,7 @@ class _Parser:
     _FUNCS = {
         "REGEX", "STR", "LANG", "DATATYPE", "BOUND", "ISIRI", "ISURI",
         "ISLITERAL", "ISBLANK", "STRLEN", "CONTAINS", "STRSTARTS",
-        "STRENDS", "UCASE", "LCASE",
+        "STRENDS", "UCASE", "LCASE", "ENCODE_FOR_URI",
         "COALESCE", "IF", "CONCAT", "SUBSTR", "REPLACE", "STRBEFORE",
         "STRAFTER", "ABS", "ROUND", "CEIL", "FLOOR", "SAMETERM",
         "ISNUMERIC", "MD5", "SHA1", "SHA256", "IRI", "URI", "STRLANG",
@@ -753,6 +779,7 @@ class _Parser:
         "BOUND": (1, 1), "ISIRI": (1, 1), "ISLITERAL": (1, 1),
         "ISBLANK": (1, 1), "STRLEN": (1, 1), "CONTAINS": (2, 2),
         "STRSTARTS": (2, 2), "STRENDS": (2, 2), "UCASE": (1, 1),
+        "ENCODE_FOR_URI": (1, 1),
         "LCASE": (1, 1), "COALESCE": (1, None), "IF": (3, 3),
         "CONCAT": (1, None), "SUBSTR": (2, 3), "REPLACE": (3, 4),
         "STRBEFORE": (2, 2), "STRAFTER": (2, 2), "ABS": (1, 1),
@@ -855,6 +882,7 @@ def term_datatype(t: str) -> str | None:
 
 _NUM_FUNCS = {"STRLEN", "ABS", "ROUND", "CEIL", "FLOOR"}
 _STR_FUNCS = {"STR", "LANG", "DATATYPE", "UCASE", "LCASE", "CONCAT",
+              "ENCODE_FOR_URI",
               "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "MD5", "SHA1",
               "SHA256"}
 
@@ -1040,6 +1068,13 @@ class _DfCompiler:
         if fn in ("UCASE", "LCASE"):
             c = self.expr(a0, "str")
             return F.upper(c) if fn == "UCASE" else F.lower(c)
+        if fn == "ENCODE_FOR_URI":
+            # url_encode is form-encoding; fix the three divergences from
+            # RFC 3986 unreserved-only: '+'->%20, %7E->'~', '*'->%2A
+            c = F.url_encode(self.expr(a0, "str"))
+            c = F.regexp_replace(c, r"\+", "%20")
+            c = F.regexp_replace(c, "%7E", "~")
+            return F.regexp_replace(c, r"\*", "%2A")
         if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
             ca, cb = self.expr(a0, "str"), self.expr(args[1], "str")
             return {
@@ -1718,6 +1753,11 @@ class _LocalEval:
             return term_lex(v).upper()
         if fn == "LCASE":
             return term_lex(v).lower()
+        if fn == "ENCODE_FOR_URI":
+            from urllib.parse import quote
+
+            # quote(safe='') keeps exactly RFC 3986 unreserved chars
+            return quote(term_lex(v), safe="")
         if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
             b = self.expr(args[1], row, "str")
             a = term_lex(v)

@@ -839,3 +839,53 @@ class TestValidationReportQuads:
         g2 = [(s, p, o) for s, p, o, prov in a if prov == "<urn:g2>"]
         ttl = serialize_turtle(g2, {"sh": "http://www.w3.org/ns/shacl#"})
         assert {tuple(t) for t in parse_turtle(ttl)} == set(g2)
+
+
+class TestDeactivated:
+    """sh:deactivated true (SHACL §2.1.3.3): the shape produces no
+    results, whether targeted directly, referenced via sh:node/sh:not,
+    or a property shape inside an active node shape."""
+
+    RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    SHAPES = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:Off a sh:NodeShape ;
+    sh:deactivated true ;
+    sh:targetClass schema:Place ;
+    sh:property [ sh:path schema:name ; sh:minCount 1 ] .
+
+ex:On a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:property [ sh:path schema:url ; sh:minCount 1 ;
+                  sh:deactivated true ] ;
+    sh:property [ sh:path schema:description ; sh:minCount 1 ] .
+'''
+
+    def _place(self):
+        return [("<http://d.org/p>", self.RDF_TYPE,
+                 "<https://schema.org/Place>")]
+
+    def test_deactivated_shapes_produce_no_results(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        sg = parse_shapes(self.SHAPES)
+        conforms, res = validate_graph(sg, self._place(), precheck=False)
+        # only the ACTIVE description property shape fires: the
+        # deactivated node shape (missing name) and the deactivated url
+        # property shape stay silent
+        assert not conforms
+        assert len(res) == 1
+        assert "description" in res[0][1]
+
+    def test_deactivated_false_is_active(self):
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        shapes = self.SHAPES.replace("sh:deactivated true",
+                                     "sh:deactivated false")
+        sg = parse_shapes(shapes)
+        conforms, res = validate_graph(sg, self._place(), precheck=False)
+        assert len(res) == 3

@@ -1283,3 +1283,66 @@ class TestClosureDriverFastPath:
         fast = self._run(spark, q, force_distributed=False)
         dist = self._run(spark, q, force_distributed=True)
         assert fast == dist and fast, q
+
+
+class TestEncodeForUri:
+    def test_agreement_and_values(self, spark):
+        quads = [
+            (iri("a"), iri("p"), '"Les Mise\\u0301rables & more!"'),
+            (iri("b"), iri("p"), '"plain-safe_.~123"'),
+            (iri("c"), iri("p"), '"sp ace+plus*star(paren)"'),
+        ]
+        q = ("PREFIX t: <urn:t:> SELECT ?s (ENCODE_FOR_URI(?o) AS ?e) "
+             "WHERE { ?s t:p ?o } ORDER BY ?s")
+        local = sparql_eval_local(quads, q)
+        df = spark.createDataFrame(
+            quads, "subj string, pred string, obj string")
+        got = sorted(tuple(r) for r in sparql_query(df, q).collect())
+        loc = sorted((r["s"], r["e"]) for r in local)
+        assert got == loc
+        by_s = dict(got)
+        assert by_s[iri("b")] == "plain-safe_.~123"
+        assert by_s[iri("c")] == "sp%20ace%2Bplus%2Astar%28paren%29"
+        assert "%26" in by_s[iri("a")] and " " not in by_s[iri("a")]
+
+
+class TestSelectExpressions:
+    QUADS = [
+        (iri("a"), iri("n"),
+         '"4"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        (iri("b"), iri("n"),
+         '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+
+    def _both(self, spark, q):
+        local = sparql_eval_local(self.QUADS, q)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+        out = sparql_query(df, q)
+        got = sorted(tuple(r) for r in out.collect())
+        loc = sorted(tuple(r[c] for c in out.columns) for r in local)
+        assert got == loc, f"{q}\n df={got}\n local={loc}"
+        return got
+
+    def test_arith_and_string_expressions(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s (?v * 2 AS ?dbl) "
+            "(UCASE(STR(?s)) AS ?up) WHERE { ?s t:n ?v } ORDER BY ?s")
+        assert got[0][1] == 8.0 and "URN:T:A" in got[0][2]
+
+    def test_mixed_with_plain_vars_and_filter_scope(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT (?v + 1 AS ?w) ?s "
+            "WHERE { ?s t:n ?v FILTER(?v > 5) }")
+        assert got == [(8.0, iri("b"))]
+
+    def test_group_by_rejected_and_missing_as(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "PREFIX t: <urn:t:> SELECT (?v + 1 AS ?w) WHERE "
+                "{ ?s t:n ?v } GROUP BY ?v")
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "PREFIX t: <urn:t:> SELECT (?v + 1) WHERE { ?s t:n ?v }")
