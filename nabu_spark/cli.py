@@ -156,10 +156,10 @@ def build_parser() -> argparse.ArgumentParser:
     qy.add_argument("--out", help="write results as parquet (default: print)")
     qy.add_argument("--limit", type=int, default=50,
                     help="max rows to print when --out is not given")
-    qy.add_argument("--format", choices=["text", "json", "csv", "tsv"],
+    qy.add_argument("--format", choices=["text", "json", "csv", "tsv", "nt"],
                     default="text",
                     help="json/csv/tsv = W3C SPARQL 1.1 Query Results "
-                         "formats")
+                         "formats; nt = N-Triples (CONSTRUCT/DESCRIBE)")
 
     up = sub.add_parser(
         "store",
@@ -188,10 +188,10 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--to-version", type=int, help="rollback target")
     up.add_argument("--out", help="query: write results as parquet")
     up.add_argument("--limit", type=int, default=50)
-    up.add_argument("--format", choices=["text", "json", "csv", "tsv"],
+    up.add_argument("--format", choices=["text", "json", "csv", "tsv", "nt"],
                     default="text",
                     help="query: json/csv/tsv = W3C SPARQL Query Results "
-                         "formats")
+                         "formats; nt = N-Triples (CONSTRUCT/DESCRIBE)")
     return p
 
 
@@ -501,13 +501,14 @@ def main(argv: list[str] | None = None) -> int:
             from .sparql import sparql_results_json
 
             print(json.dumps(sparql_results_json(out, limit=args.limit)))
-        elif args.format in ("csv", "tsv"):
+        elif args.format in ("csv", "tsv", "nt"):
             from .sparql import (
-                SparqlError, sparql_results_csv, sparql_results_tsv,
+                SparqlError, sparql_results_csv, sparql_results_nt,
+                sparql_results_tsv,
             )
 
-            fn = sparql_results_csv if args.format == "csv" \
-                else sparql_results_tsv
+            fn = {"csv": sparql_results_csv, "tsv": sparql_results_tsv,
+                  "nt": sparql_results_nt}[args.format]
             try:
                 print(fn(out, limit=args.limit), end="")
             except SparqlError as e:
@@ -562,13 +563,14 @@ def main(argv: list[str] | None = None) -> int:
                 from .sparql import sparql_results_json
 
                 print(json.dumps(sparql_results_json(out, limit=args.limit)))
-            elif args.format in ("csv", "tsv"):
+            elif args.format in ("csv", "tsv", "nt"):
                 from .sparql import (
-                    SparqlError, sparql_results_csv, sparql_results_tsv,
+                    SparqlError, sparql_results_csv, sparql_results_nt,
+                    sparql_results_tsv,
                 )
 
-                fn = sparql_results_csv if args.format == "csv" \
-                    else sparql_results_tsv
+                fn = {"csv": sparql_results_csv, "tsv": sparql_results_tsv,
+                      "nt": sparql_results_nt}[args.format]
                 try:
                     print(fn(out, limit=args.limit), end="")
                 except SparqlError as e:

@@ -767,6 +767,7 @@ class _Parser:
         "REGEX", "STR", "LANG", "DATATYPE", "BOUND", "ISIRI", "ISURI",
         "ISLITERAL", "ISBLANK", "STRLEN", "CONTAINS", "STRSTARTS",
         "STRENDS", "UCASE", "LCASE", "ENCODE_FOR_URI",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
         "COALESCE", "IF", "CONCAT", "SUBSTR", "REPLACE", "STRBEFORE",
         "STRAFTER", "ABS", "ROUND", "CEIL", "FLOOR", "SAMETERM",
         "ISNUMERIC", "MD5", "SHA1", "SHA256", "IRI", "URI", "STRLANG",
@@ -780,6 +781,8 @@ class _Parser:
         "ISBLANK": (1, 1), "STRLEN": (1, 1), "CONTAINS": (2, 2),
         "STRSTARTS": (2, 2), "STRENDS": (2, 2), "UCASE": (1, 1),
         "ENCODE_FOR_URI": (1, 1),
+        "YEAR": (1, 1), "MONTH": (1, 1), "DAY": (1, 1), "HOURS": (1, 1),
+        "MINUTES": (1, 1), "SECONDS": (1, 1), "TZ": (1, 1),
         "LCASE": (1, 1), "COALESCE": (1, None), "IF": (3, 3),
         "CONCAT": (1, None), "SUBSTR": (2, 3), "REPLACE": (3, 4),
         "STRBEFORE": (2, 2), "STRAFTER": (2, 2), "ABS": (1, 1),
@@ -880,9 +883,16 @@ def term_datatype(t: str) -> str | None:
     return XSD_STRING
 
 
-_NUM_FUNCS = {"STRLEN", "ABS", "ROUND", "CEIL", "FLOOR"}
+_NUM_FUNCS = {"STRLEN", "ABS", "ROUND", "CEIL", "FLOOR",
+              "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"}
+
+# ISO 8601 xsd:dateTime / xsd:date lexical shape; groups: 1 year, 2 month,
+# 3 day, 4 hours, 5 minutes, 6 seconds, 7 timezone
+_DT_RE = (r"^(-?\d{4,})-(\d{2})-(\d{2})"
+          r"(?:T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?))?"
+          r"(Z|[+-]\d{2}:\d{2})?$")
 _STR_FUNCS = {"STR", "LANG", "DATATYPE", "UCASE", "LCASE", "CONCAT",
-              "ENCODE_FOR_URI",
+              "ENCODE_FOR_URI", "TZ",
               "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "MD5", "SHA1",
               "SHA256"}
 
@@ -1075,6 +1085,19 @@ class _DfCompiler:
             c = F.regexp_replace(c, r"\+", "%20")
             c = F.regexp_replace(c, "%7E", "~")
             return F.regexp_replace(c, r"\*", "%2A")
+        if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+                  "TZ"):
+            lex = self.expr(a0, "str")
+            grp = {"YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4,
+                   "MINUTES": 5, "SECONDS": 6, "TZ": 7}[fn]
+            part = F.regexp_extract(lex, _DT_RE, grp)
+            if fn == "TZ":
+                # "" is the spec's answer for a zoneless dateTime, but a
+                # NON-dateTime operand is an error -> NULL (unbound)
+                return F.when(lex.rlike(_DT_RE), part)
+            # a missing time part ("" on xsd:date for HOURS etc.) is a
+            # type error -> try_cast yields NULL
+            return part.try_cast("double")
         if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
             ca, cb = self.expr(a0, "str"), self.expr(args[1], "str")
             return {
@@ -1758,6 +1781,16 @@ class _LocalEval:
 
             # quote(safe='') keeps exactly RFC 3986 unreserved chars
             return quote(term_lex(v), safe="")
+        if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+                  "TZ"):
+            m = re.match(_DT_RE, term_lex(v))
+            if fn == "TZ":
+                return (m.group(7) or "") if m else None
+            grp = {"YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4,
+                   "MINUTES": 5, "SECONDS": 6}[fn]
+            if m is None or not m.group(grp):
+                return None
+            return float(m.group(grp))
         if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
             b = self.expr(args[1], row, "str")
             a = term_lex(v)
@@ -2317,6 +2350,19 @@ def sparql_results_csv(df: DataFrame, *, limit: int | None = None) -> str:
     for row in df.collect():
         w.writerow([_term_csv(row[c]) for c in cols])
     return buf.getvalue()
+
+
+def sparql_results_nt(df: DataFrame, *, limit: int | None = None) -> str:
+    """Serialize a CONSTRUCT/DESCRIBE result (subj, pred, obj — already
+    N-Triples terms) as N-Triples text, sorted for determinism."""
+    if df.columns != ["subj", "pred", "obj"]:
+        raise SparqlError(
+            "N-Triples output requires a CONSTRUCT/DESCRIBE result "
+            f"(subj, pred, obj), got columns {df.columns}")
+    if limit is not None:
+        df = df.limit(limit)
+    lines = sorted(f"{r.subj} {r.pred} {r.obj} ." for r in df.collect())
+    return "\n".join(lines) + ("\n" if lines else "")
 
 
 def sparql_results_tsv(df: DataFrame, *, limit: int | None = None) -> str:

@@ -1346,3 +1346,65 @@ class TestSelectExpressions:
         with pytest.raises(SparqlError):
             parse_sparql(
                 "PREFIX t: <urn:t:> SELECT (?v + 1) WHERE { ?s t:n ?v }")
+
+
+class TestDateTimeFunctions:
+    XSD_DT = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+    QUADS = [
+        (iri("a"), iri("ts"), f'"2024-03-01T12:30:05.5Z"^^{XSD_DT}'),
+        (iri("b"), iri("ts"), f'"2023-11-15T08:02:59+05:30"^^{XSD_DT}'),
+        (iri("c"), iri("ts"),
+         '"2022-07-04"^^<http://www.w3.org/2001/XMLSchema#date>'),
+        (iri("d"), iri("ts"), '"not a date"'),
+    ]
+
+    def _both(self, spark, q):
+        local = sparql_eval_local(self.QUADS, q)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+        out = sparql_query(df, q)
+        got = sorted(tuple(r) for r in out.collect())
+        loc = sorted(tuple(r[c] for c in out.columns) for r in local)
+        assert got == loc, f"{q}\n df={got}\n local={loc}"
+        return got
+
+    def test_accessors_agree(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s (YEAR(?v) AS ?y) "
+            "(MONTH(?v) AS ?mo) (DAY(?v) AS ?d) (HOURS(?v) AS ?h) "
+            "(MINUTES(?v) AS ?mi) (SECONDS(?v) AS ?sec) (TZ(?v) AS ?tz) "
+            "WHERE { ?s t:ts ?v } ORDER BY ?s")
+        by_s = {r[0]: r[1:] for r in got}
+        assert by_s[iri("a")] == (2024.0, 3.0, 1.0, 12.0, 30.0, 5.5, "Z")
+        assert by_s[iri("b")] == (2023.0, 11.0, 15.0, 8.0, 2.0, 59.0,
+                                  "+05:30")
+        # xsd:date: date parts bind, time parts + TZ("") behave per spec
+        assert by_s[iri("c")][:3] == (2022.0, 7.0, 4.0)
+        assert by_s[iri("c")][3:6] == (None, None, None)
+        assert by_s[iri("c")][6] == ""
+        # non-dateTime operand: every accessor is an error -> unbound
+        assert by_s[iri("d")] == (None,) * 7
+
+    def test_filter_on_year(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s WHERE "
+            "{ ?s t:ts ?v FILTER(YEAR(?v) >= 2023) } ORDER BY ?s")
+        assert got == [(iri("a"),), (iri("b"),)]
+
+
+class TestResultsNt:
+    def test_construct_to_ntriples(self, spark):
+        from nabu_spark.sparql import sparql_results_nt
+        quads = [(iri("a"), iri("p"), '"v"'), (iri("b"), iri("p"), iri("a"))]
+        df = spark.createDataFrame(
+            quads, "subj string, pred string, obj string")
+        res = sparql_query(
+            df, "PREFIX t: <urn:t:> CONSTRUCT WHERE { ?s t:p ?o }")
+        nt = sparql_results_nt(res)
+        assert nt == (f'{iri("a")} {iri("p")} "v" .\n'
+                      f'{iri("b")} {iri("p")} {iri("a")} .\n')
+        with pytest.raises(SparqlError):
+            sparql_results_nt(sparql_query(
+                df, "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:p ?o }"))
