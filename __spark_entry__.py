@@ -1810,6 +1810,37 @@ def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owl_rl_materialize(data.unionByName(schema))
 
 
+def q_sparql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL date/time accessors + SELECT expressions (sparql.py): event
+    timestamps rendered as xsd:dateTime literals, every accessor projected
+    via (expr AS ?v), FILTER on MINUTES. The oracle recomputes the parts
+    with DuckDB's date_part over the same timestamps (second precision on
+    both sides)."""
+    from nabu_spark.sparql import sparql_query
+
+    ev = _load(spark, sf_dir, "events")
+    quads = ev.select(
+        F.concat(F.lit("<urn:event:"), F.col("event_id"),
+                 F.lit(">")).alias("subj"),
+        F.lit("<urn:p:at>").alias("pred"),
+        F.concat(
+            F.lit('"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit('Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        ).alias("obj"),
+    )
+    return sparql_query(
+        quads,
+        """
+        SELECT ?e (YEAR(?v) AS ?y) (MONTH(?v) AS ?mo) (DAY(?v) AS ?d)
+               (HOURS(?v) AS ?h) (MINUTES(?v) AS ?mi)
+               (SECONDS(?v) AS ?sec) (TZ(?v) AS ?tz)
+        WHERE { ?e <urn:p:at> ?v FILTER(MINUTES(?v) >= 30) }
+        ORDER BY ?e
+        """,
+    )
+
+
 def q_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID dataset statistics (operators/stats.py::void_stats): global
     triple/subject/object/property counts plus property and class
@@ -1866,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_dataset": q_sparql_dataset,
         "rdfs_entail": q_rdfs_entail,
         "owl_entail": q_owl_entail,
+        "sparql_datetime": q_sparql_datetime,
         "void_stats": q_void_stats,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
@@ -3085,6 +3117,18 @@ def oracle_sql() -> dict[str, str]:
                '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
                '<urn:class:Thing>')
             ) s(subj, pred, obj)
+        """,
+        "sparql_datetime": """
+            SELECT '<urn:event:' || event_id || '>' AS e,
+                   CAST(year(ts) AS DOUBLE) AS y,
+                   CAST(month(ts) AS DOUBLE) AS mo,
+                   CAST(day(ts) AS DOUBLE) AS d,
+                   CAST(hour(ts) AS DOUBLE) AS h,
+                   CAST(minute(ts) AS DOUBLE) AS mi,
+                   CAST(date_part('second', ts) AS DOUBLE) AS sec,
+                   'Z' AS tz
+            FROM events
+            WHERE minute(ts) >= 30
         """,
         "owl_entail": """
             WITH docs AS (
