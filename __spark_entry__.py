@@ -1564,6 +1564,23 @@ def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property sets (sparql.py::_path_nps): forward exclusion
+    over the doc quads plus an inverse member — `!(p:lang|p:nchars)`
+    keeps exactly the source and prev triples, and `!(^p:prev)` walks
+    every edge backwards except prev. Oracle: closed-form enumeration."""
+    from nabu_spark.sparql import sparql_query
+
+    return sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?o WHERE { ?s !(p:lang|p:nchars) ?o }
+        ORDER BY ?s ?o
+        """,
+    )
+
+
 def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT: instantiate a new graph from matched bindings (the KG
     transformation surface — e.g. ontology remapping before bulk-load)."""
@@ -1901,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_stats": q_void_stats,
         "sparql_construct": q_sparql_construct,
         "sparql_path": q_sparql_path,
+        "sparql_nps": q_sparql_nps,
         "sparql_negation": q_sparql_negation,
         "sparql_subquery": q_sparql_subquery,
         "sparql_funcs": q_sparql_funcs,
@@ -3495,6 +3513,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 32 AS BIGINT) AS n_anc
             FROM documents WHERE doc_id % 32 > 0
             ORDER BY doc
+        """,
+        "sparql_nps": """
+            SELECT '<urn:doc:' || doc_id || '>' AS s,
+                   '<urn:src:' || source || '>' AS o
+            FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '>' AS s,
+                   '<urn:doc:' || (doc_id - 1) || '>' AS o
+            FROM documents WHERE doc_id > 0
+            ORDER BY s, o
         """,
         "sparql_construct": """
             SELECT '<urn:doc:' || doc_id || '>' AS subj,
