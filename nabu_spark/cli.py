@@ -195,6 +195,38 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _print_query_result(out, args, cmd: str, summary) -> int:
+    """Print a SPARQL result DataFrame per --format (shared by the
+    parquet-quads and graph-store query surfaces); returns the exit code.
+    ``summary(n_rows, cols)`` builds the trailing JSON line for text
+    mode."""
+    if args.format == "json":
+        from .sparql import sparql_results_json
+
+        print(json.dumps(sparql_results_json(out, limit=args.limit)))
+        return 0
+    if args.format in ("csv", "tsv", "nt"):
+        from .sparql import (
+            SparqlError, sparql_results_csv, sparql_results_nt,
+            sparql_results_tsv,
+        )
+
+        fn = {"csv": sparql_results_csv, "tsv": sparql_results_tsv,
+              "nt": sparql_results_nt}[args.format]
+        try:
+            print(fn(out, limit=args.limit), end="")
+        except SparqlError as e:
+            print(json.dumps({"cmd": cmd, "error": str(e)}))
+            return 2
+        return 0
+    rows = out.limit(args.limit).collect()
+    for r in rows:
+        print("\t".join("" if r[c] is None else str(r[c])
+                        for c in out.columns))
+    print(json.dumps({"cmd": cmd, **summary(len(rows), out.columns)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import functions as F
@@ -497,29 +529,10 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"cmd": "query", "rows": n, "cols": out.columns}))
-        elif args.format == "json":
-            from .sparql import sparql_results_json
-
-            print(json.dumps(sparql_results_json(out, limit=args.limit)))
-        elif args.format in ("csv", "tsv", "nt"):
-            from .sparql import (
-                SparqlError, sparql_results_csv, sparql_results_nt,
-                sparql_results_tsv,
-            )
-
-            fn = {"csv": sparql_results_csv, "tsv": sparql_results_tsv,
-                  "nt": sparql_results_nt}[args.format]
-            try:
-                print(fn(out, limit=args.limit), end="")
-            except SparqlError as e:
-                print(json.dumps({"cmd": "query", "error": str(e)}))
-                return 2
-        else:
-            rows = out.limit(args.limit).collect()
-            for r in rows:
-                print("\t".join("" if r[c] is None else str(r[c]) for c in out.columns))
-            print(json.dumps({"cmd": "query", "rows_printed": len(rows), "cols": out.columns}))
-        return 0
+            return 0
+        return _print_query_result(
+            out, args, "query",
+            lambda n, cols: {"rows_printed": n, "cols": cols})
 
     if args.cmd == "store":
         from .graphstore import GraphStore
@@ -559,29 +572,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"cmd": "store", "action": "query",
                                   "rows": spark.read.parquet(args.out).count(),
                                   "cols": out.columns}))
-            elif args.format == "json":
-                from .sparql import sparql_results_json
-
-                print(json.dumps(sparql_results_json(out, limit=args.limit)))
-            elif args.format in ("csv", "tsv", "nt"):
-                from .sparql import (
-                    SparqlError, sparql_results_csv, sparql_results_nt,
-                    sparql_results_tsv,
-                )
-
-                fn = {"csv": sparql_results_csv, "tsv": sparql_results_tsv,
-                      "nt": sparql_results_nt}[args.format]
-                try:
-                    print(fn(out, limit=args.limit), end="")
-                except SparqlError as e:
-                    print(json.dumps({"cmd": "store", "error": str(e)}))
-                    return 2
             else:
-                for r in out.limit(args.limit).collect():
-                    print("\t".join("" if r[c] is None else str(r[c])
-                                    for c in out.columns))
-                print(json.dumps({"cmd": "store", "action": "query",
-                                  "cols": out.columns}))
+                rc = _print_query_result(
+                    out, args, "store",
+                    lambda n, cols: {"action": "query", "cols": cols})
+                if rc:
+                    return rc
         elif args.action == "sync":
             if not args.quads or not args.prefix:
                 print(json.dumps({"cmd": "store",

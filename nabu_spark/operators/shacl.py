@@ -79,6 +79,8 @@ class PropertyShape:
     qualified_shape: str | None = None  # sh:qualifiedValueShape ref
     q_min: int | None = None            # sh:qualifiedMinCount
     q_max: int | None = None            # sh:qualifiedMaxCount
+    deactivated: bool = False  # sh:deactivated: no results, but the path
+    #                            still counts toward sh:closed's allowed set
     inverse: bool = False  # sh:path [ sh:inversePath p ]
     # sh:path ( p1 p2 ... ): sequence of (predicate, inverse) steps; when set,
     # `path` holds the SPARQL-style display form (^-prefixed inverse steps)
@@ -230,8 +232,8 @@ class ShapesGraph:
             if not paths:
                 continue
             deact_ps = self._objs(ps, _sh("deactivated"))
-            if deact_ps and deact_ps[0].startswith('"true"'):
-                continue  # sh:deactivated property shape: no results
+            is_deactivated = bool(deact_ps) and deact_ps[0].startswith(
+                '"true"')
             pexpr = _normalize_path(self._compile_path(paths[0]))
             path = _path_display(pexpr)
             inverse = pexpr[0] == "ip"
@@ -241,7 +243,8 @@ class ShapesGraph:
             steps = None
             if pexpr[0] == "seq" and all(s[0] in ("p", "ip") for s in pexpr[1]):
                 steps = [(s[1], s[0] == "ip") for s in pexpr[1]]
-            prop = PropertyShape(path=path, inverse=inverse, steps=steps, pexpr=pexpr)
+            prop = PropertyShape(path=path, inverse=inverse, steps=steps,
+                                 pexpr=pexpr, deactivated=is_deactivated)
             prop.min_count = self._int(ps, "minCount")
             prop.max_count = self._int(ps, "maxCount")
             dt = self._objs(ps, _sh("datatype"))
@@ -504,6 +507,8 @@ def _validate_node(
                             f"predicate not allowed by closed shape {shape.shape_id}",
                             sev))
     for prop in shape.properties:
+        if prop.deactivated:  # path still counted for sh:closed above
+            continue
         psev = prop.severity
         pk = prop.pexpr[0] if prop.pexpr is not None else "p"
         if prop.pexpr is None or pk == "p":

@@ -383,10 +383,13 @@ class _Parser:
         exprsels = [it for it in select
                     if isinstance(it, tuple) and it[0] == "exprsel"]
         if exprsels:
-            if group_by:
+            # implicit grouping (any aggregate in the projection) discards
+            # per-row binds just like explicit GROUP BY — reject both
+            if group_by or any(isinstance(it, Agg) for it in select):
                 raise SparqlError(
-                    "SELECT expressions over GROUP BY are not supported — "
-                    "BIND the expression or aggregate it")
+                    "SELECT expressions over grouped/aggregated queries "
+                    "are not supported — BIND the expression or "
+                    "aggregate it")
             for _, e, var in exprsels:
                 where.items.append(("bind", e, var))
             select = [("var", it[2])
@@ -1296,12 +1299,14 @@ class _DfCompiler:
             # diameter-D graph converges in ceil(log2 D) joins (a 500-hop
             # chain takes 9 rounds, not 500); localCheckpoint bounds lineage
             base = self._path_pairs(ast[1], graph).distinct()
+            checkpointed = False
             if self._CLOSURE_DRIVER_MAX:
                 # bounded relations close in-memory: a multi-round Spark
                 # fixpoint costs ~0.4 s/round of fixed scheduling overhead,
                 # which dwarfs compute below ~100k pairs (same economics as
                 # the reasoner's driver path); bigger relations fall through
                 base = base.localCheckpoint(eager=True)
+                checkpointed = True
                 rows = base.limit(self._CLOSURE_DRIVER_MAX + 1).collect()
                 if len(rows) <= self._CLOSURE_DRIVER_MAX:
                     adj: dict = {}
@@ -1310,7 +1315,7 @@ class _DfCompiler:
                         adj.setdefault(key, {}).setdefault(
                             r["__src"], set()
                         ).add(r["__dst"])
-                    closed = []
+                    closed: list | None = []
                     for key, edges in adj.items():
                         for start in edges:
                             stack, seen = list(edges[start]), set()
@@ -1322,15 +1327,25 @@ class _DfCompiler:
                                 closed.append(
                                     (start, n, key) if keyed else (start, n))
                                 stack.extend(edges.get(n, ()))
-                    schema = ("__src string, __dst string" +
-                              (", __g string" if keyed else ""))
-                    result = base.sparkSession.createDataFrame(
-                        sorted(closed), schema)
-                    if tag == "star":
-                        result = result.unionByName(
-                            self._identity_pairs(graph)).distinct()
-                    return result
-            result = base.localCheckpoint(eager=True)
+                            if len(closed) > 4 * self._CLOSURE_DRIVER_MAX:
+                                # the CLOSURE can be O(V^2) of a small base
+                                # (long chains) — don't materialize it on
+                                # the driver; fall through to the fixpoint
+                                closed = None
+                                break
+                        if closed is None:
+                            break
+                    if closed is not None:
+                        schema = ("__src string, __dst string" +
+                                  (", __g string" if keyed else ""))
+                        result = base.sparkSession.createDataFrame(
+                            sorted(closed), schema)
+                        if tag == "star":
+                            result = result.unionByName(
+                                self._identity_pairs(graph)).distinct()
+                        return result
+            result = base if checkpointed else base.localCheckpoint(
+                eager=True)
             prev = result.count()
             for _ in range(self._CLOSURE_MAX_ITERS):
                 doubled = (
@@ -1573,11 +1588,17 @@ def sparql_query(quads: DataFrame, text: str, graph_col: str | None = None) -> D
     variable/aggregate alias; cells are N-Triples term strings (aggregates:
     native numerics).
 
-    Known divergence from full SPARQL (documented, shared with tests): a
-    UNION branch that leaves a variable unbound which earlier patterns in
-    the same group DID bind joins as NULL (row dropped) rather than as
-    "compatible with anything" — keep shared variables bound in every
-    branch."""
+    Known divergences from full SPARQL (documented, shared with tests and
+    identical in both backends):
+
+    - a UNION branch that leaves a variable unbound which earlier patterns
+      in the same group DID bind joins as NULL (row dropped) rather than
+      as "compatible with anything" — keep shared variables bound in every
+      branch.
+    - SELECT expressions ``(expr AS ?v)`` desugar to a trailing BIND, so
+      ?v is visible to FILTERs in the same WHERE group; per spec the
+      projection expression is evaluated after the WHERE and ?v would be
+      unbound there. Don't reference a projection alias inside WHERE."""
     q = parse_sparql(text)
     if graph_col is None and "prov" in quads.columns:
         graph_col = "prov"
@@ -1779,11 +1800,12 @@ class _LocalEval:
         if fn == "ENCODE_FOR_URI":
             from urllib.parse import quote
 
-            # quote(safe='') keeps exactly RFC 3986 unreserved chars
-            return quote(term_lex(v), safe="")
+            # str(): native numerics from arithmetic/aggregates must
+            # coerce like the DF side's cast-to-string, not crash
+            return quote(str(term_lex(v)), safe="")
         if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
                   "TZ"):
-            m = re.match(_DT_RE, term_lex(v))
+            m = re.match(_DT_RE, str(term_lex(v)))
             if fn == "TZ":
                 return (m.group(7) or "") if m else None
             grp = {"YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4,

@@ -889,3 +889,29 @@ ex:On a sh:NodeShape ;
         sg = parse_shapes(shapes)
         conforms, res = validate_graph(sg, self._place(), precheck=False)
         assert len(res) == 3
+
+    def test_deactivated_property_path_still_counts_for_closed(self):
+        """SHACL 4.8: sh:closed's allowed set is the paths of ALL property
+        shapes — deactivation suppresses results, not the path."""
+        from nabu_spark.operators.shacl import parse_shapes, validate_graph
+
+        shapes = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix schema: <https://schema.org/> .
+@prefix ex: <http://t.org/shapes#> .
+
+ex:C a sh:NodeShape ;
+    sh:targetClass schema:Place ;
+    sh:closed true ;
+    sh:property [ sh:path schema:name ; sh:minCount 5 ;
+                  sh:deactivated true ] .
+'''
+        sg = parse_shapes(shapes)
+        data = self._place() + [
+            ("<http://d.org/p>", "<https://schema.org/name>", '"x"')]
+        conforms, res = validate_graph(sg, data, precheck=False)
+        # name is allowed (its deactivated shape still declares the path)
+        # and the deactivated minCount 5 produces nothing; only the
+        # rdf:type predicate trips sh:closed (not in ignoredProperties)
+        assert [r[2] for r in res] == ["Closed"]
+        assert res[0][1] == self.RDF_TYPE

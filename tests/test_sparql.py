@@ -1408,3 +1408,51 @@ class TestResultsNt:
         with pytest.raises(SparqlError):
             sparql_results_nt(sparql_query(
                 df, "PREFIX t: <urn:t:> SELECT ?s WHERE { ?s t:p ?o }"))
+
+
+class TestReviewRegressions:
+    """Pins for the round-4 self-review fixes."""
+
+    QUADS = [(iri("a"), iri("n"),
+              '"4"^^<http://www.w3.org/2001/XMLSchema#integer>')]
+
+    def test_datetime_and_encode_on_native_numeric_is_unbound(self, spark):
+        # YEAR over an arithmetic BIND result must be NULL, not a crash,
+        # in BOTH backends (the local one runs inside sh:sparql at scale)
+        q = ("PREFIX t: <urn:t:> SELECT ?s (YEAR(?w) AS ?y) "
+             "(ENCODE_FOR_URI(?w) AS ?e) WHERE "
+             "{ ?s t:n ?v BIND(?v + 1 AS ?w) }")
+        local = sparql_eval_local(self.QUADS, q)
+        assert local[0]["y"] is None
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+        row = sparql_query(df, q).collect()[0]
+        assert row["y"] is None
+        # ENCODE_FOR_URI stringifies the numeric in both backends
+        assert row["e"] == "5.0" == local[0]["e"]
+
+    def test_select_expression_with_aggregate_rejected(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "PREFIX t: <urn:t:> SELECT (COUNT(?s) AS ?c) (1 + 1 AS ?two)"
+                " WHERE { ?s t:n ?v }")
+
+    def test_closure_output_cap_falls_through(self, spark):
+        from nabu_spark.sparql import _DfCompiler
+
+        # 9-node chain: base (8 pairs) fits an 8-pair cap, but the closure
+        # (36 pairs) exceeds 4x the cap -> distributed fixpoint must run
+        # and produce the same answer as the unbounded driver path
+        quads = [(f"<urn:n{i}>", iri("p"), f"<urn:n{i+1}>")
+                 for i in range(8)]
+        df = spark.createDataFrame(
+            quads, "subj string, pred string, obj string")
+        q = "PREFIX t: <urn:t:> SELECT ?s ?o WHERE { ?s t:p+ ?o }"
+        old = _DfCompiler._CLOSURE_DRIVER_MAX
+        try:
+            _DfCompiler._CLOSURE_DRIVER_MAX = 8
+            capped = sorted(tuple(r) for r in sparql_query(df, q).collect())
+        finally:
+            _DfCompiler._CLOSURE_DRIVER_MAX = old
+        full = sorted(tuple(r) for r in sparql_query(df, q).collect())
+        assert capped == full and len(full) == 36
