@@ -315,8 +315,10 @@ class _Parser:
                     raise SparqlError(
                         "CONSTRUCT WHERE shorthand allows only plain "
                         "triple patterns")
-                group_by, having, order_by, limit, offset = \
-                    self._solution_modifiers()
+                (group_by, having, order_by, limit, offset,
+                 group_binds) = self._solution_modifiers()
+                for e, var in group_binds:
+                    tmpl.items.append(("bind", e, var))
                 q = Query([], False, tmpl, group_by, order_by, limit,
                           offset, construct, False, None, having)
                 q.from_graphs, q.from_named = fg, fn
@@ -379,7 +381,10 @@ class _Parser:
         if not self._kw("WHERE"):
             raise SparqlError("expected WHERE")
         where = self._group()
-        group_by, having, order_by, limit, offset = self._solution_modifiers()
+        (group_by, having, order_by, limit, offset,
+         group_binds) = self._solution_modifiers()
+        for e, var in group_binds:
+            where.items.append(("bind", e, var))
         exprsels = [it for it in select
                     if isinstance(it, tuple) and it[0] == "exprsel"]
         if exprsels:
@@ -400,11 +405,29 @@ class _Parser:
 
     def _solution_modifiers(self):
         group_by: list[str] = []
+        group_binds: list[tuple] = []  # (expr, var) from GROUP BY (e AS ?v)
         having = None
         if self._kw("GROUP"):
             self._expect("BY")
-            while self._peek()[0] == "VAR":
-                group_by.append(self._next()[1][1:])
+            while True:
+                if self._peek()[0] == "VAR":
+                    group_by.append(self._next()[1][1:])
+                elif self._peek()[1] == "(":
+                    # GROUP BY (expr AS ?v): desugars to a pre-grouping
+                    # BIND, same as SELECT expressions
+                    self.i += 1
+                    e = self._expr()
+                    if not self._kw("AS"):
+                        raise SparqlError(
+                            "GROUP BY expression needs AS ?var")
+                    vkind, vv = self._next()
+                    if vkind != "VAR":
+                        raise SparqlError("AS must bind a variable")
+                    self._expect(")")
+                    group_binds.append((e, vv[1:]))
+                    group_by.append(vv[1:])
+                else:
+                    break
             if self._kw("HAVING"):
                 self._expect("(")
                 having = self._expr()
@@ -434,7 +457,7 @@ class _Parser:
                 limit = int(self._next()[1])
             elif self._kw("OFFSET"):
                 offset = int(self._next()[1])
-        return group_by, having, order_by, limit, offset
+        return group_by, having, order_by, limit, offset, group_binds
 
     def _agg_spec(self) -> Agg:
         kind, fn = self._next()

@@ -1456,3 +1456,47 @@ class TestReviewRegressions:
             _DfCompiler._CLOSURE_DRIVER_MAX = old
         full = sorted(tuple(r) for r in sparql_query(df, q).collect())
         assert capped == full and len(full) == 36
+
+
+class TestGroupByExpressions:
+    QUADS = [
+        (iri("a"), iri("n"),
+         '"4"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        (iri("b"), iri("n"),
+         '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        (iri("c"), iri("n"),
+         '"14"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+
+    def _both(self, spark, q):
+        local = sparql_eval_local(self.QUADS, q)
+        df = spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+        out = sparql_query(df, q)
+        got = sorted(tuple(r) for r in out.collect())
+        loc = sorted(tuple(r[c] for c in out.columns) for r in local)
+        assert got == loc, f"{q}\n df={got}\n local={loc}"
+        return got
+
+    def test_group_by_expression(self, spark):
+        # bucket by tens digit: {4,5} -> 0.0, {14} -> 1.0
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?bucket (COUNT(?s) AS ?n) WHERE "
+            "{ ?s t:n ?v } GROUP BY (FLOOR(?v / 10) AS ?bucket) "
+            "ORDER BY ?bucket")
+        assert got == [(0.0, 2), (1.0, 1)]
+
+    def test_mixed_var_and_expression(self, spark):
+        got = self._both(
+            spark,
+            "PREFIX t: <urn:t:> SELECT ?s ?even (COUNT(?v) AS ?n) WHERE "
+            "{ ?s t:n ?v } GROUP BY ?s (FLOOR(?v / 2) * 2 = ?v AS ?even) "
+            "ORDER BY ?s")
+        assert len(got) == 3
+
+    def test_missing_as_rejected(self):
+        with pytest.raises(SparqlError):
+            parse_sparql(
+                "PREFIX t: <urn:t:> SELECT (COUNT(?v) AS ?n) WHERE "
+                "{ ?s t:n ?v } GROUP BY (FLOOR(?v / 10))")
