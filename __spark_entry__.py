@@ -1873,8 +1873,193 @@ def q_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return void_stats(_doc_quads(spark, sf_dir).unionByName(types))
 
 
+def q_incr_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RDFS entailment maintenance under the oracle gate
+    (VERDICT r4 task #9): a versioned GraphStore is seeded with the EVEN
+    half of the doc->lang graph plus the rdfs_entail schema and fully
+    entailed; the ODD half is then appended and ``entail(incremental=
+    True)`` maintains the inference graph from the delta window alone
+    (graphstore.py::_entail_incremental — semi-naive, O(window), never a
+    full re-closure). The query RAISES if the store fell back to the full
+    recompute, so the gate pins the incremental path itself. The oracle
+    states closure(full corpus) in closed form: asserted quads keep their
+    graphs; every inferred-but-not-asserted triple lives in
+    <urn:nabu:inference>."""
+    import shutil
+
+    from nabu_spark.graphstore import GraphStore
+    from nabu_spark.operators.reasoner import DOMAIN, RANGE, SUBCLASS, SUBPROP
+
+    root = "/tmp/nabu_gate_incr_entail"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _load(spark, sf_dir, "documents")
+
+    def half(parity: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 2 == parity).select(
+            F.concat(F.lit("<urn:doc:"), F.col("doc_id"),
+                     F.lit(">")).alias("subj"),
+            F.lit("<urn:p:inLang>").alias("pred"),
+            F.concat(F.lit("<urn:lang:"), F.col("lang"),
+                     F.lit(">")).alias("obj"),
+            F.lit("<urn:data>").alias("prov"),
+        )
+    schema = spark.createDataFrame(
+        [
+            ("<urn:p:inLang>", SUBPROP, "<urn:p:hasAttr>"),
+            ("<urn:p:inLang>", DOMAIN, "<urn:class:Doc>"),
+            ("<urn:p:inLang>", RANGE, "<urn:class:Lang>"),
+            ("<urn:class:Doc>", SUBCLASS, "<urn:class:Resource>"),
+            ("<urn:class:Lang>", SUBCLASS, "<urn:class:Resource>"),
+            ("<urn:class:Resource>", SUBCLASS, "<urn:class:Thing>"),
+        ],
+        "subj string, pred string, obj string",
+    ).withColumn("prov", F.lit("<urn:schema>"))
+    st = GraphStore(spark, root)
+    st.init(half(0).unionByName(schema))
+    st.entail()
+    st.append_quads(half(1))
+    v = st.entail(incremental=True)
+    meta = next(h for h in st.history() if h["version"] == v)
+    if meta.get("metrics", {}).get("entail_mode") != "incremental":
+        raise RuntimeError(
+            "entail(incremental=True) fell back to the full recompute")
+    return (
+        st.read()
+        .select("subj", "pred", "obj",
+                F.coalesce("prov", F.lit("")).alias("prov"))
+        .orderBy("subj", "pred", "obj", "prov")
+    )
+
+
+def q_sparql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SPARQL result writer under the gate (VERDICT r4 task
+    #5): the sparql_construct graph is streamed to N-Triples shards via
+    ``write_results`` (sparql.py — pure ``df.write``, JVM-side line
+    rendering, no driver collect), read back as text, and re-parsed into
+    terms. The oracle recomputes the CONSTRUCT graph directly, so the
+    whole write->shard->parse loop must be lossless."""
+    import shutil
+
+    from nabu_spark.sparql import sparql_query, write_results
+
+    out = sparql_query(
+        _doc_quads(spark, sf_dir),
+        """
+        PREFIX p: <urn:p:>
+        CONSTRUCT { ?doc <urn:w:lang> ?lang . ?doc <urn:w:src> ?src }
+        WHERE { ?doc p:lang ?lang . ?doc p:source ?src }
+        """,
+    )
+    path = "/tmp/nabu_gate_sparql_write"
+    shutil.rmtree(path, ignore_errors=True)
+    write_results(out, path, format="nt")
+    lines = spark.read.text(path)
+    term = r"^(\S+) (\S+) (.*) \.$"
+    return (
+        lines.select(
+            F.regexp_extract("value", term, 1).alias("subj"),
+            F.regexp_extract("value", term, 2).alias("pred"),
+            F.regexp_extract("value", term, 3).alias("obj"),
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def q_fgb_mainstems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatGeobuf mainstem dictionary under the gate (VERDICT r4 task #4;
+    reference flatgeobuf.go:55-65 semantics): a deterministic .fgb file
+    mirroring colorado_subset.fgb (LineString features carrying a
+    geoconnex_url property) is WRITTEN with the from-scratch flatbuffers
+    builder, parsed back with the from-scratch reader
+    (sources/flatgeobuf.py), and the loaded bbox dictionary drives the
+    point-in-bbox broadcast join against customer points. The oracle
+    recomputes the dictionary arithmetically — the byte roundtrip must be
+    exact for the join counts to match."""
+    import os
+    import tempfile
+
+    from nabu_spark.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+
+    fd, path = tempfile.mkstemp(suffix=".fgb", prefix="nabu_gate_")
+    os.close(fd)
+    feats = [
+        {
+            "geoconnex_url": f"https://geoconnex.us/ref/mainstems/{i}",
+            # LineString whose bbox is exactly the q_bbox_join nation box
+            "xy": [40.0 * i, 30.0 * i, 40.0 * i + 60.0, 30.0 * i + 90.0],
+        }
+        for i in range(25)
+    ]
+    write_flatgeobuf(path, feats)
+    try:
+        ms = read_flatgeobuf(spark, path)
+    finally:
+        os.unlink(path)
+    customer = _load(spark, sf_dir, "customer")
+    points = customer.select(
+        "c_custkey",
+        (F.col("c_acctbal") % 1000).alias("px"),
+        (F.col("c_custkey") % 800).cast("double").alias("py"),
+    )
+    joined = points.join(
+        F.broadcast(ms),
+        (F.col("px") >= F.col("minx")) & (F.col("px") <= F.col("maxx"))
+        & (F.col("py") >= F.col("miny")) & (F.col("py") <= F.col("maxy")),
+        "inner",
+    )
+    return (
+        joined.groupBy("geoconnex_url")
+        .agg(F.count("*").alias("points_inside"),
+             F.min("c_custkey").alias("first_custkey"))
+        .orderBy("geoconnex_url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER matters: the per-round correctness gate checks the
+    # first 50 entries. Entries the previous round's gate did not cover are
+    # rotated to the front (never-driver-green ones first) so every query
+    # accumulates a driver-green row on record (VERDICT r4 task #1).
     return {
+        # --- never driver-green before r5: gate these first ---
+        "repetition": q_repetition,
+        "kg_pipeline_bnodes": q_kg_pipeline_bnodes,
+        "nquads_parse": q_nquads_parse,
+        "c4_filters": q_c4_filters,
+        "span_dedup": q_span_dedup,
+        "fix_mojibake": q_fix_mojibake,
+        "shard_assign": q_shard_assign,
+        "html_main_text": q_html_main_text,
+        "ann_recall": q_ann_recall,
+        # --- new in r5 ---
+        "incr_entail": q_incr_entail,
+        "sparql_write": q_sparql_write,
+        "fgb_mainstems": q_fgb_mainstems,
+        # --- unchecked in the r04 window (driver-green r03 or earlier) ---
+        "release_diff": q_release_diff,
+        "kg_integrity": q_kg_integrity,
+        "fetch_schedule": q_fetch_schedule,
+        "url_canon": q_url_canon,
+        "clean_text": q_clean_text,
+        "bbox_join": q_bbox_join,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (numpy-backed; no portable SQL equivalent)
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_dups": q_simhash_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "winnowing": q_winnowing,
+        "multimodal_decode": q_multimodal_decode,
+        "boilerplate": q_boilerplate,
+        "strip_boilerplate": q_strip_boilerplate,
+        "gopher_flags": q_gopher_flags,
+        "shacl": q_shacl,
+        "entity_link_exact": q_entity_link_exact,
+        "kg_pipeline": q_kg_pipeline,
+        "structured_pipeline": q_structured_pipeline,
+        # --- driver-green in r04, rotated behind the above ---
         "exact_dedup": q_exact_dedup,
         "duplicate_key_detection": q_duplicate_key_detection,
         "urn_encode": q_urn_encode,
@@ -1886,7 +2071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warning_cap": q_warning_cap,
         "bytesum": q_bytesum,
         "release_naming": q_release_naming,
-        # training-data pipeline operators
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1926,38 +2110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sync": q_graph_sync,
         "curate_funnel": q_curate_funnel,
         "curate_funnel_near": q_curate_funnel_near,
-        "nquads_parse": q_nquads_parse,
-        "c4_filters": q_c4_filters,
-        "span_dedup": q_span_dedup,
-        "release_diff": q_release_diff,
-        "kg_integrity": q_kg_integrity,
-        "fetch_schedule": q_fetch_schedule,
-        "url_canon": q_url_canon,
-        "repetition": q_repetition,
-        "clean_text": q_clean_text,
-        "fix_mojibake": q_fix_mojibake,
-        "shard_assign": q_shard_assign,
-        "html_main_text": q_html_main_text,
-        "bbox_join": q_bbox_join,
-        "cosine_topk": q_cosine_topk,
-        # rows-only (numpy-backed; no portable SQL equivalent)
-        "minhash_dedup": q_minhash_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_dups": q_simhash_dups,
-        "embedding_near_dups": q_embedding_near_dups,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "ann_recall": q_ann_recall,
-        "winnowing": q_winnowing,
-        "multimodal_decode": q_multimodal_decode,
-        "boilerplate": q_boilerplate,
-        "strip_boilerplate": q_strip_boilerplate,
-        "gopher_flags": q_gopher_flags,
-        "shacl": q_shacl,
-        "entity_link_exact": q_entity_link_exact,
-        "kg_pipeline": q_kg_pipeline,
-        "kg_pipeline_bnodes": q_kg_pipeline_bnodes,
-        "structured_pipeline": q_structured_pipeline,
     }
 
 
@@ -1985,6 +2137,101 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "incr_entail": """
+            WITH data AS (
+              SELECT DISTINCT '<urn:doc:' || doc_id || '>' AS doc,
+                     '<urn:lang:' || lang || '>' AS lng
+              FROM documents
+            ), langs AS (SELECT DISTINCT lng FROM data),
+            asserted AS (
+              SELECT doc AS subj, '<urn:p:inLang>' AS pred, lng AS obj,
+                     '<urn:data>' AS prov
+              FROM data
+              UNION ALL
+              SELECT subj, pred, obj, '<urn:schema>' FROM (VALUES
+                ('<urn:p:inLang>',
+                 '<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>',
+                 '<urn:p:hasAttr>'),
+                ('<urn:p:inLang>',
+                 '<http://www.w3.org/2000/01/rdf-schema#domain>',
+                 '<urn:class:Doc>'),
+                ('<urn:p:inLang>',
+                 '<http://www.w3.org/2000/01/rdf-schema#range>',
+                 '<urn:class:Lang>'),
+                ('<urn:class:Doc>',
+                 '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+                 '<urn:class:Resource>'),
+                ('<urn:class:Lang>',
+                 '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+                 '<urn:class:Resource>'),
+                ('<urn:class:Resource>',
+                 '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+                 '<urn:class:Thing>')
+              ) s(subj, pred, obj)
+            ),
+            inferred AS (
+              SELECT doc AS subj, '<urn:p:hasAttr>' AS pred, lng AS obj
+              FROM data
+              UNION
+              SELECT doc,
+                     '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                     c FROM data, (VALUES ('<urn:class:Doc>'),
+                                          ('<urn:class:Resource>'),
+                                          ('<urn:class:Thing>')) cls(c)
+              UNION
+              SELECT lng,
+                     '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+                     c FROM langs, (VALUES ('<urn:class:Lang>'),
+                                           ('<urn:class:Resource>'),
+                                           ('<urn:class:Thing>')) cls(c)
+              UNION
+              SELECT * FROM (VALUES
+                ('<urn:class:Doc>',
+                 '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+                 '<urn:class:Thing>'),
+                ('<urn:class:Lang>',
+                 '<http://www.w3.org/2000/01/rdf-schema#subClassOf>',
+                 '<urn:class:Thing>')
+              ) d(subj, pred, obj)
+            )
+            SELECT subj, pred, obj, prov FROM asserted
+            UNION ALL
+            SELECT subj, pred, obj, '<urn:nabu:inference>' AS prov
+            FROM inferred
+            ORDER BY subj, pred, obj, prov
+        """,
+        "sparql_write": """
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:w:lang>' AS pred,
+                   '"' || lang || '"' AS obj
+            FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:w:src>' AS pred,
+                   '<urn:src:' || source || '>' AS obj
+            FROM documents
+            ORDER BY subj, pred, obj
+        """,
+        "fgb_mainstems": """
+            WITH boxes AS (
+              SELECT 'https://geoconnex.us/ref/mainstems/' || i
+                       AS geoconnex_url,
+                     40.0 * i AS minx, 30.0 * i AS miny,
+                     40.0 * i + 60.0 AS maxx, 30.0 * i + 90.0 AS maxy
+              FROM range(25) t(i)
+            ), points AS (
+              SELECT c_custkey,
+                     c_acctbal % 1000 AS px,
+                     (c_custkey % 800)::DOUBLE AS py
+              FROM customer
+            )
+            SELECT geoconnex_url,
+                   count(*) AS points_inside,
+                   min(c_custkey) AS first_custkey
+            FROM points JOIN boxes
+              ON px >= minx AND px <= maxx AND py >= miny AND py <= maxy
+            GROUP BY geoconnex_url ORDER BY geoconnex_url
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,
                    min(doc_id) AS canonical_doc_id,

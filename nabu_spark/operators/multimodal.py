@@ -32,6 +32,7 @@ propagation. Per-row decode errors become rows, never task failures.
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 import zlib
 from collections.abc import Iterator
@@ -342,18 +343,117 @@ def _decode_wav(blob: bytes) -> dict:
     }
 
 
+# --- native-codec plug-in registry (VERDICT r4 task #6) --------------------
+# Same pattern as validate.full_shacl_available: detect an optional native
+# imaging library at executor import and route through it, keeping the pure-
+# Python kernels as the always-available fallback AND the parity oracle.
+# NABU_NATIVE_CODECS selects the policy (read per call so tests can flip it):
+#   auto (default) - pure kernels first; PIL only for image variants they
+#                    refuse (progressive JPEG, 16-bit/interlaced PNG, WebP,
+#                    TIFF, ...)
+#   pil            - prefer PIL for every image blob it can open (the
+#                    throughput path on a cluster with Pillow installed:
+#                    C decode loops instead of Python Huffman/IDCT)
+#   pure           - never use PIL (parity-oracle mode)
+
+_PIL_CACHE: list = []
+
+
+def pil_available() -> bool:
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image  # noqa: F401
+
+            _PIL_CACHE.append(Image)
+        except Exception:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0] is not None
+
+
+def _codec_mode() -> str:
+    return os.environ.get("NABU_NATIVE_CODECS", "auto")
+
+
+def _looks_image(blob: bytes) -> bool:
+    return (
+        blob[:2] in (b"BM", b"\xff\xd8")
+        or blob[:8] == _PNG_SIG
+        or blob[:6] in (b"GIF87a", b"GIF89a")
+        or (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP")
+        or blob[:4] in (b"II*\x00", b"MM\x00*")  # TIFF
+    )
+
+
+def _decode_image_pil(blob: bytes) -> dict:
+    """PIL-backed decode producing the same metadata dict as the pure
+    kernels; payload_bytes follows the decoded-pixel-bytes convention
+    (w * h * bands * frames)."""
+    import io
+
+    Image = _PIL_CACHE[0]
+    try:
+        with Image.open(io.BytesIO(blob)) as im:
+            w, h = im.size
+            bands = len(im.getbands())
+            n = int(getattr(im, "n_frames", 1))
+    except Exception as e:  # PIL raises format-specific error classes
+        raise MediaDecodeError(f"PIL decode failed: {e}") from e
+    return {
+        "kind": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": n,
+        "payload_bytes": int(w) * int(h) * bands * n,
+    }
+
+
+def _resize_image_pil(blob: bytes, max_side: int) -> bytes:
+    """PIL-backed resize with the SAME target-dimension rule as
+    :func:`_nn_resize` (aspect-preserving, never upscales), re-encoded in
+    the source format when PIL can write it, else PNG."""
+    import io
+
+    Image = _PIL_CACHE[0]
+    with Image.open(io.BytesIO(blob)) as im:
+        w, h = im.size
+        scale = min(1.0, max_side / max(h, w))
+        tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+        out = im.resize((tw, th), Image.NEAREST)
+        buf = io.BytesIO()
+        fmt = im.format if im.format in ("BMP", "PNG", "GIF", "JPEG") else "PNG"
+        out.save(buf, format=fmt)
+        return buf.getvalue()
+
+
 def _decode_one(blob: bytes) -> dict:
-    """Dispatch on magic bytes: BMP and WAV decode natively (pure
-    struct/numpy); FAKE is the synthetic plumbing format; everything else
-    raises NotImplementedError — the boundary where PIL/libav would plug in
-    (not available in this container)."""
+    """Dispatch on magic bytes, routed through the codec registry: the
+    pure struct/numpy kernels decode natively; with Pillow importable the
+    registry routes image blobs to it (always in ``pil`` mode, on
+    pure-kernel NotImplementedError in ``auto`` mode); everything neither
+    side can decode raises NotImplementedError — the honest plug-in
+    boundary."""
     if blob is None or len(blob) < 12:
         raise MediaDecodeError("truncated media blob")
+    if _codec_mode() == "pil" and pil_available() and _looks_image(blob):
+        return _decode_image_pil(blob)
+    try:
+        return _decode_one_pure(blob)
+    except NotImplementedError:
+        if _codec_mode() != "pure" and pil_available() and _looks_image(blob):
+            return _decode_image_pil(blob)
+        raise
+
+
+def _decode_one_pure(blob: bytes) -> dict:
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
     if blob[:4] == b"RIFF":
+        if blob[8:12] == b"WEBP":
+            raise NotImplementedError(
+                "WebP needs an imaging library (codec registry routes to "
+                "PIL when importable)")
         return _decode_wav(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
@@ -430,19 +530,28 @@ def resize_png(blob: bytes, max_side: int) -> bytes:
 
 
 def resize_image(blob: bytes, max_side: int) -> bytes:
-    """Format-dispatching pixel resize: each natively-decodable image codec
-    re-encodes in its own format; others raise for the caller's error row."""
-    if blob[:2] == b"BM":
-        return resize_bmp(blob, max_side)
-    if blob[:8] == _PNG_SIG:
-        return resize_png(blob, max_side)
-    if blob[:6] in (b"GIF87a", b"GIF89a"):
-        return resize_gif(blob, max_side)
-    if blob[:2] == b"\xff\xd8":
-        return encode_jpeg(_nn_resize(jpeg_pixels(blob), max_side))
-    raise NotImplementedError(
-        "this codec requires PIL/libav, not available in this container"
-    )
+    """Format-dispatching pixel resize through the codec registry: each
+    natively-decodable image codec re-encodes in its own format; PIL takes
+    the blob when the registry prefers it or the pure kernel refuses it;
+    others raise for the caller's error row."""
+    if _codec_mode() == "pil" and pil_available() and _looks_image(blob):
+        return _resize_image_pil(blob, max_side)
+    try:
+        if blob[:2] == b"BM":
+            return resize_bmp(blob, max_side)
+        if blob[:8] == _PNG_SIG:
+            return resize_png(blob, max_side)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return resize_gif(blob, max_side)
+        if blob[:2] == b"\xff\xd8":
+            return encode_jpeg(_nn_resize(jpeg_pixels(blob), max_side))
+        raise NotImplementedError(
+            "this codec requires PIL/libav, not available in this container"
+        )
+    except NotImplementedError:
+        if _codec_mode() != "pure" and pil_available() and _looks_image(blob):
+            return _resize_image_pil(blob, max_side)
+        raise
 
 
 DECODED_SCHEMA = T.StructType(

@@ -2423,3 +2423,80 @@ def sparql_results_tsv(df: DataFrame, *, limit: int | None = None) -> str:
     for row in df.collect():
         lines.append("\t".join(_term_tsv(row[c]) for c in cols))
     return "\n".join(lines) + "\n"
+
+
+def write_results(df: DataFrame, path: str, *, format: str = "csv",
+                  mode: str = "overwrite") -> None:
+    """Distributed SPARQL result writer (VERDICT r4 task #5): stream a
+    SELECT result to shards of W3C results-CSV/TSV, or a CONSTRUCT/
+    DESCRIBE result to N-Triples shards, via ``df.write`` — no driver
+    ``collect()``, so a CONSTRUCT feeding a bulk export scales with the
+    cluster instead of the driver heap. The in-memory serializers above
+    stay as the CLI/report surface for small results.
+
+    Rendering parity: N-Triples lines are assembled entirely JVM-side
+    (the engine's native term representation IS N-Triples). CSV/TSV rows
+    are rendered by ONE Arrow-batched ``mapInPandas`` pass that reuses the
+    exact per-term functions of the collected serializers (``_term_csv`` /
+    ``_term_tsv``), so a written shard-set equals the collected output
+    byte-for-byte on sorted data lines (pinned by test). Every shard is a
+    standalone document: CSV/TSV shards each begin with the header row, so
+    a downstream reader can consume any subset of shards independently.
+    """
+    if format == "nt":
+        if df.columns != ["subj", "pred", "obj"]:
+            raise SparqlError(
+                "N-Triples output requires a CONSTRUCT/DESCRIBE result "
+                f"(subj, pred, obj), got columns {df.columns}")
+        line = F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"),
+                           F.lit("."))
+        df.select(line.alias("value")).write.mode(mode).text(path)
+        return
+    if format not in ("csv", "tsv"):
+        raise SparqlError(f"unknown results format {format!r}; "
+                          "expected csv, tsv or nt")
+    if _is_ask(df):
+        raise SparqlError("ASK results are not expressible in CSV/TSV; "
+                          "use the JSON results format")
+    cols = df.columns
+    is_csv = format == "csv"
+
+    def render(batches):
+        import csv as _csv
+        import io as _io
+
+        import pandas as _pd
+
+        if is_csv:
+            buf = _io.StringIO()
+            # \r\n terminator so QUOTE_MINIMAL quotes embedded newlines
+            # exactly like the collected serializer; the final \n is
+            # stripped because the text sink appends it per record
+            w = _csv.writer(buf, lineterminator="\r\n")
+
+            def row_line(vals):
+                buf.seek(0)
+                buf.truncate()
+                w.writerow([_term_csv(v) for v in vals])
+                return buf.getvalue()[:-1]
+
+            header = row_line(cols)
+        else:
+            def row_line(vals):
+                return "\t".join(_term_tsv(v) for v in vals)
+
+            header = "\t".join("?" + c for c in cols)
+        yield _pd.DataFrame({"value": [header]})
+        for pdf in batches:
+            # .tolist() + isna: Python-native values and None for nulls, so
+            # the shared per-term renderers see exactly what the collected
+            # serializers see from Row cells
+            col_vals = [
+                [None if _pd.isna(v) else v for v in pdf[c].tolist()]
+                for c in cols
+            ]
+            lines = [row_line(vals) for vals in zip(*col_vals)] if cols else []
+            yield _pd.DataFrame({"value": _pd.Series(lines, dtype="object")})
+
+    (df.mapInPandas(render, schema="value string")
+       .write.mode(mode).text(path))

@@ -1,0 +1,149 @@
+"""Distributed SPARQL result writers (sparql.py::write_results).
+
+VERDICT r4 task #5 done-criterion: a written shard-set compares
+byte-for-byte against the collected in-memory serializers on sorted
+lines. The writer must stay off the driver (df.write), render CSV/TSV
+via ONE Arrow pass reusing the serializers' per-term functions, and emit
+N-Triples lines entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabu_spark.sparql import (
+    SparqlError,
+    sparql_query,
+    sparql_results_csv,
+    sparql_results_nt,
+    sparql_results_tsv,
+    write_results,
+)
+
+
+def _shards(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "part-*")))
+
+
+def _read_all(path: str) -> str:
+    return "".join(open(p, encoding="utf-8", newline="").read() for p in _shards(path))
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    # terms that stress every rendering branch: lang tags, typed literals,
+    # escapes (quote/tab/newline/backslash), commas (CSV quoting), IRIs
+    rows = [
+        ("<urn:s:1>", "<urn:p:name>", '"plain"'),
+        ("<urn:s:1>", "<urn:p:label>", '"hola, mundo"@es'),
+        ("<urn:s:2>", "<urn:p:note>", '"a\\"q\\"b"'),
+        ("<urn:s:2>", "<urn:p:note>", '"tab\\there\\nline2"'),
+        ("<urn:s:2>", "<urn:p:back>", '"c:\\\\dir"'),
+        ("<urn:s:3>", "<urn:p:n>",
+         '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<urn:s:3>", "<urn:p:ref>", "<urn:o:iri>"),
+        ("<urn:s:4>", "<urn:p:ref>", "_:b0"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+@pytest.fixture(scope="module")
+def select_df(spark, quads):
+    # SELECT with string terms, an aggregate long, and a computed double
+    return sparql_query(
+        quads,
+        """
+        SELECT ?s (COUNT(?o) AS ?n) (AVG(STRLEN(?o)) AS ?alen)
+        WHERE { ?s ?p ?o } GROUP BY ?s ORDER BY ?s
+        """,
+    )
+
+
+class TestNt:
+    def test_nt_shards_match_serializer(self, spark, quads, tmp_path):
+        out = sparql_query(
+            quads, "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+        path = str(tmp_path / "nt_out")
+        write_results(out, path, format="nt")
+        written = sorted(l for l in _read_all(path).splitlines() if l)
+        expected = sparql_results_nt(out).splitlines()
+        assert written == expected
+
+    def test_nt_requires_construct_shape(self, select_df, tmp_path):
+        with pytest.raises(SparqlError, match="N-Triples"):
+            write_results(select_df, str(tmp_path / "x"), format="nt")
+
+
+class TestCsvTsv:
+    def test_csv_single_shard_byte_parity(self, select_df, tmp_path):
+        df = select_df.coalesce(1)
+        path = str(tmp_path / "csv_out")
+        write_results(df, path, format="csv")
+        assert len(_shards(path)) == 1
+        assert _read_all(path) == sparql_results_csv(df)
+
+    def test_csv_escapes_byte_parity(self, quads, tmp_path):
+        df = sparql_query(
+            quads, "SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY ?s ?o"
+        ).coalesce(1)
+        path = str(tmp_path / "csv_esc")
+        write_results(df, path, format="csv")
+        body = sparql_results_csv(df)
+        assert _read_all(path) == body
+        # the stressed values actually exercised quoting: at least one
+        # RFC 4180-quoted field and one embedded newline survive
+        assert '"hola, mundo"' in body
+        assert "line2" in body
+
+    def test_tsv_single_shard_byte_parity(self, select_df, tmp_path):
+        df = select_df.coalesce(1)
+        path = str(tmp_path / "tsv_out")
+        write_results(df, path, format="tsv")
+        assert _read_all(path) == sparql_results_tsv(df)
+
+    def test_multi_shard_headers_and_sorted_parity(self, select_df, tmp_path):
+        df = select_df.repartition(3)
+        path = str(tmp_path / "csv_multi")
+        write_results(df, path, format="csv")
+        shards = _shards(path)
+        assert len(shards) == 3
+        header = sparql_results_csv(df).split("\r\n", 1)[0] + "\r\n"
+        datalines = []
+        for p in shards:
+            content = open(p, encoding="utf-8", newline="").read()
+            # every shard is a standalone document: header first
+            assert content.startswith(header)
+            datalines += [l for l in
+                          content[len(header):].split("\r\n") if l]
+        expected = [l for l in
+                    sparql_results_csv(df).split("\r\n")[1:] if l]
+        assert sorted(datalines) == sorted(expected)
+
+    def test_null_and_numeric_cells(self, spark, tmp_path):
+        from nabu_spark.sparql import sparql_query as q
+        quads = spark.createDataFrame(
+            [("<urn:a>", "<urn:p>", '"x"'), ("<urn:b>", "<urn:q>", '"y"')],
+            "subj string, pred string, obj string")
+        df = q(quads, """
+            SELECT ?s ?v (1.5 AS ?d) WHERE {
+              ?s <urn:p> ?o OPTIONAL { ?s <urn:q> ?v } }
+            ORDER BY ?s
+        """).coalesce(1)
+        for fmt, ser in (("csv", sparql_results_csv),
+                         ("tsv", sparql_results_tsv)):
+            path = str(tmp_path / f"null_{fmt}")
+            write_results(df, path, format=fmt)
+            assert _read_all(path) == ser(df)
+
+    def test_ask_rejected(self, spark, quads, tmp_path):
+        ask = sparql_query(quads, "ASK { ?s <urn:p:name> ?o }")
+        with pytest.raises(SparqlError, match="ASK"):
+            write_results(ask, str(tmp_path / "a"), format="csv")
+
+    def test_unknown_format_rejected(self, select_df, tmp_path):
+        with pytest.raises(SparqlError, match="unknown results format"):
+            write_results(select_df, str(tmp_path / "b"), format="jsonl")
