@@ -352,6 +352,11 @@ def minhash_dedup_ml(
 # --- near-dup clustering -------------------------------------------------------
 
 
+# rounds taken by the LAST distributed CC run in this process (telemetry
+# for scripts/bench_distributed.py; the union-find fast path leaves it)
+LAST_CC_ROUNDS: int | None = None
+
+
 def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50,
                    driver_max: int = 200_000) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
@@ -409,7 +414,9 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50,
     ).localCheckpoint(eager=True)
 
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
@@ -450,6 +457,8 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50,
             f"dedup_clusters did not converge within {max_iters} rounds — "
             "pathological component structure; raise max_iters"
         )
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

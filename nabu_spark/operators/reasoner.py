@@ -45,6 +45,13 @@ RANGE = f"<{RDFS}range>"
 _MAX_ROUNDS = 32
 
 
+# distributed-fixpoint telemetry: rounds taken by the LAST distributed
+# closure/OWL run in this process (None until one runs; the driver fast
+# paths do not touch it). Read by scripts/bench_distributed.py so the
+# measured cost curve records round counts, not just wall time.
+LAST_ROUNDS: dict = {"closure": None, "owl": None}
+
+
 def transitive_closure(edges: DataFrame, *,
                        driver_max: int = 20_000) -> DataFrame:
     """Strict transitive closure of a (child, parent) edge relation.
@@ -78,7 +85,7 @@ def transitive_closure(edges: DataFrame, *,
                 sorted(closed), "child string, parent string")
     result = deduped.localCheckpoint(eager=True)
     prev = result.count()
-    for _ in range(_MAX_ROUNDS):
+    for i in range(_MAX_ROUNDS):
         doubled = (
             result.select("child", F.col("parent").alias("__m"))
             .join(result.select(F.col("child").alias("__m"), "parent"),
@@ -90,6 +97,7 @@ def transitive_closure(edges: DataFrame, *,
         )
         cnt = doubled.count()
         if cnt == prev:
+            LAST_ROUNDS["closure"] = i + 1
             return doubled
         result, prev = doubled, cnt
     raise RuntimeError(f"closure did not converge in {_MAX_ROUNDS} rounds")
@@ -456,11 +464,12 @@ def owl_rl_materialize(triples: DataFrame, *,
             return t.sparkSession.createDataFrame(
                 sorted(closed), "subj string, pred string, obj string")
     prev = t.count()
-    for _ in range(max_rounds):
+    for i in range(max_rounds):
         nxt = _owl_round(t, driver_max).localCheckpoint(eager=True)
         cnt = nxt.count()
         if cnt == prev and nxt.join(
                 t, ["subj", "pred", "obj"], "left_anti").isEmpty():
+            LAST_ROUNDS["owl"] = i + 1
             return nxt
         t, prev = nxt, cnt
     raise RuntimeError(

@@ -990,6 +990,12 @@ def _c_datatype(c: Column) -> Column:
     )
 
 
+# rounds taken by the LAST distributed path-closure fixpoint in this
+# process (telemetry for scripts/bench_distributed.py; the bounded driver
+# fast path leaves it untouched)
+LAST_PATH_ROUNDS: int | None = None
+
+
 class _DfCompiler:
     def __init__(self, quads: DataFrame, graph_col: str | None,
                  from_graphs: list | None = None,
@@ -1370,7 +1376,7 @@ class _DfCompiler:
             result = base if checkpointed else base.localCheckpoint(
                 eager=True)
             prev = result.count()
-            for _ in range(self._CLOSURE_MAX_ITERS):
+            for _round_i in range(self._CLOSURE_MAX_ITERS):
                 doubled = (
                     result.select("__src", F.col("__dst").alias("__m"), *gcols)
                     .join(result.select(F.col("__src").alias("__m"), "__dst",
@@ -1383,6 +1389,8 @@ class _DfCompiler:
                 )
                 cnt = doubled.count()  # cheap: counts the checkpointed blocks
                 if cnt == prev:
+                    global LAST_PATH_ROUNDS
+                    LAST_PATH_ROUNDS = _round_i + 1
                     break
                 result, prev = doubled, cnt
             else:
