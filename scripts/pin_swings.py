@@ -25,10 +25,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     k = 6
-    if "--k" in sys.argv:
-        k = int(sys.argv[sys.argv.index("--k") + 1])
+    if "--k" in argv:
+        i = argv.index("--k")
+        k = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     if not args:
         print(__doc__)
         return
