@@ -24,6 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nabu-spark")
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--trace-out",
+        help="write an OTLP-shaped JSONL trace of this invocation to FILE "
+             "(the reference's --trace/trace.out surface, main.go:162-178; "
+             "routed through the opentelemetry SDK too when importable)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     h = sub.add_parser("harvest", help="pages parquet -> docs checkpoint + stats")
@@ -42,7 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="harvest output dir (reads its docs/ parquet subdirectory)",
     )
     r.add_argument("--out", required=True)
-    r.add_argument("--mainstems", help="mainstems dict parquet (enables enrichment)")
+    r.add_argument(
+        "--mainstems",
+        help="mainstems dictionary (enables enrichment): parquet dir or a "
+             ".fgb FlatGeobuf file — the reference's own artifact format "
+             "(flatgeobuf.go:55-65)",
+    )
     r.add_argument("--no-resume", action="store_true")
     r.add_argument(
         "--bnode-mode", choices=["skolem", "rdfc", "raw"], default="skolem",
@@ -81,7 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     fu.add_argument("--pages", required=True)
     fu.add_argument("--out", required=True)
     fu.add_argument("--dest", required=True, help="pull destination dir")
-    fu.add_argument("--mainstems", help="mainstems dict parquet (enables enrichment)")
+    fu.add_argument(
+        "--mainstems",
+        help="mainstems dictionary (parquet dir or .fgb FlatGeobuf file)",
+    )
     fu.add_argument("--shapes", help="SHACL shapes ttl (enables validation)")
     fu.add_argument("--dict", dest="dict_path", help="known-IRI dict parquet (enables linking)")
     fu.add_argument("--no-salt", action="store_true")
@@ -229,6 +243,23 @@ def _print_query_result(out, args, cmd: str, summary) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "trace_out", None):
+        # reference parity: the root span is named after the argv string
+        # (main.go:156-158 argsAsStr) and every command runs inside it
+        from .telemetry import Tracer
+
+        tracer = Tracer("nabu-spark")
+        try:
+            with tracer.span("nabu_" + "_".join(argv or sys.argv[1:])) as root:
+                rc = _dispatch(args)
+                root.set_attribute("exit_code", rc)
+        finally:
+            tracer.export_jsonl(args.trace_out)
+        return rc
+    return _dispatch(args)
+
+
+def _dispatch(args) -> int:
     from pyspark.sql import functions as F
 
     from .session import get_spark
@@ -271,7 +302,12 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(os.path.join(args.docs, "docs"))
         if args.mainstems:
-            mainstems = spark.read.parquet(args.mainstems)
+            if args.mainstems.endswith(".fgb"):
+                from .sources.flatgeobuf import read_flatgeobuf
+
+                mainstems = read_flatgeobuf(spark, args.mainstems)
+            else:
+                mainstems = spark.read.parquet(args.mainstems)
             docs = enrich_docs(docs, mainstems)
         raw = run_quads_stage(
             spark, docs, args.out, resume=not args.no_resume,

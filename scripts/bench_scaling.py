@@ -37,12 +37,26 @@ def _cpu_totals() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _settle(max_wait: int = 180, target_load1: float = 2.0) -> None:
+    """Wait for the box to quiesce before a timing leg: the previous leg's
+    JVM teardown and page-cache churn leave a decaying load average that
+    contaminated the r5 first attempt (the local[32] leg started at
+    load1=23 and lost 8% throughput; the pair read 0.788 — a protocol
+    artifact, not a scaling property). Bounded wait, evidence stays in
+    load1_at_start either way."""
+    waited = 0
+    while os.getloadavg()[0] > target_load1 and waited < max_wait:
+        time.sleep(5)
+        waited += 5
+
+
 def _measured(fn, *args):
     """Run one benchmark leg and attach neighbor-noise telemetry: steal%
     over the leg's own window (/proc/stat deltas) and the 1-min load at
     start. Round 3 burned six scaling runs on noise detected only by the
     hardware-ceiling control, by hand (VERDICT r3 task #8) — this records
     the evidence per leg so discards are automatic and visible."""
+    _settle()
     load1 = os.getloadavg()[0]
     s0, t0 = _cpu_totals()
     result = fn(*args)

@@ -185,3 +185,36 @@ class TestMainstemJoinThroughFgb:
         )
         out = mainstem_join(docs, ms).collect()
         assert out[0]["mainstem_uri"] == "https://geoconnex.us/ref/mainstems/36800"
+
+
+@pytest.mark.slow
+class TestCliFgbMainstems:
+    def test_release_accepts_fgb_dictionary(self, spark, tmp_path):
+        """`release --mainstems dict.fgb` loads the reference's artifact
+        format directly (cli.py branch -> read_flatgeobuf)."""
+        from nabu_spark.datagen import generate_mainstems, generate_pages
+        from tests.test_cli import run_cli
+
+        pages = str(tmp_path / "pages")
+        run_dir = str(tmp_path / "run")
+        generate_pages(spark, 40).write.parquet(pages)
+        dims = generate_mainstems(spark).collect()
+        fgb = str(tmp_path / "dict.fgb")
+        write_flatgeobuf(fgb, [
+            {"geoconnex_url": r["geoconnex_url"],
+             "xy": [r["minx"], r["miny"], r["maxx"], r["miny"],
+                    r["maxx"], r["maxy"], r["minx"], r["maxy"],
+                    r["minx"], r["miny"]],
+             "ends": [5]}
+            for r in dims
+        ], geometry_type=GT_POLYGON)
+
+        rc, _ = run_cli(["harvest", "--pages", pages, "--out", run_dir,
+                         "--no-salt"])
+        assert rc in (0, 3)
+        rc, out = run_cli(["release", "--docs", run_dir, "--out", run_dir,
+                           "--mainstems", fgb])
+        assert rc == 0
+        payload = json.loads(
+            [l for l in out.splitlines() if l.startswith("{")][-1])
+        assert payload["cmd"] == "release" and payload["quads"] > 0
