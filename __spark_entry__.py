@@ -2015,6 +2015,37 @@ def q_fgb_mainstems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TZ + TIMEZONE accessors (r5 SPARQL function-library completions,
+    sparql.py): event timestamps rendered as xsd:dateTime literals with
+    four synthetic zone offsets cycling on event_id; TIMEZONE maps each to
+    its xsd:dayTimeDuration (spec §17.4.5.7 — Z/±00:00 -> PT0S, -05:30 ->
+    -PT5H30M). The oracle restates the mapping as a CASE table."""
+    from nabu_spark.sparql import sparql_query
+
+    ev = _load(spark, sf_dir, "events")
+    tz = F.element_at(
+        F.array(F.lit("Z"), F.lit("+05:00"), F.lit("-05:30"),
+                F.lit("+00:00")),
+        (F.col("event_id") % 4 + 1).cast("int"))
+    quads = ev.select(
+        F.concat(F.lit("<urn:event:"), F.col("event_id"),
+                 F.lit(">")).alias("subj"),
+        F.lit("<urn:p:at>").alias("pred"),
+        F.concat(
+            F.lit('"'), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), tz,
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        ).alias("obj"),
+    )
+    return sparql_query(
+        quads,
+        """
+        SELECT ?e (TZ(?v) AS ?tz) (TIMEZONE(?v) AS ?tzdur)
+        WHERE { ?e <urn:p:at> ?v } ORDER BY ?e
+        """,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the per-round correctness gate checks the
     # first 50 entries. Entries the previous round's gate did not cover are
@@ -2035,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_entail": q_incr_entail,
         "sparql_write": q_sparql_write,
         "fgb_mainstems": q_fgb_mainstems,
+        "sparql_tz": q_sparql_tz,
         # --- unchecked in the r04 window (driver-green r03 or earlier) ---
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
@@ -2211,6 +2243,23 @@ def oracle_sql() -> dict[str, str]:
                    '<urn:src:' || source || '>' AS obj
             FROM documents
             ORDER BY subj, pred, obj
+        """,
+        "sparql_tz": """
+            SELECT '<urn:event:' || event_id || '>' AS e,
+                   CASE event_id % 4
+                     WHEN 0 THEN 'Z' WHEN 1 THEN '+05:00'
+                     WHEN 2 THEN '-05:30' ELSE '+00:00' END AS tz,
+                   CASE event_id % 4
+                     WHEN 0 THEN '"PT0S"^^<http://www.w3.org/2001/'
+                       || 'XMLSchema#dayTimeDuration>'
+                     WHEN 1 THEN '"PT5H"^^<http://www.w3.org/2001/'
+                       || 'XMLSchema#dayTimeDuration>'
+                     WHEN 2 THEN '"-PT5H30M"^^<http://www.w3.org/2001/'
+                       || 'XMLSchema#dayTimeDuration>'
+                     ELSE '"PT0S"^^<http://www.w3.org/2001/'
+                       || 'XMLSchema#dayTimeDuration>'
+                   END AS tzdur
+            FROM events ORDER BY e
         """,
         "fgb_mainstems": """
             WITH boxes AS (

@@ -796,8 +796,10 @@ class _Parser:
         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
         "COALESCE", "IF", "CONCAT", "SUBSTR", "REPLACE", "STRBEFORE",
         "STRAFTER", "ABS", "ROUND", "CEIL", "FLOOR", "SAMETERM",
-        "ISNUMERIC", "MD5", "SHA1", "SHA256", "IRI", "URI", "STRLANG",
-        "STRDT", "LANGMATCHES",
+        "ISNUMERIC", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+        "IRI", "URI", "STRLANG",
+        "STRDT", "LANGMATCHES", "TIMEZONE",
+        "BNODE", "UUID", "STRUUID", "RAND", "NOW",
     }
 
     # fixed arities (min, max); None max = variadic
@@ -814,8 +816,11 @@ class _Parser:
         "STRBEFORE": (2, 2), "STRAFTER": (2, 2), "ABS": (1, 1),
         "ROUND": (1, 1), "CEIL": (1, 1), "FLOOR": (1, 1),
         "SAMETERM": (2, 2), "ISNUMERIC": (1, 1), "MD5": (1, 1),
-        "SHA1": (1, 1), "SHA256": (1, 1), "IRI": (1, 1),
+        "SHA1": (1, 1), "SHA256": (1, 1), "SHA384": (1, 1),
+        "SHA512": (1, 1), "IRI": (1, 1),
         "STRLANG": (2, 2), "STRDT": (2, 2), "LANGMATCHES": (2, 2),
+        "TIMEZONE": (1, 1), "BNODE": (0, 1), "UUID": (0, 0),
+        "STRUUID": (0, 0), "RAND": (0, 0), "NOW": (0, 0),
     }
 
     def _unary(self):
@@ -831,10 +836,13 @@ class _Parser:
         if kind == "NAME" and v.upper() in self._FUNCS:
             self.i += 1
             self._expect("(")
-            args = [self._expr()]
-            while self._peek()[1] == ",":
-                self.i += 1
-                args.append(self._expr())
+            if self._peek()[1] == ")":  # nullary: RAND(), NOW(), UUID()...
+                args = []
+            else:
+                args = [self._expr()]
+                while self._peek()[1] == ",":
+                    self.i += 1
+                    args.append(self._expr())
             self._expect(")")
             fname = v.upper().replace("ISURI", "ISIRI")
             if fname == "URI":
@@ -910,7 +918,8 @@ def term_datatype(t: str) -> str | None:
 
 
 _NUM_FUNCS = {"STRLEN", "ABS", "ROUND", "CEIL", "FLOOR",
-              "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"}
+              "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+              "RAND"}
 
 # ISO 8601 xsd:dateTime / xsd:date lexical shape; groups: 1 year, 2 month,
 # 3 day, 4 hours, 5 minutes, 6 seconds, 7 timezone
@@ -920,7 +929,7 @@ _DT_RE = (r"^(-?\d{4,})-(\d{2})-(\d{2})"
 _STR_FUNCS = {"STR", "LANG", "DATATYPE", "UCASE", "LCASE", "CONCAT",
               "ENCODE_FOR_URI", "TZ",
               "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "MD5", "SHA1",
-              "SHA256"}
+              "SHA256", "SHA384", "SHA512", "STRUUID"}
 
 
 # static "kind" of an expression, used to pick the comparison mode
@@ -1002,6 +1011,7 @@ class _DfCompiler:
                  from_named: list | None = None):
         self.quads = quads
         self.graph_col = graph_col
+        self._now = None  # NOW() literal, fixed per query execution
         # FROM/FROM NAMED (SPARQL §13.2): any dataset clause REPLACES the
         # store's dataset — default graph = merge of the FROM graphs (empty
         # when only FROM NAMED was given), named graphs = the FROM NAMED
@@ -1082,6 +1092,16 @@ class _DfCompiler:
             return self._call(e[1], e[2], want)
         raise SparqlError(f"bad expr {e!r}")
 
+    def _now_literal(self) -> str:
+        if self._now is None:
+            import time as _time
+
+            self._now = (
+                '"' + _time.strftime("%Y-%m-%dT%H:%M:%S",
+                                     _time.gmtime())
+                + 'Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>')
+        return self._now
+
     def _call(self, fn: str, args: list, want: str) -> Column:
         if fn == "BOUND":
             return self.expr(args[0], "term").isNotNull()
@@ -1091,6 +1111,29 @@ class _DfCompiler:
             if "i" in flags:
                 pat = "(?i)" + pat
             return self.expr(args[0], "str").rlike(pat)
+        if fn == "RAND":
+            return F.rand()
+        if fn == "NOW":
+            # spec §17.4.5.1: one fixed value for the whole query execution
+            return F.lit(self._now_literal())
+        if fn == "UUID":
+            return F.concat(F.lit("<urn:uuid:"), F.expr("uuid()"),
+                            F.lit(">"))
+        if fn == "STRUUID":
+            return F.expr("uuid()")
+        if fn == "BNODE":
+            if not args:
+                # fresh label per solution row (distinct from any parsed
+                # bnode: the bn/ prefix is not produced by data)
+                return F.concat(
+                    F.lit("_:bn"),
+                    F.monotonically_increasing_id().cast("string"))
+            # BNODE(str): stable label for the same lexical argument
+            # (stable across ALL solutions here — a superset of the spec's
+            # per-solution guarantee, shared with the local evaluator)
+            return F.concat(
+                F.lit("_:bh"),
+                F.md5(F.encode(self.expr(args[0], "str"), "UTF-8")))
         a0 = args[0]
         if fn in ("ISIRI", "ISLITERAL", "ISBLANK"):
             c = self.expr(a0, "term")
@@ -1203,13 +1246,42 @@ class _DfCompiler:
             return F.when(cs.startswith('"'), lex_ok & dt_ok).otherwise(
                 lex_ok & ~cs.startswith("<") & ~cs.startswith("_:")
             )
-        if fn in ("MD5", "SHA1", "SHA256"):
+        if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
             c = F.encode(self.expr(a0, "str"), "UTF-8")
             return {
                 "MD5": F.md5(c),
                 "SHA1": F.sha1(c),
                 "SHA256": F.sha2(c, 256),
+                "SHA384": F.sha2(c, 384),
+                "SHA512": F.sha2(c, 512),
             }[fn]
+        if fn == "TIMEZONE":
+            # xsd:dayTimeDuration from the dateTime's timezone lexical
+            # (§17.4.5.7): Z/±00:00 -> PT0S, ±hh:mm -> [-]PThH[mM];
+            # a zoneless or non-dateTime operand is an error -> NULL
+            lex = self.expr(a0, "str")
+            tz = F.regexp_extract(lex, _DT_RE, 7)
+            hh = F.regexp_extract(tz, r"^[+-](\d{2}):(\d{2})$", 1).cast("int")
+            mm = F.regexp_extract(tz, r"^[+-](\d{2}):(\d{2})$", 2).cast("int")
+            sign = F.when(tz.startswith("-") & ((hh > 0) | (mm > 0)),
+                          F.lit("-")).otherwise(F.lit(""))
+            body = (
+                F.when((hh == 0) & (mm == 0), F.lit("PT0S"))
+                .when(mm == 0, F.concat(F.lit("PT"), hh.cast("string"),
+                                        F.lit("H")))
+                .when(hh == 0, F.concat(F.lit("PT"), mm.cast("string"),
+                                        F.lit("M")))
+                .otherwise(F.concat(F.lit("PT"), hh.cast("string"),
+                                    F.lit("H"), mm.cast("string"),
+                                    F.lit("M")))
+            )
+            dur = F.concat(
+                F.lit('"'), sign, body,
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema'
+                      '#dayTimeDuration>'))
+            return F.when(tz == "Z", F.lit(
+                '"PT0S"^^<http://www.w3.org/2001/XMLSchema'
+                '#dayTimeDuration>')).when(tz != "", dur)
         if fn == "IRI":
             return F.concat(F.lit("<"), self.expr(a0, "str"), F.lit(">"))
         if fn == "STRLANG":
@@ -1808,6 +1880,35 @@ class _LocalEval:
             pat = term_lex(args[1][1])
             flags = re.I if len(args) > 2 and "i" in term_lex(args[2][1]) else 0
             return re.search(pat, str(v), flags) is not None
+        if fn == "RAND":
+            import random as _random
+
+            return _random.random()
+        if fn == "NOW":
+            if getattr(self, "_now", None) is None:
+                import time as _time
+
+                self._now = (
+                    '"' + _time.strftime("%Y-%m-%dT%H:%M:%S",
+                                         _time.gmtime())
+                    + 'Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>')
+            return self._now
+        if fn == "UUID":
+            import uuid as _uuid
+
+            return f"<urn:uuid:{_uuid.uuid4()}>"
+        if fn == "STRUUID":
+            import uuid as _uuid
+
+            return str(_uuid.uuid4())
+        if fn == "BNODE":
+            if not args:
+                self._bnode_seq = getattr(self, "_bnode_seq", -1) + 1
+                return f"_:bn{self._bnode_seq}"
+            s = self.expr(args[0], row, "str")
+            if s is None:
+                return None
+            return "_:bh" + hashlib.md5(str(s).encode("utf-8")).hexdigest()
         v = self.expr(args[0], row, "term")
         if fn in ("ISIRI", "ISLITERAL", "ISBLANK"):
             if v is None:
@@ -1898,11 +1999,26 @@ class _LocalEval:
             if not v.startswith('"'):
                 return False
             return term_num(v) is not None and term_datatype(v) in _XSD_NUMERIC
-        if fn in ("MD5", "SHA1", "SHA256"):
+        if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
             data = str(term_lex(v)).encode("utf-8")
             h = {"MD5": hashlib.md5, "SHA1": hashlib.sha1,
-                 "SHA256": hashlib.sha256}[fn]
+                 "SHA256": hashlib.sha256, "SHA384": hashlib.sha384,
+                 "SHA512": hashlib.sha512}[fn]
             return h(data).hexdigest()
+        if fn == "TIMEZONE":
+            m = re.match(_DT_RE, str(term_lex(v)))
+            tz = m.group(7) if m else None
+            if not tz:
+                return None
+            dt = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+            if tz == "Z":
+                return f'"PT0S"^^<{dt}>'
+            sign = "-" if tz[0] == "-" else ""
+            hh, mm = int(tz[1:3]), int(tz[4:6])
+            if hh == 0 and mm == 0:
+                return f'"PT0S"^^<{dt}>'
+            body = "PT" + (f"{hh}H" if hh else "") + (f"{mm}M" if mm else "")
+            return f'"{sign}{body}"^^<{dt}>'
         if fn == "IRI":
             return f"<{term_lex(v)}>"
         if fn == "STRLANG":

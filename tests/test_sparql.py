@@ -1500,3 +1500,108 @@ class TestGroupByExpressions:
             parse_sparql(
                 "PREFIX t: <urn:t:> SELECT (COUNT(?v) AS ?n) WHERE "
                 "{ ?s t:n ?v } GROUP BY (FLOOR(?v / 10))")
+
+
+class TestFunctionLibraryR5:
+    """SPARQL 1.1 function-library completions (r5): SHA384/SHA512,
+    TIMEZONE, BNODE, UUID/STRUUID, RAND, NOW — both backends."""
+
+    XSD_DT = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+    DUR = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+    QUADS = [
+        (iri("a"), iri("ts"), f'"2011-01-10T14:45:13-05:00"^^{XSD_DT}'),
+        (iri("b"), iri("ts"), f'"2011-01-10T14:45:13Z"^^{XSD_DT}'),
+        (iri("c"), iri("ts"), f'"2011-01-10T14:45:13+05:30"^^{XSD_DT}'),
+        (iri("d"), iri("ts"), f'"2011-01-10T14:45:13+00:00"^^{XSD_DT}'),
+        (iri("e"), iri("ts"), f'"2011-01-10T14:45:13"^^{XSD_DT}'),
+        (iri("x"), iri("name"), '"alpha"'),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.QUADS, "subj string, pred string, obj string")
+
+    def _both(self, spark, q):
+        local = sparql_eval_local(self.QUADS, q)
+        out = sparql_query(self._df(spark), q)
+        got = sorted(tuple(r) for r in out.collect())
+        loc = sorted(tuple(r[c] for c in out.columns) for r in local)
+        assert got == loc, f"{q}\n df={got}\n local={loc}"
+        return got
+
+    def test_timezone_spec_examples(self, spark):
+        got = self._both(spark, """
+            SELECT ?s (TIMEZONE(?v) AS ?d)
+            WHERE { ?s <urn:t:ts> ?v } ORDER BY ?s
+        """)
+        vals = dict(got)
+        assert vals[iri("a")] == f'"-PT5H"^^<{self.DUR}>'
+        assert vals[iri("b")] == f'"PT0S"^^<{self.DUR}>'
+        assert vals[iri("c")] == f'"PT5H30M"^^<{self.DUR}>'
+        assert vals[iri("d")] == f'"PT0S"^^<{self.DUR}>'
+        assert vals[iri("e")] is None  # zoneless -> error -> unbound
+
+    def test_sha384_sha512_against_hashlib(self, spark):
+        import hashlib
+
+        got = self._both(spark, """
+            SELECT (SHA384(?o) AS ?h3) (SHA512(?o) AS ?h5)
+            WHERE { ?s <urn:t:name> ?o }
+        """)
+        ((h3, h5),) = got
+        assert h3 == hashlib.sha384(b"alpha").hexdigest()
+        assert h5 == hashlib.sha512(b"alpha").hexdigest()
+
+    def test_bnode_stable_and_fresh(self, spark):
+        out = sparql_query(self._df(spark), """
+            SELECT ?s (BNODE(STR(?s)) AS ?stable) (BNODE() AS ?fresh)
+            WHERE { ?s <urn:t:ts> ?v } ORDER BY ?s
+        """).collect()
+        stable = [r["stable"] for r in out]
+        fresh = [r["fresh"] for r in out]
+        assert all(b.startswith("_:bh") for b in stable)
+        assert len(set(stable)) == len(stable)  # distinct args -> distinct
+        # same arg -> same label (run twice)
+        again = sparql_query(self._df(spark), """
+            SELECT (BNODE(STR(?s)) AS ?stable)
+            WHERE { ?s <urn:t:ts> ?v } ORDER BY ?s
+        """).collect()
+        assert [r["stable"] for r in again] == stable
+        assert all(b.startswith("_:bn") for b in fresh)
+        assert len(set(fresh)) == len(fresh)  # fresh per solution
+
+    def test_uuid_struuid_rand_now_shapes(self, spark):
+        import re as _re
+
+        out = sparql_query(self._df(spark), """
+            SELECT (UUID() AS ?u) (STRUUID() AS ?su) (RAND() AS ?r)
+                   (NOW() AS ?n)
+            WHERE { ?s <urn:t:name> ?o }
+        """).collect()[0]
+        assert _re.match(r"^<urn:uuid:[0-9a-f-]{36}>$", out["u"])
+        assert _re.match(r"^[0-9a-f-]{36}$", out["su"])
+        assert 0.0 <= out["r"] < 1.0
+        assert _re.match(
+            r'^"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"'
+            r"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$", out["n"])
+        # local twin shapes too
+        loc = sparql_eval_local(self.QUADS, """
+            SELECT (UUID() AS ?u) (STRUUID() AS ?su) (RAND() AS ?r)
+                   (NOW() AS ?n) WHERE { ?s <urn:t:name> ?o }
+        """)[0]
+        assert _re.match(r"^<urn:uuid:[0-9a-f-]{36}>$", loc["u"])
+        assert 0.0 <= loc["r"] < 1.0
+
+    def test_now_fixed_within_query(self, spark):
+        out = sparql_query(self._df(spark), """
+            SELECT ?s (NOW() AS ?n) WHERE { ?s <urn:t:ts> ?v }
+        """).collect()
+        assert len({r["n"] for r in out}) == 1  # one value per execution
+
+    def test_nullary_parse_errors(self, spark):
+        with pytest.raises(SparqlError):
+            sparql_query(self._df(spark),
+                         'SELECT (UUID(?s) AS ?u) WHERE { ?s <urn:t:ts> ?v }')
+        with pytest.raises(SparqlError):
+            sparql_query(self._df(spark),
+                         'SELECT (TIMEZONE() AS ?d) WHERE { ?s <urn:t:ts> ?v }')
