@@ -218,3 +218,50 @@ class TestCliFgbMainstems:
         payload = json.loads(
             [l for l in out.splitlines() if l.startswith("{")][-1])
         assert payload["cmd"] == "release" and payload["quads"] > 0
+
+
+class TestRoundtripFuzz:
+    """Property fuzz: arbitrary feature sets survive the write->parse
+    roundtrip exactly (geometry coords, bboxes, and every property type
+    incl. unicode strings and absent values)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coord = st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-1e15, max_value=1e15, width=64)
+    _feature = st.fixed_dictionaries({
+        "geoconnex_url": st.one_of(
+            st.none(), st.text(min_size=0, max_size=60)),
+        "rank": st.one_of(st.none(),
+                          st.integers(min_value=-2**31, max_value=2**31 - 1)),
+        "area": st.one_of(st.none(), _coord),
+        "xy": st.lists(_coord, min_size=4, max_size=16).map(
+            lambda c: c[: len(c) // 2 * 2]),
+    })
+
+    @given(feats=st.lists(_feature, min_size=0, max_size=8))
+    @settings(max_examples=120, deadline=None)
+    def test_write_parse_exact(self, feats, tmp_path_factory):
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".fgb")
+        os.close(fd)
+        try:
+            write_flatgeobuf(
+                path, feats,
+                columns=[("geoconnex_url", CT_STRING), ("rank", CT_INT),
+                         ("area", CT_DOUBLE)])
+            f = parse_flatgeobuf(open(path, "rb").read())
+        finally:
+            os.unlink(path)
+        assert len(f.features) == len(feats)
+        for src, ft in zip(feats, f.features):
+            for key in ("geoconnex_url", "rank", "area"):
+                if src[key] is None:
+                    assert key not in ft.properties
+                else:
+                    assert ft.properties[key] == src[key]
+            xs, ys = src["xy"][0::2], src["xy"][1::2]
+            assert ft.bbox == (min(xs), min(ys), max(xs), max(ys))

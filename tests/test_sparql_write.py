@@ -147,3 +147,43 @@ class TestCsvTsv:
     def test_unknown_format_rejected(self, select_df, tmp_path):
         with pytest.raises(SparqlError, match="unknown results format"):
             write_results(select_df, str(tmp_path / "b"), format="jsonl")
+
+
+class TestRenderFuzz:
+    def test_random_terms_byte_parity(self, spark, tmp_path):
+        """One seeded batch of adversarial terms (quotes, commas, escaped
+        tabs/newlines, unicode, lang tags, typed literals, bnodes) —
+        written shards must equal the collected serializers byte-for-byte
+        in both formats."""
+        import random
+
+        rng = random.Random(99)
+        alphabet = list("abc,;\"'\\ é世") + ["\\t", "\\n", "\\\\"]
+
+        def lex():
+            return "".join(rng.choice(alphabet)
+                           for _ in range(rng.randrange(0, 12)))
+
+        def term():
+            kind = rng.randrange(4)
+            if kind == 0:
+                return f"<urn:x:{rng.randrange(1000)}>"
+            if kind == 1:
+                return f"_:b{rng.randrange(50)}"
+            if kind == 2:
+                return f'"{lex()}"@{rng.choice(["en", "es", "zh-CN"])}'
+            dt = rng.choice(
+                ["", "^^<http://www.w3.org/2001/XMLSchema#integer>"])
+            return f'"{lex()}"{dt}'
+
+        rows = [(f"<urn:s:{i}>", "<urn:p>", term()) for i in range(120)]
+        quads = spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+        df = sparql_query(
+            quads, "SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY ?s ?o"
+        ).coalesce(1)
+        for fmt, ser in (("csv", sparql_results_csv),
+                         ("tsv", sparql_results_tsv)):
+            path = str(tmp_path / f"fuzz_{fmt}")
+            write_results(df, path, format=fmt)
+            assert _read_all(path) == ser(df), fmt
