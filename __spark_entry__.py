@@ -2046,6 +2046,43 @@ def q_sparql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turtle_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk Turtle ingest (sources/turtle.py, new r5): the documents table
+    is rendered as 8 Turtle files (prefixes, ';' predicate lists, typed
+    literals) and re-ingested with the distributed per-file parser — one
+    task per document, the only correct split for a stateful syntax. The
+    oracle recomputes the quads arithmetically, so the render->parse loop
+    must be lossless."""
+    import os
+    import shutil
+
+    from nabu_spark.sources.turtle import turtle_quads
+
+    root = "/tmp/nabu_gate_turtle_bulk"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars").collect()
+    files: dict[int, list] = {}
+    for r in docs:
+        files.setdefault(r["doc_id"] % 8, []).append(r)
+    for i, rows in files.items():
+        lines = ["@prefix p: <urn:p:> ."]
+        for r in rows:
+            lines.append(
+                f'<urn:doc:{r["doc_id"]}> p:lang "{r["lang"]}" ; '
+                f'p:src <urn:src:{r["source"]}> ; '
+                f'p:nchars "{r["n_chars"]}"'
+                '^^<http://www.w3.org/2001/XMLSchema#integer> .')
+        with open(os.path.join(root, f"part{i}.ttl"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    return (
+        turtle_quads(spark, root)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the per-round correctness gate checks the
     # first 50 entries. Entries the previous round's gate did not cover are
@@ -2067,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_write": q_sparql_write,
         "fgb_mainstems": q_fgb_mainstems,
         "sparql_tz": q_sparql_tz,
+        "turtle_bulk": q_turtle_bulk,
         # --- unchecked in the r04 window (driver-green r03 or earlier) ---
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
@@ -2241,6 +2279,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<urn:doc:' || doc_id || '>' AS subj,
                    '<urn:w:src>' AS pred,
                    '<urn:src:' || source || '>' AS obj
+            FROM documents
+            ORDER BY subj, pred, obj
+        """,
+        "turtle_bulk": """
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:p:lang>' AS pred,
+                   '"' || lang || '"' AS obj
+            FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:p:src>' AS pred,
+                   '<urn:src:' || source || '>' AS obj
+            FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '>' AS subj,
+                   '<urn:p:nchars>' AS pred,
+                   '"' || n_chars
+                       || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                       AS obj
             FROM documents
             ORDER BY subj, pred, obj
         """,

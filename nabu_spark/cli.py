@@ -164,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
     qin = qy.add_mutually_exclusive_group(required=True)
     qin.add_argument("--quads", help="parquet with (subj, pred, obj[, prov])")
     qin.add_argument("--nquads", help=".nq/.nt text files (gzip ok)")
+    qin.add_argument(
+        "--turtle",
+        help="directory/glob of .ttl/.trig documents (gzip ok; one task "
+             "per file — Turtle is never line-split)",
+    )
     qsrc = qy.add_mutually_exclusive_group(required=True)
     qsrc.add_argument("--sparql", help="inline query text")
     qsrc.add_argument("--sparql-file", help="path to a .rq file")
@@ -551,6 +556,10 @@ def _dispatch(args) -> int:
             from .sources.nquads import read_nquads
 
             quads = read_nquads(spark, args.nquads)
+        elif args.turtle:
+            from .sources.turtle import turtle_quads
+
+            quads = turtle_quads(spark, args.turtle)
         else:
             quads = spark.read.parquet(args.quads)
         if "error_code" in quads.columns:
