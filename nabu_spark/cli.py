@@ -251,14 +251,16 @@ def main(argv: list[str] | None = None) -> int:
     if getattr(args, "trace_out", None):
         # reference parity: the root span is named after the argv string
         # (main.go:156-158 argsAsStr) and every command runs inside it
-        from .telemetry import Tracer
+        from .telemetry import Tracer, set_active
 
         tracer = Tracer("nabu-spark")
+        set_active(tracer)
         try:
             with tracer.span("nabu_" + "_".join(argv or sys.argv[1:])) as root:
                 rc = _dispatch(args)
                 root.set_attribute("exit_code", rc)
         finally:
+            set_active(None)
             tracer.export_jsonl(args.trace_out)
         return rc
     return _dispatch(args)
@@ -279,6 +281,7 @@ def _dispatch(args) -> int:
     if args.cmd == "harvest":
         from .operators.stats import crawl_stats
         from .pipeline import run_extract_stage
+        from .telemetry import maybe_span
 
         if getattr(args, "format", "parquet") == "warc":
             from .sources.warc import read_warc
@@ -286,16 +289,23 @@ def _dispatch(args) -> int:
             pages = read_warc(spark, args.pages).drop("warc_file")
         else:
             pages = spark.read.parquet(args.pages)
-        docs = run_extract_stage(
-            spark, pages, args.out, resume=not args.no_resume, salt=not args.no_salt
-        )
-        stats = crawl_stats(docs)
-        stats.write.mode("overwrite").json(os.path.join(args.out, "stats"))
-        summary = stats.agg(
-            F.sum("sites_in_sitemap").alias("sites"),
-            F.sum("successful_sites").alias("ok"),
-            F.sum("crawl_failures").alias("failed"),
-        ).first()
+        with maybe_span("harvest.extract"):
+            docs = run_extract_stage(
+                spark, pages, args.out,
+                resume=not args.no_resume, salt=not args.no_salt,
+            )
+        with maybe_span("harvest.stats") as stat_span:
+            stats = crawl_stats(docs)
+            stats.write.mode("overwrite").json(os.path.join(args.out, "stats"))
+            summary = stats.agg(
+                F.sum("sites_in_sitemap").alias("sites"),
+                F.sum("successful_sites").alias("ok"),
+                F.sum("crawl_failures").alias("failed"),
+            ).first()
+            if stat_span is not None:
+                stat_span.set_attribute("sites", int(summary["sites"] or 0))
+                stat_span.set_attribute("ok", int(summary["ok"] or 0))
+                stat_span.set_attribute("failed", int(summary["failed"] or 0))
         print(json.dumps({"cmd": "harvest", "sites": summary["sites"], "ok": summary["ok"], "failed": summary["failed"]}))
         # reference exit code 3 when any sitemap had failures (main.go:248-258)
         return 3 if summary["failed"] else 0

@@ -169,3 +169,32 @@ def lineage_totals(lineage) -> dict:
         }
         for r in rows
     }
+
+
+# --- ambient tracer (the CLI's span context) -------------------------------
+
+_ACTIVE: contextvars.ContextVar = contextvars.ContextVar(
+    "nabu_active_tracer", default=None)
+
+
+def set_active(tracer: "Tracer | None"):
+    """Install the process-ambient tracer (returns the reset token); the
+    CLI sets it around command dispatch so stage code can open child
+    spans without threading a tracer through every signature."""
+    return _ACTIVE.set(tracer)
+
+
+def active_tracer() -> "Tracer | None":
+    return _ACTIVE.get()
+
+
+@contextlib.contextmanager
+def maybe_span(name: str, **attributes):
+    """Child span on the ambient tracer; a silent no-op (yields None)
+    when tracing is off — stage code pays nothing by default."""
+    tr = _ACTIVE.get()
+    if tr is None:
+        yield None
+    else:
+        with tr.span(name, **attributes) as s:
+            yield s

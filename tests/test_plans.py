@@ -331,3 +331,51 @@ class TestCdxShape:
         assert plan.count("Aggregate(") + plan.count("HashAggregate") >= 2
         assert "partial" in plan.lower()
         assert plan.count("Exchange") == 1
+
+
+class TestTurtleSourceShape:
+    def test_one_arrow_pass_no_shuffle(self, spark, tmp_path):
+        """Bulk Turtle ingest = file scan + ONE MapInPandas; no Exchange,
+        no row-at-a-time Python."""
+        import os
+
+        from nabu_spark.sources.turtle import turtle_quads
+
+        d = str(tmp_path / "ttl")
+        os.makedirs(d)
+        with open(os.path.join(d, "a.ttl"), "w") as fh:
+            fh.write('@prefix p: <urn:p:> .\n<urn:d:1> p:x "v" .\n')
+        plan = plan_of(turtle_quads(spark, d))
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestFgbJoinShape:
+    def test_bbox_join_broadcasts_dictionary(self, spark, tmp_path):
+        """The fgb-loaded mainstem dictionary must sit on the BROADCAST
+        side of the range join — the docs side never shuffles."""
+        from pyspark.sql import functions as F
+
+        from nabu_spark.sources.flatgeobuf import (
+            read_flatgeobuf, write_flatgeobuf)
+
+        path = str(tmp_path / "d.fgb")
+        write_flatgeobuf(path, [
+            {"geoconnex_url": f"u{i}",
+             "xy": [float(i), float(i), i + 1.0, i + 1.0]}
+            for i in range(5)
+        ])
+        ms = read_flatgeobuf(spark, path)
+        points = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).cast("double").alias("px"),
+            (F.col("id") % 5).cast("double").alias("py"))
+        joined = points.join(
+            F.broadcast(ms),
+            (F.col("px") >= F.col("minx")) & (F.col("px") <= F.col("maxx"))
+            & (F.col("py") >= F.col("miny")) & (F.col("py") <= F.col("maxy")),
+            "inner")
+        plan = plan_of(joined)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # the fact side reads straight into the join: no Exchange below it
+        assert "Exchange hashpartitioning" not in plan

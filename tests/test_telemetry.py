@@ -128,9 +128,33 @@ class TestPipelineIntegration:
         assert rc in (0, 3)
         lines = [json.loads(l) for l in open(trace_path)]
         header, *spans = lines
-        assert header["n_spans"] == len(spans) == 1
-        root = spans[0]
+        assert header["n_spans"] == len(spans) == 3
+        root, extract, stats = spans
         assert root["name"].startswith("nabu_")
         assert "harvest" in root["name"]
         assert root["attributes"]["exit_code"] == rc
         assert root["status"] == "OK"
+        # stage spans nest under the root and carry the crawl totals
+        assert extract["name"] == "harvest.extract"
+        assert stats["name"] == "harvest.stats"
+        assert extract["parent_span_id"] == root["span_id"]
+        assert stats["parent_span_id"] == root["span_id"]
+        assert stats["attributes"]["sites"] == 30
+        assert stats["attributes"]["ok"] + stats["attributes"]["failed"] == 30
+
+    def test_maybe_span_noop_without_tracer(self):
+        from nabu_spark.telemetry import active_tracer, maybe_span, set_active
+
+        set_active(None)
+        assert active_tracer() is None
+        with maybe_span("x") as s:
+            assert s is None
+        tr = Tracer()
+        set_active(tr)
+        try:
+            with maybe_span("y", k=1) as s:
+                assert s is not None
+        finally:
+            set_active(None)
+        assert [sp.name for sp in tr.spans] == ["y"]
+        assert tr.spans[0].attributes == {"k": 1}
