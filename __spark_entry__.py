@@ -2083,6 +2083,24 @@ def q_turtle_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (operators/mixing.py, new r5): a 60/30/10
+    three-source mixture of 100 documents with exact largest-remainder
+    quotas, seeded-md5 ranking (bit-identical in DuckDB, so the oracle
+    replays the exact selection), and whole+partial epoch upsampling when
+    a source is smaller than its quota."""
+    from nabu_spark.operators.mixing import mix_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mix_corpus(
+        docs, {"src0": 0.6, "src1": 0.3, "src2": 0.1}, 100,
+        seed=42, exact=True)
+    return (
+        out.select("source", "doc_id", "epoch")
+        .orderBy("source", "doc_id", "epoch")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER matters: the per-round correctness gate checks the
     # first 50 entries. Entries the previous round's gate did not cover are
@@ -2105,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_mainstems": q_fgb_mainstems,
         "sparql_tz": q_sparql_tz,
         "turtle_bulk": q_turtle_bulk,
+        "corpus_mix": q_corpus_mix,
         # --- unchecked in the r04 window (driver-green r03 or earlier) ---
         "release_diff": q_release_diff,
         "kg_integrity": q_kg_integrity,
@@ -2281,6 +2300,30 @@ def oracle_sql() -> dict[str, str]:
                    '<urn:src:' || source || '>' AS obj
             FROM documents
             ORDER BY subj, pred, obj
+        """,
+        "corpus_mix": """
+            WITH docs AS (
+              SELECT doc_id, source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            ), cnt AS (
+              SELECT source, COUNT(*) AS n FROM docs GROUP BY source
+            ), q(source, quota) AS (
+              VALUES ('src0', 60), ('src1', 30), ('src2', 10)
+            ), ranked AS (
+              SELECT d.doc_id, d.source, q.quota, c.n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('42:' || d.doc_id), d.doc_id
+                     ) - 1 AS rn
+              FROM docs d
+              JOIN q USING (source) JOIN cnt c USING (source)
+            )
+            SELECT source, doc_id,
+                   UNNEST(range(0,
+                     CAST(FLOOR((quota - 1 - rn) / n) AS BIGINT) + 1))
+                     AS epoch
+            FROM ranked WHERE rn < quota
+            ORDER BY source, doc_id, epoch
         """,
         "turtle_bulk": """
             SELECT '<urn:doc:' || doc_id || '>' AS subj,
