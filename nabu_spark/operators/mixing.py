@@ -119,13 +119,14 @@ def mix_corpus(
     return out.drop("__quota", "__n", "__h", "__rn")
 
 
-def mixture_report(mixed: DataFrame, *, source_col: str = "source") -> DataFrame:
+def mixture_report(mixed: DataFrame, *, id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
     """(source, n_samples, n_unique_docs, max_epoch) — the recipe audit
     table; one aggregation."""
     return (
         mixed.groupBy(source_col)
         .agg(F.count("*").alias("n_samples"),
-             F.countDistinct("doc_id").alias("n_unique_docs"),
+             F.countDistinct(id_col).alias("n_unique_docs"),
              F.max("epoch").alias("max_epoch"))
         .orderBy(source_col)
     )

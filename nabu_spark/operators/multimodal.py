@@ -386,8 +386,11 @@ def _looks_image(blob: bytes) -> bool:
 
 def _decode_image_pil(blob: bytes) -> dict:
     """PIL-backed decode producing the same metadata dict as the pure
-    kernels; payload_bytes follows the decoded-pixel-bytes convention
-    (w * h * bands * frames)."""
+    kernels, INCLUDING their per-format payload_bytes conventions (the
+    decode-mode env var must never change table values): BMP counts the
+    encoded pixel section with its 4-byte row padding, GIF counts
+    frames * w * h * 3 decoded RGB, PNG/JPEG/others count
+    w * h * bands [* frames]."""
     import io
 
     Image = _PIL_CACHE[0]
@@ -396,14 +399,23 @@ def _decode_image_pil(blob: bytes) -> dict:
             w, h = im.size
             bands = len(im.getbands())
             n = int(getattr(im, "n_frames", 1))
+            fmt = im.format
     except Exception as e:  # PIL raises format-specific error classes
         raise MediaDecodeError(f"PIL decode failed: {e}") from e
+    w, h = int(w), int(h)
+    if fmt == "BMP":
+        step = 4 if bands == 4 else 3
+        payload = ((w * step + 3) & ~3) * h
+    elif fmt == "GIF":
+        payload = n * w * h * 3
+    else:
+        payload = w * h * bands * n
     return {
         "kind": "image",
-        "width": int(w),
-        "height": int(h),
+        "width": w,
+        "height": h,
         "n_frames": n,
-        "payload_bytes": int(w) * int(h) * bands * n,
+        "payload_bytes": payload,
     }
 
 
@@ -418,10 +430,20 @@ def _resize_image_pil(blob: bytes, max_side: int) -> bytes:
         w, h = im.size
         scale = min(1.0, max_side / max(h, w))
         tw, th = max(1, round(w * scale)), max(1, round(h * scale))
-        out = im.resize((tw, th), Image.NEAREST)
         buf = io.BytesIO()
         fmt = im.format if im.format in ("BMP", "PNG", "GIF", "JPEG") else "PNG"
-        out.save(buf, format=fmt)
+        n_frames = int(getattr(im, "n_frames", 1))
+        if fmt == "GIF" and n_frames > 1:
+            # every frame resizes (parity with the pure resize_gif —
+            # a single save() would silently drop frames 1..n)
+            from PIL import ImageSequence
+
+            frames = [f.resize((tw, th), Image.NEAREST)
+                      for f in ImageSequence.Iterator(im)]
+            frames[0].save(buf, format="GIF", save_all=True,
+                           append_images=frames[1:])
+        else:
+            im.resize((tw, th), Image.NEAREST).save(buf, format=fmt)
         return buf.getvalue()
 
 

@@ -137,13 +137,17 @@ def _root(buf: bytes) -> _Table:
 def _packed_rtree_size(num_items: int, node_size: int) -> int:
     """Size in bytes of the packed Hilbert R-tree section (spec: 40-byte
     nodes — 4 float64 bbox + uint64 offset — over the bottom-up level
-    sequence)."""
+    sequence). The level loop is a DO-while per the reference algorithm:
+    even a single-feature index has a root ABOVE the leaf level (2 nodes,
+    80 bytes), so the parent level is computed at least once."""
     node_size = max(int(node_size), 2)
     n = num_items
     num_nodes = n
-    while n != 1:
+    while True:
         n = (n + node_size - 1) // node_size
         num_nodes += n
+        if n == 1:
+            break
     return num_nodes * 40
 
 

@@ -1114,19 +1114,27 @@ class _DfCompiler:
         if fn == "RAND":
             return F.rand()
         if fn == "NOW":
-            # spec §17.4.5.1: one fixed value for the whole query execution
-            return F.lit(self._now_literal())
+            # spec §17.4.5.1: one fixed value for the whole query
+            # execution; honor `want` so YEAR(NOW())/STR(NOW()) see the
+            # LEXICAL form (the local evaluator re-lexes via term_lex)
+            term = self._now_literal()
+            return F.lit(term_lex(term) if want == "str" else term)
         if fn == "UUID":
+            if want == "str":  # STR(UUID()) = the IRI text, no brackets
+                return F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
             return F.concat(F.lit("<urn:uuid:"), F.expr("uuid()"),
                             F.lit(">"))
         if fn == "STRUUID":
             return F.expr("uuid()")
         if fn == "BNODE":
             if not args:
-                # fresh label per solution row (distinct from any parsed
-                # bnode: the bn/ prefix is not produced by data)
+                # fresh label per solution row AND per call site (two
+                # BNODE() in one projection must not collide — spec
+                # requires distinct bnodes per call): a compile-time
+                # call counter salts the row id
+                self._bnode_calls = getattr(self, "_bnode_calls", -1) + 1
                 return F.concat(
-                    F.lit("_:bn"),
+                    F.lit(f"_:bn{self._bnode_calls}c"),
                     F.monotonically_increasing_id().cast("string"))
             # BNODE(str): stable label for the same lexical argument
             # (stable across ALL solutions here — a superset of the spec's
@@ -1275,6 +1283,9 @@ class _DfCompiler:
                                     F.lit("H"), mm.cast("string"),
                                     F.lit("M")))
             )
+            if want == "str":  # STR(TIMEZONE(x)) -> the lexical duration
+                return (F.when(tz == "Z", F.lit("PT0S"))
+                        .when(tz != "", F.concat(sign, body)))
             dur = F.concat(
                 F.lit('"'), sign, body,
                 F.lit('"^^<http://www.w3.org/2001/XMLSchema'

@@ -61,8 +61,16 @@ class TestPilParity:
         for blob in (mm.synth_bmp(1), mm.synth_png(2), mm.synth_gif(3, 12, 9, 3)):
             pure = mm._decode_one_pure(blob)
             pil = mm._decode_image_pil(blob)
-            for k in ("kind", "width", "height"):
+            for k in ("kind", "width", "height", "n_frames",
+                      "payload_bytes"):
                 assert pil[k] == pure[k], k
+
+    def test_resize_gif_keeps_frames(self, monkeypatch):
+        """pil-mode resize of an animated GIF must not collapse frames."""
+        blob = mm.synth_gif(4, 16, 12, 3)
+        monkeypatch.setenv("NABU_NATIVE_CODECS", "pil")
+        out = mm.resize_image(blob, 8)
+        assert mm._decode_one_pure(out)["n_frames"] == 3
 
     def test_lossless_pixel_parity(self):
         import io

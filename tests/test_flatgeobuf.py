@@ -96,6 +96,16 @@ class TestRoundtrip:
         assert f.features[0].properties == {"geoconnex_url": "u0"}
         assert f.features[1].properties == {}
 
+    def test_packed_rtree_size_do_while(self):
+        """Spec's level loop is a DO-while: a single-feature index still
+        has a root above the leaf (2 nodes / 80 bytes) — the while-form
+        skipped only 40 and landed mid-index on real GDAL files."""
+        from nabu_spark.sources.flatgeobuf import _packed_rtree_size
+
+        assert _packed_rtree_size(1, 16) == 2 * 40
+        assert _packed_rtree_size(5, 16) == (5 + 1) * 40
+        assert _packed_rtree_size(368, 16) == (368 + 23 + 2 + 1) * 40
+
     def test_bad_magic_rejected(self):
         with pytest.raises(ValueError, match="magic"):
             parse_flatgeobuf(b"not a flatgeobuf at all")

@@ -1605,3 +1605,46 @@ class TestFunctionLibraryR5:
         with pytest.raises(SparqlError):
             sparql_query(self._df(spark),
                          'SELECT (TIMEZONE() AS ?d) WHERE { ?s <urn:t:ts> ?v }')
+
+
+class TestNullaryWantModes:
+    """Review fixes: nullary term constructors must honor the caller's
+    want-mode on the DataFrame backend (the local evaluator re-lexes via
+    term_lex, so without these the backends diverged)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("<urn:t:x>", "<urn:t:name>", '"alpha"')],
+            "subj string, pred string, obj string")
+
+    def test_year_of_now(self, spark):
+        out = sparql_query(self._df(spark), """
+            SELECT (YEAR(NOW()) AS ?y) WHERE { ?s <urn:t:name> ?o }
+        """).collect()[0]
+        assert out["y"] is not None and out["y"] >= 2026.0
+
+    def test_str_of_uuid_and_timezone(self, spark):
+        import re as _re
+
+        out = sparql_query(self._df(spark), """
+            SELECT (STR(UUID()) AS ?u) (STR(NOW()) AS ?n)
+            WHERE { ?s <urn:t:name> ?o }
+        """).collect()[0]
+        assert _re.match(r"^urn:uuid:[0-9a-f-]{36}$", out["u"])
+        assert _re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$", out["n"])
+        tzq = spark.createDataFrame(
+            [("<urn:t:a>", "<urn:t:ts>",
+              '"2011-01-10T14:45:13-05:00"'
+              '^^<http://www.w3.org/2001/XMLSchema#dateTime>')],
+            "subj string, pred string, obj string")
+        out2 = sparql_query(tzq, """
+            SELECT (STR(TIMEZONE(?v)) AS ?d) WHERE { ?s <urn:t:ts> ?v }
+        """).collect()[0]
+        assert out2["d"] == "-PT5H"
+
+    def test_two_bnode_calls_distinct(self, spark):
+        out = sparql_query(self._df(spark), """
+            SELECT (BNODE() AS ?a) (BNODE() AS ?b)
+            WHERE { ?s <urn:t:name> ?o }
+        """).collect()[0]
+        assert out["a"] != out["b"]
