@@ -21,6 +21,22 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _load_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """_load + hash fan-out for queries whose dominant cost is per-row
+    compute (Python kernels, higher-order-function projections): the sf
+    fixture tables are single-row-group parquet files, so their scans yield
+    ONE task no matter the core count and the compute stage would run
+    serially (optimization guide §2.5, input skew). ``fan_out`` is a no-op
+    when the scan is already at least core-parallel — a production table
+    with thousands of splits pays nothing. Row-identity is untouched, so
+    every query result is byte-identical (partition-invariant operators)."""
+    from nabu_spark.operators.extract import fan_out
+
+    return fan_out(_load(spark, sf_dir, name), *keys)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (extract -> toRdf -> skolemize -> URN-tag)
     over pages synthesized from sf0.001 documents; returns the quads DF."""
@@ -250,7 +266,7 @@ def _tokens(text_col):
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword correction."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     toks = _tokens("text")
     subword = F.aggregate(
         toks,
@@ -269,7 +285,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (n-gram heuristic) with deterministic ties."""
     from nabu_spark.operators.textstats import LANG_MARKERS
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     toks = _tokens("text")
 
     def marker_hits(markers):
@@ -288,7 +304,7 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID (the n-gram heuristic variant)."""
     from nabu_spark.operators.textstats import lang_id_ngram
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return lang_id_ngram(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -338,7 +354,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword-ratio composite."""
     from nabu_spark.operators.textstats import EN_STOPWORDS
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     toks = _tokens("text")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col("text"))
@@ -370,7 +386,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the sorted distinct token set."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens("text")))))
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
@@ -471,7 +487,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import minhash_dedup
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     # r=2 rows/band x 64 bands: P(miss | J>=0.5) = (1-0.25)^64 ~ 1e-8, so
     # banding recall is total on the gate corpus and the exact-Jaccard
     # verification stage makes the output identical to the all-pairs oracle
@@ -488,7 +504,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; cluster_id = component min (the canonical survivor)."""
     from nabu_spark.operators.dedup import dedup_clusters, minhash_dedup
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     pairs = minhash_dedup(
         docs, "doc_id", "text", threshold=0.5, num_perm=128, bands=64
     )
@@ -498,7 +514,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import simhash_near_dups
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
@@ -511,7 +527,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deliberately near-all-pairs, so the gate runs it on a fixed 500-vector
     # slice at every sf — exactness is what's under test; scale-default
     # banding cost is covered by the recall tests
-    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = _load_spread(spark, sf_dir, "embeddings", "vec_id").filter(F.col("vec_id") < 500)
     # 32 bands x 2 planes: P(miss | cos>=0.4) = (1-0.4^2)^32 ~ 1e-7 on the
     # gate corpus -> candidate recall is total, exact-cosine verify makes
     # the output the all-pairs answer
@@ -595,6 +611,9 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         mojibake_stats,
     )
 
+    # NOT spread: the stats/fixed join diamond recomputes the corrupt UDF on
+    # both branches, so an extra exchange per branch costs more than the
+    # single-task kernel (measured 1.4s -> 2.5s with fan_out)
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", F.concat("text", F.lit(_MOJIBAKE_SUFFIX)).alias("text")
     )
@@ -619,7 +638,7 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets -> windowed cumsum; no single-partition window)."""
     from nabu_spark.operators.shards import assign_shards
 
-    docs = _load(spark, sf_dir, "documents").select(
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         F.size(
             F.filter(
@@ -655,7 +674,7 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_link_sources_streaming.py path-equivalence)."""
     from nabu_spark.operators.entitylink import link_mentions_banded
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     mentions = docs.select(
         F.col("doc_id").cast("string").alias("subj"),
         F.upper(F.regexp_replace("source", "_", " ")).alias("mention"),
@@ -688,7 +707,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping 8-token segments appearing in >=2 distinct docs."""
     from nabu_spark.operators.textstats import boilerplate_segments
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return (
         boilerplate_segments(docs, "doc_id", "text", k=8, min_doc_freq=2)
         .orderBy("segment")
@@ -700,7 +719,7 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clean text hashed for the value gate)."""
     from nabu_spark.operators.textstats import strip_boilerplate
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     out = strip_boilerplate(docs, "doc_id", "text", k=8, min_doc_freq=2)
     return out.select(
         "doc_id",
@@ -714,7 +733,7 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality filter rules as pure codegen exprs."""
     from nabu_spark.operators.textstats import gopher_quality_flags
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return gopher_quality_flags(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -803,7 +822,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing as pure codegen (emails/IPv4/phones -> typed tokens)."""
     from nabu_spark.operators.pii import redact_pii
 
-    docs = _load(spark, sf_dir, "documents").select(
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.expr(_PII_AUG_EXPR).alias("text")
     )
     return redact_pii(docs, "doc_id", "text").orderBy("doc_id")
@@ -836,7 +855,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the oracle at full repr (VERDICT r3 task #2)."""
     from nabu_spark.operators.textstats import repetition_stats
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     stats = repetition_stats(docs, "doc_id", "text")
 
     def _e4(col: str):
@@ -866,7 +885,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene: NFC + control strip + whitespace collapse + trim."""
     from nabu_spark.operators.textstats import clean_text
 
-    docs = _load(spark, sf_dir, "documents").select(
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.expr(_CLEAN_AUG_EXPR).alias("text")
     )
     return clean_text(docs, "doc_id", "text").orderBy("doc_id")
@@ -888,7 +907,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed eval suite a real pipeline would broadcast)."""
     from nabu_spark.operators.pii import contamination_check
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     out = contamination_check(docs, bench, "doc_id", "text", n=8)
     return out.orderBy("doc_id")
@@ -904,7 +923,7 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc x window) overlap. Pure codegen — window cumsum + sequence explode."""
     from nabu_spark.operators.packing import pack_chunked
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return pack_chunked(
         docs, "doc_id", "text", capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
     ).orderBy("shard", "doc_id", "seq")
@@ -915,7 +934,7 @@ def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); sequential per shard, shards are the parallelism unit."""
     from nabu_spark.operators.packing import pack_next_fit
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return pack_next_fit(
         docs, "doc_id", "text", capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
     ).orderBy("shard", "doc_id")
@@ -987,7 +1006,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> rank window); hits-proportional shuffles."""
     from nabu_spark.operators.search import bm25_topk
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=10).orderBy("rank")
 
 
@@ -1048,7 +1067,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, per-doc perplexity — all relational, nothing leaves the JVM."""
     from nabu_spark.operators.lm import perplexity, train_bigram_lm
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     model = train_bigram_lm(docs, "doc_id", "text")
     return perplexity(docs, model, "doc_id", "text", alpha=0.1).orderBy("doc_id")
 
@@ -1058,7 +1077,7 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of two corpus snapshots (even vs odd doc ids)."""
     from nabu_spark.operators.lm import token_js_divergence
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return token_js_divergence(a, b, "text")
@@ -1307,7 +1326,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant): repeated 8-token spans removed corpus-wide."""
     from nabu_spark.operators.spandedup import remove_duplicate_spans
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return (
         remove_duplicate_spans(docs, k=8)
         .select("doc_id", "n_tokens", "n_removed", "dedup_text")
@@ -1320,7 +1339,7 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; oracle restates the rules with DuckDB list lambdas."""
     from nabu_spark.operators.c4 import c4_clean
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return (
         c4_clean(docs)
         .select(
@@ -1606,7 +1625,7 @@ def q_rdfc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical labeling is a true function of the isomorphism class."""
     from nabu_spark.operators.graphops import canonical_quads
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     va = canonical_quads(_bnode_variant(docs, "_:a", "_:b", False))
     vb = canonical_quads(_bnode_variant(docs, "_:zz9", "_:q", True))
     a = va.groupBy("prov").agg(
@@ -1835,7 +1854,7 @@ def q_sparql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides)."""
     from nabu_spark.sparql import sparql_query
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load_spread(spark, sf_dir, "events", "event_id")
     quads = ev.select(
         F.concat(F.lit("<urn:event:"), F.col("event_id"),
                  F.lit(">")).alias("subj"),
@@ -2023,7 +2042,7 @@ def q_sparql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     -PT5H30M). The oracle restates the mapping as a CASE table."""
     from nabu_spark.sparql import sparql_query
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load_spread(spark, sf_dir, "events", "event_id")
     tz = F.element_at(
         F.array(F.lit("Z"), F.lit("+05:00"), F.lit("-05:30"),
                 F.lit("+00:00")),

@@ -135,12 +135,24 @@ def curate_corpus(
         )  # carries a c4_keep column forward
 
     # stages 4-5: ANNOTATE both gates inline (codegen, join-free), then ONE
-    # aggregation for the funnel (no per-stage .count() jobs), then filter
-    scored = cleaned.select("*", *lang_scores(text_col))
+    # aggregation for the funnel (no per-stage .count() jobs), then filter.
+    # The token array is STAGED once (`_toks`) and both gates read the staged
+    # column — the inline forms re-tokenized every row ~16x because
+    # higher-order functions are interpreted with no subexpression
+    # elimination (see textstats expression-duplication note).
+    from .operators.textstats import tokens_col
+
+    staged = cleaned.select("*", tokens_col(text_col).alias("_toks"))
+    scored = staged.select(
+        "*", *lang_scores(text_col, toks=F.col("_toks"))
+    )
     annotated = (
         scored.withColumn("lang_pred", lang_pred_expr())
-        .select(*cleaned.columns, "lang_pred")
-        .withColumn("gopher_pass", gopher_exprs(text_col)["gopher_pass"])
+        .withColumn(
+            "gopher_pass",
+            gopher_exprs(text_col, toks=F.col("_toks"))["gopher_pass"],
+        )
+        .select(*cleaned.columns, "lang_pred", "gopher_pass")
         .withColumn(
             "lang_ok",
             F.lit(True) if lang is None else (F.col("lang_pred") == lang),

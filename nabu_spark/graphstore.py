@@ -804,7 +804,8 @@ class GraphStore:
         return self.update(f"LOAD <file://{path}>{into}")
 
     def entail(self, graph: str = "<urn:nabu:inference>",
-               profile: str = "rdfs", incremental: bool = False) -> int:
+               profile: str = "rdfs", incremental: bool = False,
+               driver_fast_max: int = 100_000) -> int:
         """Materialize the entailment closure (operators/reasoner.py) of
         the merged store into ``graph``: the inference graph is REPLACED
         with exactly the derived-but-not-asserted triples, committed as
@@ -834,9 +835,20 @@ class GraphStore:
         if profile not in ("rdfs", "owl-rl"):
             raise ValueError(f"unknown entailment profile {profile!r}")
         if incremental and profile == "rdfs":
-            v = self._entail_incremental(graph)
+            v = self._entail_incremental(graph, driver_fast_max)
             if v is not None:
                 return v
+        # bounded driver fast path (same economics as the reasoner's own
+        # fast paths): a store within ``driver_fast_max`` merged quads closes
+        # through the exact in-memory twin and the whole delta (closure,
+        # anti-join, old-inference diff) is ONE collect + ONE commit instead
+        # of ~6 shuffle-heavy jobs. Semantics are set-for-set the
+        # distributed plan below (agreement pinned in tests); pass 0 to
+        # force the distributed plan.
+        if driver_fast_max:
+            rows = self.read().limit(driver_fast_max + 1).collect()
+            if len(rows) <= driver_fast_max:
+                return self._entail_local(rows, graph, profile)
         materialize = (rdfs_materialize if profile == "rdfs"
                        else owl_rl_materialize)
         cur = self.read()
@@ -860,6 +872,68 @@ class GraphStore:
         return self._commit_delta(delta, seq + 1, f"{profile}-entail",
                                   extra={"entail_graph": graph})
 
+    def _entail_incremental_local(self, graph: str, wrows: list,
+                                  srows: list) -> int:
+        """Exact in-memory mirror of the distributed semi-naive tail:
+        closure(window ∪ schema) minus asserted = the new inferences; window
+        triples retract their inference-graph shadow. Same commit shape and
+        metrics as the distributed path (agreement pinned in tests)."""
+        from .operators.reasoner import rdfs_closure_local
+
+        window_t = {(r.subj, r.pred, r.obj) for r in wrows}
+        asserted = {(r.subj, r.pred, r.obj) for r in srows
+                    if r.prov is None or r.prov != graph}
+        old_inf = {(r.subj, r.pred, r.obj) for r in srows if r.prov == graph}
+        schema = {(s, p, o) for s, p, o in asserted
+                  if p in self._SCHEMA_PREDS}
+        derived = rdfs_closure_local(window_t | schema) - asserted
+        adds = sorted(derived - old_inf)
+        dels = sorted(old_inf & window_t)
+        seq = self._next_seq()
+        delta_rows = (
+            [(s, p, o, graph, "d", seq) for s, p, o in dels]
+            + [(s, p, o, graph, "a", seq + 1) for s, p, o in adds]
+        )
+        # driver-built and bounded: one output file, not one per slice
+        # (repartition, NOT coalesce — coalescing a local relation folds
+        # every slice's row-pickling into one task and is ~8x slower)
+        delta = self.spark.createDataFrame(
+            delta_rows,
+            "subj string, pred string, obj string, prov string, "
+            "__op string, __seq int").repartition(1)
+        return self._commit_delta(
+            delta, seq + 1, "rdfs-entail",
+            extra={"entail_mode": "incremental", "entail_graph": graph})
+
+    def _entail_local(self, rows: list, graph: str, profile: str) -> int:
+        """Exact in-memory mirror of the distributed entail() tail over the
+        collected merged view: asserted = every non-inference quad, closure
+        via the reasoner's local twin, delta = (stale inferences as 'd'
+        rows, new inferences as 'a' rows)."""
+        from .operators.reasoner import owl_closure_local, rdfs_closure_local
+
+        asserted = {(r.subj, r.pred, r.obj) for r in rows
+                    if r.prov is None or r.prov != graph}
+        old_inf = {(r.subj, r.pred, r.obj) for r in rows if r.prov == graph}
+        close = rdfs_closure_local if profile == "rdfs" else owl_closure_local
+        derived = close(asserted) - asserted
+        dels = sorted(old_inf - derived)
+        adds = sorted(derived - old_inf)
+        seq = self._next_seq()
+        delta_rows = (
+            [(s, p, o, graph, "d", seq) for s, p, o in dels]
+            + [(s, p, o, graph, "a", seq + 1) for s, p, o in adds]
+        )
+        # driver-built and bounded: one output file, not one per slice
+        # (repartition, NOT coalesce — coalescing a local relation folds
+        # every slice's row-pickling into one task and is ~8x slower)
+        delta = self.spark.createDataFrame(
+            delta_rows,
+            "subj string, pred string, obj string, prov string, "
+            "__op string, __seq int").repartition(1)
+        return self._commit_delta(delta, seq + 1, f"{profile}-entail",
+                                  extra={"entail_graph": graph})
+
     _SCHEMA_PREDS = (
         "<http://www.w3.org/2000/01/rdf-schema#subClassOf>",
         "<http://www.w3.org/2000/01/rdf-schema#subPropertyOf>",
@@ -867,7 +941,8 @@ class GraphStore:
         "<http://www.w3.org/2000/01/rdf-schema#range>",
     )
 
-    def _entail_incremental(self, graph: str) -> int | None:
+    def _entail_incremental(self, graph: str,
+                            driver_fast_max: int = 100_000) -> int | None:
         """The semi-naive append path of entail(); None -> caller must
         run the full recompute."""
         from .operators.reasoner import rdfs_materialize
@@ -892,6 +967,27 @@ class GraphStore:
         window = self.raw_window(last, head)
         if window is None:
             return None
+        # bounded driver fast path: a window AND store within
+        # ``driver_fast_max`` run the identical semi-naive algorithm
+        # in-memory — window collect, soundness scan, closure(window ∪
+        # schema), store anti-join — as TWO collects + ONE commit instead of
+        # checkpoint + probe + materialize + shuffle-join jobs. Falls
+        # through to the distributed plan when either side is over-cap;
+        # unsound windows return None (full recompute) exactly as below.
+        if driver_fast_max:
+            wrows = window.limit(driver_fast_max + 1).collect()
+            if len(wrows) <= driver_fast_max:
+                unsound_local = any(
+                    r["__op"] != "a" or r["prov"] == graph
+                    or r["pred"] in self._SCHEMA_PREDS
+                    for r in wrows)
+                if unsound_local:
+                    return None
+                srows = self.read().limit(driver_fast_max + 1).collect()
+                if len(srows) <= driver_fast_max:
+                    return self._entail_incremental_local(
+                        graph, wrows, srows)
+                # store over cap: fall through to the distributed plan
         window = window.localCheckpoint(eager=True)
         unsound = window.filter(
             (F.col("__op") != "a")

@@ -381,8 +381,10 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50,
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct()
     if driver_max:
+        # ONE job: collect the capped edge set directly — checkpointing
+        # first would execute the (minhash-UDF-fed) pair pipeline twice
         rows = sym.limit(driver_max + 1).collect()
         if len(rows) <= driver_max:
             parent: dict = {}
@@ -409,6 +411,8 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 50,
             return pairs.sparkSession.createDataFrame(
                 labeled, StructType([StructField("id", id_type),
                                      StructField("cluster_id", id_type)]))
+    # distributed rounds iterate over sym — cut the upstream lineage once
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)

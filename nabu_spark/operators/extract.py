@@ -50,6 +50,24 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame, *key_cols: str, min_parts: int | None = None) -> DataFrame:
+    """Hash-spread a NARROW input across the cluster when its scan yields
+    fewer splits than cores — the tiny-file / single-row-group case where a
+    per-row compute stage downstream would otherwise run in one task
+    (optimization guide §2.5 "input skew": one unsplittable input; parquet
+    splits at row-group granularity, so a one-row-group file is one task no
+    matter how small ``maxPartitionBytes`` goes). No-op when the source is
+    already at least core-parallel (a production table with thousands of
+    splits), so the shuffle is only paid when it buys parallelism. Key by a
+    high-cardinality id so the hash spreads evenly; keyless falls back to
+    round-robin."""
+    sc = df.sparkSession.sparkContext
+    n = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int,

@@ -122,15 +122,19 @@ def rdfs_materialize(triples: DataFrame, *,
     plan."""
     t = triples.select("subj", "pred", "obj")
     if driver_fast_max:
-        # checkpoint the probed distinct so an over-cap probe's shuffle
-        # feeds the distributed plan instead of being recomputed
-        t = t.distinct().localCheckpoint(eager=True)
-        rows = t.limit(driver_fast_max + 1).collect()
+        # ONE job: collect the capped distinct directly — the old
+        # distinct().localCheckpoint() + limit().collect() pair executed the
+        # (often join-heavy) input construction twice per materialize call
+        deduped = t.distinct()
+        rows = deduped.limit(driver_fast_max + 1).collect()
         if len(rows) <= driver_fast_max:
             closed = rdfs_closure_local(
                 [(r.subj, r.pred, r.obj) for r in rows])
             return t.sparkSession.createDataFrame(
                 sorted(closed), "subj string, pred string, obj string")
+        # over-cap (rare): checkpoint so the distributed plan below reuses
+        # the distinct's shuffle instead of recomputing the construction
+        t = deduped.localCheckpoint(eager=True)
 
     spo = transitive_closure(_edges(t, SUBPROP))
     sco = transitive_closure(_edges(t, SUBCLASS))
@@ -453,9 +457,11 @@ def owl_rl_materialize(triples: DataFrame, *,
     graphs run the distributed rounds; twin/distributed agreement is
     pinned by randomized tests. Pass ``driver_fast_max=0`` to force the
     distributed path."""
-    t = (triples.select("subj", "pred", "obj").distinct()
-         .localCheckpoint(eager=True))
+    t = triples.select("subj", "pred", "obj").distinct()
     if driver_fast_max:
+        # ONE job for the fast path (no eager checkpoint first) — see
+        # rdfs_materialize; the checkpoint below only runs when the graph
+        # is over-cap and the distributed fixpoint actually iterates
         rows = t.limit(driver_fast_max + 1).collect()
         if len(rows) <= driver_fast_max:
             closed = owl_closure_local(
@@ -463,6 +469,7 @@ def owl_rl_materialize(triples: DataFrame, *,
                 max_rounds=max_rounds)
             return t.sparkSession.createDataFrame(
                 sorted(closed), "subj string, pred string, obj string")
+    t = t.localCheckpoint(eager=True)
     prev = t.count()
     for i in range(max_rounds):
         nxt = _owl_round(t, driver_max).localCheckpoint(eager=True)

@@ -40,10 +40,13 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` by BM25:
     (id, score, rank), deterministic ties broken by id."""
-    toks = tokens_col(text_col)
-    docs = df.select(
-        F.col(id_col), F.size(toks).cast("long").alias("_dl"), toks.alias("_toks")
-    ).filter(F.col("_dl") > 0)
+    docs = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .select(
+            F.col(id_col), F.size("_toks").cast("long").alias("_dl"), "_toks"
+        )
+        .filter(F.col("_dl") > 0)
+    )
 
     stats = docs.agg(
         F.count("*").cast("double").alias("_n_docs"),

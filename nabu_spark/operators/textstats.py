@@ -32,6 +32,17 @@ def tokens_col(text_col: str) -> Column:
     )
 
 
+# Expression-duplication note (optimization guide §1.2 "per-task work"):
+# higher-order functions (split/filter/aggregate/transform) are
+# CodegenFallback expressions — they run interpreted and get NO whole-stage
+# codegen subexpression elimination, so a projection that mentions
+# ``tokens_col(text)`` k times re-tokenizes every row k times. The operators
+# below therefore STAGE the token array once in its own projection
+# (``_toks``) and derive every signal from the staged column; CollapseProject
+# keeps the stage because the producer expression is non-cheap and
+# multiply-referenced (same trick lang_id_ngram has always used).
+
+
 def token_count(text_col: str) -> Column:
     """Whitespace/punctuation token count (the BPE-ish proxy: tokens plus a
     length-derived subword correction)."""
@@ -47,7 +58,8 @@ def token_count(text_col: str) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length, punctuation ratio, stopword ratio, mean word length, and a
     composite quality score in [0,1]."""
-    toks = tokens_col(text_col)
+    df = df.select("*", tokens_col(text_col).alias("_q_toks"))
+    toks = F.col("_q_toks")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
@@ -71,11 +83,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 8), 0.2).otherwise(0.0)
         + F.when(F.col("punct_ratio") < 0.2, 0.1).otherwise(0.0)
     )
-    return out.withColumn("quality_score", F.round(score, 4))
+    return out.withColumn("quality_score", F.round(score, 4)).drop("_q_toks")
 
 
-def lang_scores(text_col: str) -> list[Column]:
-    toks = tokens_col(text_col)
+def lang_scores(text_col: str, toks: Column | None = None) -> list[Column]:
+    """Per-language marker-hit counts. Pass ``toks`` (a staged token-array
+    column) to avoid re-tokenizing once per language."""
+    if toks is None:
+        toks = tokens_col(text_col)
     cols = []
     for lang, markers in LANG_MARKERS.items():
         hits = F.size(
@@ -100,7 +115,10 @@ def lang_pred_expr() -> Column:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word voting language ID; 'und' when nothing matches."""
-    scored = df.select("*", *lang_scores(text_col))
+    staged = df.select("*", tokens_col(text_col).alias("_lang_toks"))
+    scored = staged.select(
+        "*", *lang_scores(text_col, toks=F.col("_lang_toks"))
+    ).drop("_lang_toks")
     return scored.withColumn("lang_pred", lang_pred_expr())
 
 
@@ -160,8 +178,12 @@ def doc_segments(df: DataFrame, id_col: str, text_col: str, *, k: int = 8) -> Da
     """Non-overlapping k-token segments per document with their position —
     the 'paragraph' unit for boilerplate removal over token-stream corpora
     (the CCNet/Dolma paragraph-dedup shape). Pure JVM column exprs: tokens ->
-    sequence of chunk indices -> slice + concat_ws."""
-    toks = tokens_col(text_col)
+    sequence of chunk indices -> slice + concat_ws. The token array is
+    staged once (see the expression-duplication note above)."""
+    staged = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_seg_toks")
+    ).filter(F.size("_seg_toks") >= k)
+    toks = F.col("_seg_toks")
     n_seg = F.floor(F.size(toks) / F.lit(k)).cast("int")
     seg = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
@@ -171,8 +193,7 @@ def doc_segments(df: DataFrame, id_col: str, text_col: str, *, k: int = 8) -> Da
         ),
     )
     return (
-        df.filter(F.size(toks) >= k)
-        .select(F.col(id_col), F.explode(seg).alias("s"))
+        staged.select(F.col(id_col), F.explode(seg).alias("s"))
         .select(id_col, F.col("s.seg_pos"), F.col("s.segment"))
     )
 
@@ -228,12 +249,13 @@ def strip_boilerplate(
         ).alias("_body"),
         F.count("*").alias("n_kept"),
     )
-    toks = tokens_col(text_col)
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("_sb_toks"))
+    toks = F.col("_sb_toks")
     n_seg = F.floor(F.size(toks) / F.lit(k)).cast("int")
     tail = F.concat_ws(
         " ", F.slice(toks, n_seg * k + 1, F.size(toks) - n_seg * k)
     )
-    base = df.select(
+    base = staged.select(
         F.col(id_col),
         n_seg.alias("n_segments"),
         tail.alias("_tail"),
@@ -253,10 +275,13 @@ def strip_boilerplate(
     )
 
 
-def gopher_exprs(text_col: str) -> dict:
+def gopher_exprs(text_col: str, toks: Column | None = None) -> dict:
     """The Gopher rule expressions as named Columns — reusable join-free
-    (the streaming funnel inlines them on its own frame)."""
-    toks = tokens_col(text_col)
+    (the streaming funnel inlines them on its own frame). Pass ``toks`` (a
+    staged token-array column) so the rule set does not re-tokenize per
+    rule — the inline form mentions the token array 12 times."""
+    if toks is None:
+        toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     mean_wl = F.when(
         n_tokens > 0,
@@ -291,8 +316,12 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     """Gopher-style filter rules (Rae et al. 2021, public) as pure codegen
     exprs: token-count bounds, mean word length bounds, alphabetic-token
     ratio, symbol ratio. Returns per-doc feature values + the pass flag."""
-    e = gopher_exprs(text_col)
-    return df.select(
+    staged = df.select(
+        F.col(id_col), F.col(text_col),
+        tokens_col(text_col).alias("_g_toks"),
+    )
+    e = gopher_exprs(text_col, toks=F.col("_g_toks"))
+    return staged.select(
         F.col(id_col),
         e["n_tokens"].alias("n_tokens"),
         F.round(e["mean_word_len"], 4).alias("mean_word_len"),

@@ -13,13 +13,23 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.extract import fan_out
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, hash-spread when the scan is narrower than the
+    core count: every page builder below feeds a per-row Python/codegen
+    kernel downstream, and the sf fixtures are single-row-group files that
+    would otherwise pin that kernel to ONE task (guide §2.5)."""
+    return fan_out(load(spark, sf_dir, "documents"), "doc_id")
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     jsonld = F.to_json(
         F.struct(
             F.lit("https://schema.org/").alias("@context"),
@@ -55,7 +65,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def microdata_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages whose structured data is schema.org microdata (no JSON-LD) —
     the JSON-LD-free slice of the open web. Pure JVM column construction."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     subj = F.concat(F.lit("https://docs.example.org/corpus/"), F.col("doc_id"))
     html = F.concat(
         F.lit('<html><head><title>doc</title></head><body>'
@@ -89,7 +99,7 @@ def bnode_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic skolemization (functions/skolem.py, urn.go:83-116
     semantics) under the driver's DuckDB hash gate: the skolem sha256 is
     recomputable in SQL from the three context strings."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     jsonld = F.to_json(
         F.struct(
             F.lit("https://schema.org/").alias("@context"),
@@ -128,7 +138,7 @@ def content_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     link footer) for the main-text extraction path. Pure JVM column
     construction; the expected extraction output is a closed-form function
     of (doc_id, text), so the gate oracle recomputes it in SQL."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     html = F.concat(
         F.lit('<html><head><title>doc</title><script>var x=1;</script></head>'
               '<body><nav><ul><li><a href="/">Home</a></li>'

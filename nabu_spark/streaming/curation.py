@@ -58,20 +58,27 @@ def curated_docs_stream(
 ) -> DataFrame:
     """pages stream (url, warc_ts, html) -> gated, exact-deduped curated
     docs stream (doc_id, url, warc_ts, text, lang_pred, n_tokens)."""
-    from ..operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
+    from ..operators.textstats import (
+        gopher_exprs, lang_pred_expr, lang_scores, tokens_col,
+    )
 
     docs = pages.select("url", "warc_ts", "html").mapInPandas(
         _extract_fix_clean, "url string, warc_ts timestamp, text string"
     )
-    e = gopher_exprs("text")
-    scored = docs.select(
-        "url", "warc_ts", "text", *lang_scores("text")
+    # stage the token array once — the gates re-tokenize per rule otherwise
+    # (interpreted higher-order functions; see textstats note)
+    staged = docs.select("*", tokens_col("text").alias("_toks"))
+    e = gopher_exprs("text", toks=F.col("_toks"))
+    scored = staged.select(
+        "url", "warc_ts", "text", "_toks",
+        *lang_scores("text", toks=F.col("_toks")),
     )
     gated = (
         scored.withColumn("lang_pred", lang_pred_expr())
-        .select("url", "warc_ts", "text", "lang_pred")
+        .select("url", "warc_ts", "text", "_toks", "lang_pred")
         .withColumn("n_tokens", e["n_tokens"])
         .withColumn("gopher_pass", e["gopher_pass"])
+        .drop("_toks")
         .filter(F.col("gopher_pass"))
         .drop("gopher_pass")
         .withColumn("doc_id", F.xxhash64("url"))
