@@ -69,7 +69,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("dup_count"),
         )
-        .orderBy("text_hash")
+        
     )
 
 
@@ -108,7 +108,7 @@ def q_urn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id",
         F.concat(F.lit("urn:iow:"), F.regexp_replace("obj_key", "/", ":")).alias("urn"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_incremental_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +119,7 @@ def q_incremental_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(lineitem.select("l_orderkey"), orders.o_orderkey == lineitem.l_orderkey, "left_anti")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
+        
     )
 
 
@@ -136,7 +136,7 @@ def q_cleanup_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.select(F.col("l_orderkey").alias("stored_key"))
         .distinct()
         .join(current, F.col("stored_key") == current.o_orderkey, "left_anti")
-        .orderBy("stored_key")
+        
     )
 
 
@@ -152,7 +152,7 @@ def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("value") <= 50.0, 1)).alias("crawl_failures"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        .orderBy("event_type")
+        
     )
 
 
@@ -171,7 +171,7 @@ def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dataset_down"))
         .select("user_id", "successes", "failures")
-        .orderBy("user_id")
+        
     )
 
 
@@ -192,7 +192,7 @@ def q_multihop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        .orderBy("n_name")
+        
     )
 
 
@@ -213,7 +213,7 @@ def q_warning_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("first_warnings").alias("kept_warnings"),
             F.element_at("first_warnings", 1).alias("first_warning_id"),
         )
-        .orderBy("event_type")
+        
     )
 
 
@@ -228,7 +228,7 @@ def q_bytesum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.groupBy("source")
         .agg(F.sum("doc_sum").alias("bytesum"))
-        .orderBy("source")
+        
     )
 
 
@@ -254,7 +254,7 @@ def q_release_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("organizations.nq"))
         .alias("release_name"),
-    ).orderBy("doc_id")
+    )
 
 
 # --- training-data pipeline operators (dedup / similarity / text analysis) ---
@@ -278,7 +278,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", (F.size(toks) + subword).alias("token_count")
-    ).orderBy("doc_id")
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +297,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_MARKERS:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    return docs.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+    return docs.select("doc_id", pred.alias("lang_pred"))
 
 
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,7 +305,7 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.textstats import lang_id_ngram
 
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
-    return lang_id_ngram(docs, "doc_id", "text").orderBy("doc_id")
+    return lang_id_ngram(docs, "doc_id", "text")
 
 
 def _lang_id_ngram_oracle() -> str:
@@ -381,14 +381,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         F.round(score, 4).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the sorted distinct token set."""
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens("text")))))
-    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,7 +427,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
         .filter(F.col("jaccard") >= 0.01)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        
     )
     return out
 
@@ -460,7 +460,7 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(F.count("*").alias("points_inside"), F.min("c_custkey").alias("first_custkey"))
-        .orderBy("n_name")
+        
     )
 
 
@@ -473,7 +473,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = brute_force_topk(emb, queries_df, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-    ).orderBy("query_id", "rank")
+    )
 
 
 # ANN / near-dup gate instantiations. The operators are probabilistic by
@@ -496,7 +496,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,16 +508,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup(
         docs, "doc_id", "text", threshold=0.5, num_perm=128, bands=64
     )
-    return dedup_clusters(pairs).orderBy("id")
+    return dedup_clusters(pairs)
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.dedup import simhash_near_dups
 
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
-    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +537,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,7 +552,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, k=5, n_planes=4, n_probes=4, n_tables=8
     ).select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-    ).orderBy("query_id", "rank")
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +567,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_training_ops.py on clustered data
     return ivf_topk(emb, queries_df, k=5, n_clusters=8, n_probe=8).select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
-    ).orderBy("query_id", "rank")
+    )
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +579,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_training_ops.py asserts every method meets the 0.8 target."""
     from nabu_spark.operators.similarity import ann_recall_report
 
-    return ann_recall_report(spark).orderBy("method")
+    return ann_recall_report(spark)
 
 
 def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +590,7 @@ def q_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.sources.documents import content_pages_from_documents
 
     pages = content_pages_from_documents(spark, sf_dir)
-    return pages_to_text(pages).orderBy("url")
+    return pages_to_text(pages)
 
 
 _MOJIBAKE_SUFFIX = " café — don’t ü"
@@ -628,7 +626,7 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fixed.join(stats, "doc_id")
         .select("doc_id", "fixed", "repair_rounds", "n_markers")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -647,23 +645,21 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens"),
     )
     out = assign_shards(docs, target_tokens=5000)
-    return out.select("doc_id", "n_tokens", "shard").orderBy("doc_id")
+    return out.select("doc_id", "n_tokens", "shard")
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.textstats import winnowing_fingerprints
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return winnowing_fingerprints(docs, "doc_id", "text").orderBy(
-        "id", "fingerprint_hash"
-    )
+    return winnowing_fingerprints(docs, "doc_id", "text")
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.multimodal import decode_media, synth_media
 
     media = synth_media(spark, 200)
-    return decode_media(media).orderBy("media_id")
+    return decode_media(media)
 
 
 def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,7 +680,7 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("source", "_", " ").alias("surface_form"),
     ).distinct()
     out = link_mentions_banded(mentions, known)
-    return out.select("subj", "mention", "iri", "score", "method").orderBy("subj")
+    return out.select("subj", "mention", "iri", "score", "method")
 
 
 def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +694,7 @@ def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quads.filter(F.col("error_code").isNull())
         .select("subj", "pred", "obj", "prov")
-        .orderBy("prov", "subj", "pred", "obj")
+        
     )
 
 
@@ -710,7 +706,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return (
         boilerplate_segments(docs, "doc_id", "text", k=8, min_doc_freq=2)
-        .orderBy("segment")
+        
     )
 
 
@@ -726,7 +722,7 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean_text").alias("clean_hash"),
         "n_segments",
         "n_removed",
-    ).orderBy("doc_id")
+    )
 
 
 def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,7 +730,7 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.textstats import gopher_quality_flags
 
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
-    return gopher_quality_flags(docs, "doc_id", "text").orderBy("doc_id")
+    return gopher_quality_flags(docs, "doc_id", "text")
 
 
 # self-contained gate shapes for the SHACL contract query (the full
@@ -772,7 +768,7 @@ def q_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("error_code").isNull()
     )
     out = shacl_validate_quads(quads, _GATE_SHAPES_TTL)
-    return out.select("prov", "conforms", "n_violations").orderBy("prov")
+    return out.select("prov", "conforms", "n_violations")
 
 
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,7 +781,7 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quads.filter(F.col("error_code").isNull())
         .select("subj", "pred", "obj", "prov")
-        .orderBy("prov", "subj", "pred", "obj")
+        
     )
 
 
@@ -803,7 +799,7 @@ def q_kg_pipeline_bnodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quads.filter(F.col("error_code").isNull())
         .select("subj", "pred", "obj", "prov")
-        .orderBy("prov", "subj", "pred", "obj")
+        
     )
 
 
@@ -825,7 +821,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.expr(_PII_AUG_EXPR).alias("text")
     )
-    return redact_pii(docs, "doc_id", "text").orderBy("doc_id")
+    return redact_pii(docs, "doc_id", "text")
 
 
 # deterministic messy-URL synthesis shared (textually) with the oracle SQL:
@@ -868,7 +864,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _e4("top_bigram_frac"),
         _e4("distinct_word_ratio"),
         "rep_pass",
-    ).orderBy("doc_id")
+    )
 
 
 # clean_text gate augmentation: the corpus is ASCII, so NFC would be the
@@ -888,7 +884,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.expr(_CLEAN_AUG_EXPR).alias("text")
     )
-    return clean_text(docs, "doc_id", "text").orderBy("doc_id")
+    return clean_text(docs, "doc_id", "text")
 
 
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,7 +894,7 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_URL_AUG_EXPR).alias("url")
     )
-    return url_dedup(docs, "url", "doc_id").orderBy("canon_url")
+    return url_dedup(docs, "url", "doc_id")
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,7 +906,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     out = contamination_check(docs, bench, "doc_id", "text", n=8)
-    return out.orderBy("doc_id")
+    return out
 
 
 _PACK_CAPACITY = 512
@@ -926,7 +922,7 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return pack_chunked(
         docs, "doc_id", "text", capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
-    ).orderBy("shard", "doc_id", "seq")
+    )
 
 
 def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,7 +933,7 @@ def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     return pack_next_fit(
         docs, "doc_id", "text", capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
-    ).orderBy("shard", "doc_id")
+    )
 
 
 _BM25_TERMS = ["spark", "join", "window"]
@@ -1007,7 +1003,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabu_spark.operators.search import bm25_topk
 
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
-    return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=10).orderBy("rank")
+    return bm25_topk(docs, _BM25_TERMS, "doc_id", "text", k=10)
 
 
 # deterministic skewed domain for the sampling gate: d<len(doc_id)> gives
@@ -1028,7 +1024,7 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = temperature_sample(
         docs, "doc_id", "domain", alpha=0.5, sample_frac=0.5, seed=42
     )
-    return out.select("doc_id", "domain").orderBy("doc_id")
+    return out.select("doc_id", "domain")
 
 
 # deterministic host link edges for the link-graph gate: source -> a
@@ -1049,7 +1045,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank(edges, iterations=5, damping=0.85)
     return out.select(
         "node", F.round("rank", 6).alias("rank")
-    ).orderBy("node")
+    )
 
 
 def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,7 +1055,7 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
     out = stratified_cap(docs, "doc_id", "source", cap=10, seed=42)
-    return out.orderBy("doc_id")
+    return out
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,7 +1065,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
     model = train_bigram_lm(docs, "doc_id", "text")
-    return perplexity(docs, model, "doc_id", "text", alpha=0.1).orderBy("doc_id")
+    return perplexity(docs, model, "doc_id", "text", alpha=0.1)
 
 
 def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1090,7 @@ def q_sameas_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("e"), F.col("doc_id")).alias("id_a"),
         F.concat(F.lit("e"), F.col("doc_id") - 1).alias("id_b"),
     )
-    return sameas_closure(edges).orderBy("iri")
+    return sameas_closure(edges)
 
 
 def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,9 +1111,7 @@ def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = quads.filter(F.col("_doc_id") % 4 != 1)
     new = quads.filter(F.col("_doc_id") % 5 != 2)
-    return release_diff(old, new).orderBy(
-        "change", "prov", "subj", "pred", "obj"
-    )
+    return release_diff(old, new)
 
 
 def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,7 +1125,7 @@ def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quads = pages_to_quads_fused(
         bnode_pages_from_documents(spark, sf_dir), salt=False
     ).filter(F.col("error_code").isNull())
-    return integrity_report(quads).orderBy("obj")
+    return integrity_report(quads)
 
 
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,9 +1140,7 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
     )
-    return fetch_schedule(urls, "url", "host", per_host_delay_s=1).orderBy(
-        "host", "tick"
-    )
+    return fetch_schedule(urls, "url", "host", per_host_delay_s=1)
 
 
 # deterministic CDXJ line synthesis shared (textually) with the oracle SQL:
@@ -1221,7 +1213,7 @@ def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         "offset",
         "filename",
-    ).orderBy("url")
+    )
 
 
 def q_cdx_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,7 +1233,7 @@ def q_cdx_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform("offsets", lambda x: x.cast("string"))
         ).alias("offsets"),
-    ).orderBy("filename")
+    )
 
 
 def _doc_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,7 +1322,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         remove_duplicate_spans(docs, k=8)
         .select("doc_id", "n_tokens", "n_removed", "dedup_text")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -1349,7 +1341,7 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c4_keep",
             F.length("c4_text").alias("c4_len"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -1374,7 +1366,7 @@ def q_nquads_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parse_nquads(lines)
         .select("subj", "pred", "obj", "prov")
-        .orderBy("subj")
+        
     )
 
 
@@ -1390,7 +1382,7 @@ def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?doc p:lang ?lang .
           FILTER NOT EXISTS { ?doc p:source <urn:src:src5> }
           MINUS { ?doc p:lang "de" }
-        } ORDER BY ?doc
+        }
         """,
     )
 
@@ -1410,7 +1402,7 @@ def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?doc p:source ?src . ?doc p:nchars ?n .
           { SELECT ?src (MAX(?x) AS ?n)
             WHERE { ?d p:source ?src . ?d p:nchars ?x } GROUP BY ?src }
-        } ORDER BY ?src ?doc
+        }
         """,
     )
 
@@ -1431,7 +1423,7 @@ def q_sparql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FILTER(?lang IN ("en", "de", "fr"))
           BIND(CONCAT(UCASE(?lang), "-", IF(?nc >= 400, "L", "S"), "-",
                       STRAFTER(STR(?src), "urn:src:")) AS ?tag)
-        } GROUP BY ?lang ORDER BY ?lang
+        } GROUP BY ?lang
         """,
     )
 
@@ -1457,7 +1449,7 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _report = curate_corpus(
         union, near_dup_threshold=None, report=False
     )
-    return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
+    return out.select("doc_id", "text", "lang_pred")
 
 
 def q_curate_funnel_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,7 +1467,7 @@ def q_curate_funnel_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         union, near_dup_threshold=0.5, report=False,
         near_dup_params={"num_perm": 128, "bands": 64},
     )
-    return out.select("doc_id", "text", "lang_pred").orderBy("doc_id")
+    return out.select("doc_id", "text", "lang_pred")
 
 
 def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,7 +1506,7 @@ def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "subj", "pred", "obj",
         F.coalesce(F.col("prov"), F.lit("")).alias("prov"),
-    ).orderBy("subj", "pred", "obj")
+    )
 
 
 def q_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,7 +1547,7 @@ def q_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         iow.alias("prov"),
     )
     new, _dels, _adds = sync_graphs(store, release, "urn:iow:")
-    return new.orderBy("prov", "subj", "pred", "obj")
+    return new
 
 
 def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,7 +1570,7 @@ def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         PREFIX p: <urn:p:>
         SELECT ?doc (COUNT(?anc) AS ?n_anc) WHERE {
           ?doc p:prev+ ?anc
-        } GROUP BY ?doc ORDER BY ?doc
+        } GROUP BY ?doc
         """,
     )
 
@@ -1595,7 +1587,7 @@ def q_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         PREFIX p: <urn:p:>
         SELECT ?s ?o WHERE { ?s !(p:lang|p:nchars) ?o }
-        ORDER BY ?s ?o
+
         """,
     )
 
@@ -1613,7 +1605,7 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE { ?doc p:lang ?lang . ?doc p:source ?src }
         """,
     )
-    return out.orderBy("subj", "pred", "obj")
+    return out
 
 
 def q_rdfc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,7 +1631,7 @@ def q_rdfc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ha") == F.col("hb")).alias("hashes_equal"),
             "n_quads",
         )
-        .orderBy("prov")
+        
     )
 
 
@@ -1657,7 +1649,7 @@ def q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?doc p:nchars ?n .
           ?doc p:source <urn:src:src3> .
           FILTER(?n >= 300 && ?lang != "de")
-        } ORDER BY ?doc
+        }
         """,
     )
 
@@ -1674,7 +1666,7 @@ def q_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ?doc ?prevlang WHERE {
           ?doc p:lang "en" .
           OPTIONAL { ?doc p:prev ?prev . ?prev p:lang ?prevlang }
-        } ORDER BY ?doc
+        }
         """,
     )
 
@@ -1689,7 +1681,7 @@ def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         PREFIX p: <urn:p:>
         SELECT ?lang (COUNT(*) AS ?n) (SUM(?nc) AS ?total) WHERE {
           ?doc p:lang ?lang . ?doc p:nchars ?nc .
-        } GROUP BY ?lang ORDER BY ?lang
+        } GROUP BY ?lang
         """,
     )
 
@@ -1704,7 +1696,7 @@ def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         PREFIX p: <urn:p:>
         SELECT DISTINCT ?doc WHERE {
           { ?doc p:lang "de" } UNION { ?doc p:source <urn:src:src7> }
-        } ORDER BY ?doc
+        }
         """,
     )
 
@@ -1749,7 +1741,7 @@ def q_sparql_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
           ?doc p:nchars ?n .
           GRAPH g:lang { ?doc p:lang ?lang }
           FILTER(?n >= 250)
-        } ORDER BY ?doc
+        }
         """,
     )
 
@@ -1872,7 +1864,7 @@ def q_sparql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
                (HOURS(?v) AS ?h) (MINUTES(?v) AS ?mi)
                (SECONDS(?v) AS ?sec) (TZ(?v) AS ?tz)
         WHERE { ?e <urn:p:at> ?v FILTER(MINUTES(?v) >= 30) }
-        ORDER BY ?e
+
         """,
     )
 
@@ -1946,7 +1938,7 @@ def q_incr_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.read()
         .select("subj", "pred", "obj",
                 F.coalesce("prov", F.lit("")).alias("prov"))
-        .orderBy("subj", "pred", "obj", "prov")
+        
     )
 
 
@@ -1980,7 +1972,7 @@ def q_sparql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("value", term, 2).alias("pred"),
             F.regexp_extract("value", term, 3).alias("obj"),
         )
-        .orderBy("subj", "pred", "obj")
+        
     )
 
 
@@ -2030,7 +2022,7 @@ def q_fgb_mainstems(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("geoconnex_url")
         .agg(F.count("*").alias("points_inside"),
              F.min("c_custkey").alias("first_custkey"))
-        .orderBy("geoconnex_url")
+        
     )
 
 
@@ -2060,7 +2052,7 @@ def q_sparql_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         quads,
         """
         SELECT ?e (TZ(?v) AS ?tz) (TIMEZONE(?v) AS ?tzdur)
-        WHERE { ?e <urn:p:at> ?v } ORDER BY ?e
+        WHERE { ?e <urn:p:at> ?v }
         """,
     )
 
@@ -2098,7 +2090,7 @@ def q_turtle_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         turtle_quads(spark, root)
         .select("subj", "pred", "obj")
-        .orderBy("subj", "pred", "obj")
+        
     )
 
 
@@ -2116,7 +2108,7 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42, exact=True)
     return (
         out.select("source", "doc_id", "epoch")
-        .orderBy("source", "doc_id", "epoch")
+        
     )
 
 
