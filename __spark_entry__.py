@@ -609,9 +609,9 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         mojibake_stats,
     )
 
-    # NOT spread: the stats/fixed join diamond recomputes the corrupt UDF on
-    # both branches, so an extra exchange per branch costs more than the
-    # single-task kernel (measured 1.4s -> 2.5s with fan_out)
+    # not spread: with the corrupt pass checkpointed once, the remaining
+    # kernels are cheap enough that the fan-out exchange costs more than it
+    # buys (A/B measured: 0.78s unspread+ckpt vs 0.86s spread+ckpt)
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", F.concat("text", F.lit(_MOJIBAKE_SUFFIX)).alias("text")
     )
@@ -620,7 +620,11 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     def corrupt(s: pd.Series) -> pd.Series:
         return s.map(lambda t: corrupt_text(t))
 
-    corrupted = docs.select("doc_id", corrupt("text").alias("text"))
+    # the stats/fixed join diamond would run the corrupt UDF twice —
+    # materialize it once at first action (lazy checkpoint)
+    corrupted = docs.select(
+        "doc_id", corrupt("text").alias("text")
+    ).localCheckpoint(eager=False)
     stats = mojibake_stats(corrupted, "doc_id", "text")
     fixed = fix_mojibake(corrupted, "doc_id", "text")
     return (
@@ -670,7 +674,9 @@ def q_entity_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_link_sources_streaming.py path-equivalence)."""
     from nabu_spark.operators.entitylink import link_mentions_banded
 
-    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
+    # not spread: the linker is join/window-bound (no per-row kernel), so an
+    # up-front exchange only adds cost
+    docs = _load(spark, sf_dir, "documents")
     mentions = docs.select(
         F.col("doc_id").cast("string").alias("subj"),
         F.upper(F.regexp_replace("source", "_", " ")).alias("mention"),
@@ -1108,6 +1114,9 @@ def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_doc_id",
             F.regexp_extract("subj", r"corpus/(\d+)>", 1).cast("long"),
         )
+        # consumed four times by exceptAll-both-ways over two slices —
+        # materialize the extraction once at first action (lazy checkpoint)
+        .localCheckpoint(eager=False)
     )
     old = quads.filter(F.col("_doc_id") % 4 != 1)
     new = quads.filter(F.col("_doc_id") % 5 != 2)
@@ -1124,7 +1133,7 @@ def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     quads = pages_to_quads_fused(
         bnode_pages_from_documents(spark, sf_dir), salt=False
-    ).filter(F.col("error_code").isNull())
+    ).filter(F.col("error_code").isNull()).localCheckpoint(eager=False)
     return integrity_report(quads)
 
 

@@ -94,9 +94,12 @@ def curate_corpus(
     bands, shingle_k, max_bucket) — the contract gate runs the funnel at
     exhaustive banding so even near-dup mode is oracle-checkable.
     ``report=False`` skips every counting action (funnel aggregation,
-    stage counts, caches): the return is fully lazy — ONE plan from input
-    to survivors — and the report is None. Use it when the caller only
-    consumes the curated rows (benchmarks, downstream pipelines)."""
+    stage counts, caches): the return is lazy — no job runs until the
+    caller's first action — and the report is None. In near-dup mode the
+    exact-deduped relation is lazily checkpointed at that first action so
+    the LSH stage's four consumptions of it don't re-run the repair pass.
+    Use it when the caller only consumes the curated rows (benchmarks,
+    downstream pipelines)."""
     from .operators.dedup import dedup_survivors, minhash_dedup
     from .operators.textstats import gopher_exprs, lang_pred_expr, lang_scores
 
@@ -200,6 +203,14 @@ def curate_corpus(
         obs = None
         survivors = uniq
     else:
+        if not report:
+            # the near-dup stage consumes ``uniq`` FOUR times (signature
+            # pass, two text-fetch joins in the Jaccard verify, survivor
+            # anti-join); without the report path's cache each consumption
+            # re-runs the upstream Arrow repair pass + gates + dedup window.
+            # Materialize it once — localCheckpoint, recomputed per run, no
+            # cross-run state (guide §5: reuse beats recompute here).
+            uniq = uniq.localCheckpoint(eager=False)
         obs = Observation("curate_lsh_dropped") if report else None
         pairs = minhash_dedup(
             uniq, id_col, text_col, threshold=near_dup_threshold,

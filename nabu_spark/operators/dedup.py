@@ -276,10 +276,23 @@ def verify_jaccard(
     )
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # near-dup candidates repeat documents across pairs (a k-clique
+        # contributes k-1 pairs per member) — shingle each distinct text
+        # once per task, not once per pair side
+        memo: dict[str, set] = {}
+
+        def sh(txt: str) -> set:
+            v = memo.get(txt)
+            if v is None:
+                v = shingles_of(txt, shingle_k)
+                if len(memo) < 1 << 16:
+                    memo[txt] = v
+            return v
+
         for pdf in it:
             ja = []
             for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                sa, sb = shingles_of(ta or "", shingle_k), shingles_of(tb or "", shingle_k)
+                sa, sb = sh(ta or ""), sh(tb or "")
                 union = len(sa | sb)
                 ja.append(len(sa & sb) / union if union else 0.0)
             yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": ja})

@@ -37,6 +37,11 @@ QUADS_SCHEMA = T.StructType(
     ]
 )
 
+try:  # optional fast path; stdlib fallback keeps behavior identical
+    from orjson import loads as _fast_loads
+except ImportError:  # pragma: no cover
+    _fast_loads = json.loads
+
 ERR_JSON_PARSE = "json_parse"
 ERR_JSONLD = "jsonld_convert"
 ERR_EMPTY_GRAPH = "empty_graph"
@@ -78,9 +83,15 @@ def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tupl
     ``skolemize=False`` matches the reference's single-object-release skip
     (client_release_graphs.go:143-152)."""
     try:
-        doc = json.loads(doc_text)
+        # orjson is ~3x faster on the common case; any input it rejects that
+        # stdlib json accepts (NaN/Infinity literals, >64-bit ints) falls
+        # through, so acceptance semantics are exactly stdlib's
+        doc = _fast_loads(doc_text)
     except Exception:
-        return [], ERR_JSON_PARSE, 0
+        try:
+            doc = json.loads(doc_text)
+        except Exception:
+            return [], ERR_JSON_PARSE, 0
     if not isinstance(doc, (dict, list)):
         return [], ERR_JSON_PARSE, 0
     try:
