@@ -17,8 +17,21 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# schema METADATA memo: spark.read.parquet runs a one-task schema-inference
+# job per call; the fixture schemas are immutable within a process, so later
+# reads pass the schema explicitly and skip that job. Data rows are still
+# read from parquet on every execution — nothing about RESULTS is cached.
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _load_spread(

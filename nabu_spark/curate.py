@@ -38,6 +38,51 @@ from pyspark.sql import (
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
 
+# exact Python mirrors of the textstats gate expressions (tokens_col /
+# lang_scores / gopher_exprs): same token regex, same marker sets, same
+# rule thresholds — value-for-value parity is what lets the funnel compute
+# its gates inside the SAME Arrow pass as the hygiene kernel instead of
+# through interpreted higher-order-function projections (those are
+# CodegenFallback: measured ~1.2s of the funnel's 2.2s at 10k docs)
+_TOK_RE = re.compile(r"[^a-zA-Z0-9]+")
+_ALPHA_RE = re.compile(r"[a-z]")
+_SYM_RE = re.compile(r"[#\.\{\}\[\]<>\|\\]")
+
+
+def lang_gopher_kernel(s: str | None) -> tuple[str, bool]:
+    """(lang_pred, gopher_pass) for one cleaned document — mirrors
+    textstats.lang_scores + lang_pred_expr + gopher_exprs exactly
+    (parity pinned by the funnel tests and the curate_funnel oracle)."""
+    from .operators.textstats import LANG_MARKERS
+
+    toks = [t for t in _TOK_RE.split((s or "").lower()) if t]
+    n = len(toks)
+    best, pred = 0, "und"
+    for lang, markers in LANG_MARKERS.items():  # declaration order, first max
+        ms = _MARKER_SETS.get(lang)
+        if ms is None:
+            ms = _MARKER_SETS[lang] = frozenset(markers)
+        score = sum(1 for t in toks if t in ms)
+        if score > best:
+            best, pred = score, lang
+    if n == 0:
+        gopher = False
+    else:
+        mean_wl = sum(map(len, toks)) / n
+        alpha_ratio = sum(1 for t in toks if _ALPHA_RE.search(t)) / n
+        n_chars = len(s)
+        symbol_ratio = (len(_SYM_RE.findall(s)) / n_chars) if n_chars else 0.0
+        gopher = (
+            50 <= n <= 100_000
+            and 3 <= mean_wl <= 10
+            and alpha_ratio >= 0.8
+            and symbol_ratio <= 0.1
+        )
+    return pred, gopher
+
+
+_MARKER_SETS: dict[str, frozenset] = {}
+
 
 def fix_clean_kernel(s: str | None) -> tuple[str | None, int]:
     """Mojibake repair + unicode hygiene for one document — the shared
@@ -47,6 +92,11 @@ def fix_clean_kernel(s: str | None) -> tuple[str | None, int]:
 
     if s is None:
         return None, 0
+    if s.isascii():
+        # exact fast path (the bulk of a web-text corpus): fix_text
+        # round-trips ASCII in 0 rounds and NFC is the identity there, so
+        # only the control/whitespace hygiene applies
+        return _WS_RE.sub(" ", _CTRL_RE.sub("", s)).strip(" "), 0
     s, rounds = fix_text(s)
     s = unicodedata.normalize("NFC", s)
     # .strip(" "): F.trim strips ONLY ASCII spaces — a bare .strip() would
@@ -105,25 +155,40 @@ def curate_corpus(
 
     other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
 
-    # stages 2-3: repair + hygiene as ONE fused Arrow pass that carries all
-    # other columns through (no doc_id re-join -> no text shuffle)
+    # stages 2-5 (no-c4 path): repair + hygiene AND both gate annotations in
+    # ONE fused Arrow pass carrying every other column through (no doc_id
+    # re-join -> no text shuffle). The gates mirror the textstats
+    # expressions value-for-value (lang_gopher_kernel); running them beside
+    # the hygiene kernel replaces interpreted higher-order-function
+    # projections that re-walked each token list per rule. The c4 variant
+    # keeps the expression gates: its rules evaluate post-c4 text.
     in_schema = dict(docs.dtypes)
+    fused_gates = not c4
     out_schema = ", ".join(
         [f"`{id_col}` {in_schema[id_col]}"]
         + [f"`{c}` {in_schema[c]}" for c in other_cols]
         + [f"`{text_col}` string", "repair_rounds int"]
+        + (["lang_pred string", "gopher_pass boolean"] if fused_gates else [])
     )
 
     def fix_clean_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             texts, rounds = [], []
+            langs, gophers = [], []
             for t in pdf[text_col]:
                 f_t, r = fix_clean_kernel(t)
                 texts.append(f_t)
                 rounds.append(r)
+                if fused_gates:
+                    lp, gp = lang_gopher_kernel(f_t)
+                    langs.append(lp)
+                    gophers.append(gp)
             out = pdf[[id_col] + other_cols].copy()
             out[text_col] = pd.Series(texts, dtype="object")
             out["repair_rounds"] = pd.Series(rounds, dtype="int32")
+            if fused_gates:
+                out["lang_pred"] = pd.Series(langs, dtype="object")
+                out["gopher_pass"] = pd.Series(gophers, dtype="bool")
             yield out
 
     cleaned = docs.mapInPandas(fix_clean_batches, out_schema)
@@ -137,30 +202,35 @@ def curate_corpus(
             .drop("c4_text", "c4_n_lines", "c4_n_sentences")
         )  # carries a c4_keep column forward
 
-    # stages 4-5: ANNOTATE both gates inline (codegen, join-free), then ONE
-    # aggregation for the funnel (no per-stage .count() jobs), then filter.
-    # The token array is STAGED once (`_toks`) and both gates read the staged
-    # column — the inline forms re-tokenized every row ~16x because
-    # higher-order functions are interpreted with no subexpression
-    # elimination (see textstats expression-duplication note).
-    from .operators.textstats import tokens_col
-
-    staged = cleaned.select("*", tokens_col(text_col).alias("_toks"))
-    scored = staged.select(
-        "*", *lang_scores(text_col, toks=F.col("_toks"))
-    )
-    annotated = (
-        scored.withColumn("lang_pred", lang_pred_expr())
-        .withColumn(
-            "gopher_pass",
-            gopher_exprs(text_col, toks=F.col("_toks"))["gopher_pass"],
-        )
-        .select(*cleaned.columns, "lang_pred", "gopher_pass")
-        .withColumn(
+    # stages 4-5: gate annotations. Fused path: already columns from the
+    # Arrow pass above. C4 path: expression gates over the post-c4 text,
+    # with the token array STAGED once (`_toks`) — the inline forms
+    # re-tokenized every row ~16x (interpreted higher-order functions, no
+    # subexpression elimination; see textstats expression-duplication note).
+    if fused_gates:
+        annotated = cleaned.withColumn(
             "lang_ok",
             F.lit(True) if lang is None else (F.col("lang_pred") == lang),
         )
-    )
+    else:
+        from .operators.textstats import tokens_col
+
+        staged = cleaned.select("*", tokens_col(text_col).alias("_toks"))
+        scored = staged.select(
+            "*", *lang_scores(text_col, toks=F.col("_toks"))
+        )
+        annotated = (
+            scored.withColumn("lang_pred", lang_pred_expr())
+            .withColumn(
+                "gopher_pass",
+                gopher_exprs(text_col, toks=F.col("_toks"))["gopher_pass"],
+            )
+            .select(*cleaned.columns, "lang_pred", "gopher_pass")
+            .withColumn(
+                "lang_ok",
+                F.lit(True) if lang is None else (F.col("lang_pred") == lang),
+            )
+        )
     if report:
         annotated = annotated.cache()
     quality_pred = F.col("lang_ok") & F.col("gopher_pass")

@@ -244,9 +244,27 @@ def candidate_pairs(
     )
     buckets = _observe_dropped(buckets, "ids", max_bucket, metric, observation)
     ok = buckets.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    pairs = ok.select(
-        F.explode(F.expr(_PAIR_EXPLODE.format(c="ids"))).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+
+    # unordered pairs per bucket via numpy triu indices — the SQL
+    # transform/slice pair-explosion is a CodegenFallback expression that
+    # builds O(|bucket|^2) structs interpreted; one vectorized Arrow pass
+    # emits the identical (id_a < id_b) pairs (ids arrive sorted)
+    def pair_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs_a, outs_b = [], []
+            for ids in pdf["ids"]:
+                arr = np.asarray(ids, dtype=np.int64)
+                i, j = np.triu_indices(len(arr), k=1)
+                outs_a.append(arr[i])
+                outs_b.append(arr[j])
+            if not outs_a:
+                yield pd.DataFrame({"id_a": [], "id_b": []})
+                continue
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+            )
+
+    pairs = ok.select("ids").mapInPandas(pair_batches, "id_a long, id_b long")
     return pairs.distinct()
 
 
@@ -664,14 +682,32 @@ def embedding_near_dups(
             "id_b",
         )
     )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    # exact cosine per candidate in ONE vectorized Arrow pass. The JVM
+    # zip_with+aggregate form is a CodegenFallback expression — interpreted
+    # per element per pair, it dominated the verify stage. Float parity is
+    # bit-exact: np.add.accumulate is the same left-fold addition order as
+    # F.aggregate's sequential acc + x, and the element products are the
+    # same doubles, so every borderline pair lands on the same side of the
+    # threshold as the expression form (and as the DuckDB oracle).
+    def cos_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+                continue
+            va = np.array(list(pdf["v_a"]), dtype=np.float64)
+            vb = np.array(list(pdf["v_b"]), dtype=np.float64)
+            dots = np.add.accumulate(va * vb, axis=1)[:, -1]
+            cos = dots / (pdf["n_a"].to_numpy() * pdf["n_b"].to_numpy())
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    scored = joined.select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b").mapInPandas(
+        cos_batches, "id_a long, id_b long, cosine double"
     )
-    return joined.select(
-        "id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def cosine_expr(a: str, b: str):

@@ -493,19 +493,31 @@ def rdfs_closure_local(triples) -> set:
 
     spo = _closure_local(edges(SUBPROP))
     sco = _closure_local(edges(SUBCLASS))
-    data_p = t | {(s, q, o) for s, p, o in t for (c, q) in spo if c == p}
-    dom, rng = edges(DOMAIN), edges(RANGE)
+    # index the vocabulary relations once: the comprehensions below are
+    # |data| x |schema| nested scans otherwise (guide §1.2 per-task work)
+    spo_m, sco_m, dom_m, rng_m = (_index(spo), _index(sco),
+                                  _index(edges(DOMAIN)), _index(edges(RANGE)))
+    data_p = t | {(s, q, o) for s, p, o in t
+                  if p in spo_m for q in spo_m[p]}
     types_dom = {(s, RDF_TYPE, cc) for s, p, o in data_p
-                 for (c, cc) in dom if c == p}
+                 if p in dom_m for cc in dom_m[p]}
     types_rng = {(o, RDF_TYPE, cc) for s, p, o in data_p
-                 if not o.startswith('"') for (c, cc) in rng if c == p}
+                 if not o.startswith('"') and p in rng_m for cc in rng_m[p]}
     all_types = {x for x in data_p if x[1] == RDF_TYPE} \
         | types_dom | types_rng
     types_up = {(s, RDF_TYPE, d) for s, _, o in all_types
-                for (c, d) in sco if c == o}
+                if o in sco_m for d in sco_m[o]}
     schema_closed = {(c, SUBPROP, p) for c, p in spo} \
         | {(c, SUBCLASS, d) for c, d in sco}
     return data_p | types_dom | types_rng | types_up | schema_closed
+
+
+def _index(pairs: set) -> dict:
+    """(a, b) edge set -> {a: [b, ...]} adjacency for O(1) rule joins."""
+    m: dict = {}
+    for a, b in pairs:
+        m.setdefault(a, []).append(b)
+    return m
 
 
 # --- exact in-memory twin (fast path + agreement oracle) -------------------
@@ -551,12 +563,15 @@ def _owl_round_local(t: set) -> set:
     inv_pairs = inv | {(b, a) for a, b in inv} | {
         (p, p) for p in typed[SYMMETRIC]}
 
+    spo_m, inv_m = _index(spo), _index(inv_pairs)
+
     def rdfs7(data):
-        return {(s, q, o) for s, p, o in data for (c, q) in spo if c == p}
+        return {(s, q, o) for s, p, o in data
+                if p in spo_m for q in spo_m[p]}
 
     def invert(data):
-        return {(o, q, s) for s, p, o in data if not lit(o)
-                for (c, q) in inv_pairs if c == p}
+        return {(o, q, s) for s, p, o in data
+                if not lit(o) and p in inv_m for q in inv_m[p]}
 
     data_p = t | rdfs7(t)
     inv_d = invert(data_p)
@@ -570,15 +585,16 @@ def _owl_round_local(t: set) -> set:
         part_inv = invert(part)
         data_pit |= part | part_inv | rdfs7(part_inv)
 
-    dom, rng = edges(DOMAIN), edges(RANGE)
+    dom_m, rng_m, sco_m = (_index(edges(DOMAIN)), _index(edges(RANGE)),
+                           _index(sco))
     types_dom = {(s, RDF_TYPE, cc) for s, p, o in data_pit
-                 for (c, cc) in dom if c == p}
-    types_rng = {(o, RDF_TYPE, cc) for s, p, o in data_pit if not lit(o)
-                 for (c, cc) in rng if c == p}
+                 if p in dom_m for cc in dom_m[p]}
+    types_rng = {(o, RDF_TYPE, cc) for s, p, o in data_pit
+                 if not lit(o) and p in rng_m for cc in rng_m[p]}
     all_types = {x for x in data_pit if x[1] == RDF_TYPE} \
         | types_dom | types_rng
     types_up = {(s, RDF_TYPE, d) for s, _, o in all_types
-                for (c, d) in sco if c == o}
+                if o in sco_m for d in sco_m[o]}
     schema_closed = {(c, SUBPROP, p) for c, p in spo} \
         | {(c, SUBCLASS, d) for c, d in sco}
     full = data_pit | types_dom | types_rng | types_up | schema_closed

@@ -235,7 +235,8 @@ def pages_to_quads_fused(
         # are already bounded by maxPartitionBytes so merged tasks stay even.
         sc = df.sparkSession.sparkContext
         target = num_partitions or sc.defaultParallelism
-        if df.rdd.getNumPartitions() > target:
+        # .rdd is illegal on streams; micro-batch sizing is the source's job
+        if not df.isStreaming and df.rdd.getNumPartitions() > target:
             df = df.coalesce(target)
     df = df.select("url", "host", "sitemap_id", "html")
 

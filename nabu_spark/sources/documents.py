@@ -16,8 +16,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.extract import fan_out
 
 
+# schema metadata memo (see __spark_entry__._load): skips the per-read
+# one-task schema-inference job; row data is never cached
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

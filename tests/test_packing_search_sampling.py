@@ -261,6 +261,23 @@ class TestPageRank:
             assert abs(got[k] - want[k]) < 1e-12
         assert abs(sum(got.values()) - 1.0) < 1e-9
 
+    def test_driver_fast_path_agrees_with_distributed(self, spark):
+        """The bounded in-memory mirror and the distributed rounds label
+        identically at the contract's round(6) (r6 optimization: the fast
+        path replaces ~10 jobs/round of checkpoint overhead)."""
+        from nabu_spark.operators.linkgraph import pagerank
+
+        edges = [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+            ("d", "c"), ("d", "e"), ("f", "a"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        local = {r["node"]: round(r["rank"], 6)
+                 for r in pagerank(df, iterations=5).collect()}
+        dist = {r["node"]: round(r["rank"], 6)
+                for r in pagerank(df, iterations=5, driver_max=0).collect()}
+        assert local == dist
+
     def test_self_loops_and_dup_edges_ignored(self, spark):
         from nabu_spark.operators.linkgraph import pagerank
 
