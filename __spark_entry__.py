@@ -1082,9 +1082,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, per-doc perplexity — all relational, nothing leaves the JVM."""
     from nabu_spark.operators.lm import perplexity, train_bigram_lm
 
+    from nabu_spark.operators.lm import doc_bigrams
+
     docs = _load_spread(spark, sf_dir, "documents", "doc_id")
-    model = train_bigram_lm(docs, "doc_id", "text")
-    return perplexity(docs, model, "doc_id", "text", alpha=0.1)
+    # train and score share one corpus: tokenize+explode once (lazy
+    # checkpoint), instead of once for the model counts and once for scoring
+    grams = doc_bigrams(docs, "doc_id", "text").localCheckpoint(eager=False)
+    model = train_bigram_lm(docs, "doc_id", "text", grams=grams)
+    return perplexity(docs, model, "doc_id", "text", alpha=0.1, grams=grams)
 
 
 def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .textstats import tokens_col
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) for each adjacent token pair — arrays_zip of two slices,
     pure codegen, one row per bigram occurrence. Docs with < 2 tokens are
     filtered BEFORE the slices so the (n - 1) lengths never go negative
@@ -50,12 +50,15 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, grams: DataFrame | None = None
 ) -> dict[str, DataFrame]:
     """{'unigrams': (w1, c1), 'bigrams': (w1, w2, c12), 'vocab_size': (v)} —
     counts over the whole corpus; the vocabulary size rides along as a
-    single-row DataFrame so the scorer's plan stays lazy."""
-    grams = _doc_bigrams(df, id_col, text_col)
+    single-row DataFrame so the scorer's plan stays lazy. Pass ``grams``
+    (a precomputed ``doc_bigrams`` relation, e.g. checkpointed) when the
+    same corpus is also being scored, so tokenize+explode runs once."""
+    grams = grams if grams is not None else doc_bigrams(df, id_col, text_col)
     bigrams = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     unigrams = grams.groupBy("w1").agg(F.count("*").alias("c1"))
     toks = tokens_col(text_col)
@@ -74,12 +77,13 @@ def perplexity(
     *,
     alpha: float = 0.1,
     round_to: int = 4,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, ppl): exp of the mean negative log conditional
     probability under the add-alpha-smoothed bigram model. Unseen bigrams
     and unseen contexts fall back to the smoothing mass (left joins +
     coalesce(0)), so scoring any corpus against any model is total."""
-    grams = _doc_bigrams(df, id_col, text_col)
+    grams = grams if grams is not None else doc_bigrams(df, id_col, text_col)
     scored = (
         grams.join(model["bigrams"], ["w1", "w2"], "left")
         .join(model["unigrams"], "w1", "left")

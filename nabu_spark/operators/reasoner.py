@@ -311,9 +311,17 @@ def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
                 F.col("subj").alias("obj"))
     )
     # lift inverse-derived triples too, so a p'⊑p / p inv q / q⊑r chain
-    # closes within one round instead of three
-    data_pi = data_p.unionByName(inv_derived).unionByName(
-        _rdfs7(inv_derived, spo))
+    # closes within one round instead of three.
+    # MATERIALIZE the property-closed relation once per round: it feeds
+    # every per-transitive-property edge filter plus the domain/range/class
+    # stages below, and without a checkpoint each consumer re-executes the
+    # whole broadcast-join chain (the owl_dist leg spent most of its 74s
+    # re-deriving these unions per rule — guide §5 reuse-vs-recompute).
+    data_pi = (
+        data_p.unionByName(inv_derived)
+        .unionByName(_rdfs7(inv_derived, spo))
+        .localCheckpoint(eager=True)
+    )
 
     trans_parts = []
     for p in _typed_props(t, TRANSITIVE):
@@ -339,6 +347,11 @@ def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
         )
         data_pit = data_pit.unionByName(part_inv).unionByName(
             _rdfs7(part_inv, spo))
+
+    if trans_parts:
+        # same economics: the transitive/inverse closure union feeds four
+        # downstream rule stages — materialize it once
+        data_pit = data_pit.localCheckpoint(eager=True)
 
     # --- domain / range / class rules (same shape as rdfs_materialize) ---
     dom, rng = _edges(t, DOMAIN), _edges(t, RANGE)
@@ -373,6 +386,10 @@ def _owl_round(t: DataFrame, driver_max: int) -> DataFrame:
     full = (
         data_pit.unionByName(types_dom).unionByName(types_rng)
         .unionByName(types_up).unionByName(schema_closed).distinct()
+        # consumed by the functional/inverse-functional groupings, the
+        # asserted-sameAs scan, the emptiness probe AND the canonical
+        # rewrite — five consumers, one materialization
+        .localCheckpoint(eager=True)
     )
 
     # --- equality rules ---------------------------------------------------
