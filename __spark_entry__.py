@@ -1097,7 +1097,9 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions of two corpus snapshots (even vs odd doc ids)."""
     from nabu_spark.operators.lm import token_js_divergence
 
-    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
+    # not spread: both branches shuffle into aggs immediately, so the
+    # fan-out exchange is pure overhead
+    docs = _load(spark, sf_dir, "documents")
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return token_js_divergence(a, b, "text")
@@ -1644,7 +1646,9 @@ def q_rdfc_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical labeling is a true function of the isomorphism class."""
     from nabu_spark.operators.graphops import canonical_quads
 
-    docs = _load_spread(spark, sf_dir, "documents", "doc_id")
+    # not spread: canonical_quads groups by prov (its own shuffle) right
+    # after the variant projection, so the fan-out exchange is pure overhead
+    docs = _load(spark, sf_dir, "documents")
     va = canonical_quads(_bnode_variant(docs, "_:a", "_:b", False))
     vb = canonical_quads(_bnode_variant(docs, "_:zz9", "_:q", True))
     a = va.groupBy("prov").agg(
