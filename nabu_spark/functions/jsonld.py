@@ -745,6 +745,16 @@ def jsonld_to_triples(
     (context/term/value ``@direction``) as i18n-datatyped literals, matching
     pyld/json-gold under the same option; the default (None) ignores
     direction per the spec's default toRdf behavior."""
+    return jsonld_to_triples_ex(doc, base=base, rdf_direction=rdf_direction)[0]
+
+
+def jsonld_to_triples_ex(
+    doc: Any, *, base: str | None = None, rdf_direction: str | None = None
+) -> tuple[list[tuple[str, str, str]], bool]:
+    """``(triples, minted_bnodes)`` — same conversion, plus whether ANY
+    blank node label was produced, so callers can skip downstream
+    bnode-rewriting passes (skolemization is the identity without them)
+    without re-scanning every term."""
     state = _ToRdfState(rdf_direction)
     ctx = Context()
     ctx.base = base
@@ -752,7 +762,7 @@ def jsonld_to_triples(
     for node in nodes:
         if isinstance(node, dict):
             _process_node(state, ctx, node)
-    return state.triples
+    return state.triples, state.bnode_counter > 0 or bool(state.bnode_map)
 
 
 def triples_to_nt(triples: list[tuple[str, str, str]]) -> str:

@@ -21,10 +21,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..functions.jsonld import JsonLdError, jsonld_to_triples, standardize_jsonld_context
+from ..functions.jsonld import (
+    JsonLdError, jsonld_to_triples_ex, standardize_jsonld_context,
+)
 from ..functions.ntriples import _term_is_valid_cached, term_is_valid
-from ..functions.skolem import skolemize_terms
+from ..functions.skolem import SKOLEM_PREFIX, skolemize_terms
 from ..functions.urn import make_urn
+
+_SKOLEM_TERM_PREFIX = "<" + SKOLEM_PREFIX
 
 QUADS_SCHEMA = T.StructType(
     [
@@ -67,8 +71,15 @@ def finish_quads(
     quads = []
     dropped = 0
     valid = _term_is_valid_cached  # bypass the keyword-arg wrapper in the hot loop
+    skol = _SKOLEM_TERM_PREFIX
     for s, p, o in triples:
-        if valid(s, True, False) and valid(p, False, True) and valid(o, False, False):
+        # terms we minted ourselves (skolem IRIs: constant prefix + sha256
+        # hex) are valid by construction — skip the regex gate for them
+        if (
+            (s.startswith(skol) or valid(s, True, False))
+            and valid(p, False, True)
+            and (o.startswith(skol) or valid(o, False, False))
+        ):
             quads.append((s, p, o, prov))
         else:
             dropped += 1
@@ -97,12 +108,16 @@ def doc_to_quads(doc_text: str, obj_key: str, *, skolemize: bool = True) -> tupl
     try:
         if isinstance(doc, dict) and "@context" in doc:
             doc = standardize_jsonld_context(doc)
-        triples = jsonld_to_triples(doc)
+        triples, minted_bnodes = jsonld_to_triples_ex(doc)
     except JsonLdError:
         return [], ERR_JSONLD, 0
     except RecursionError:
         return [], ERR_JSONLD, 0
-    return finish_quads(triples, obj_key, skolemize=skolemize)
+    # skolemize_terms is the identity when the conversion minted no blank
+    # nodes — skip its per-term scan for the bnode-free majority
+    return finish_quads(
+        triples, obj_key, skolemize=skolemize and minted_bnodes
+    )
 
 
 def _failed_prov(obj_key) -> str:
