@@ -846,9 +846,9 @@ class GraphStore:
         # distributed plan below (agreement pinned in tests); pass 0 to
         # force the distributed plan.
         if driver_fast_max:
-            rows = self.read().limit(driver_fast_max + 1).collect()
-            if len(rows) <= driver_fast_max:
-                return self._entail_local(rows, graph, profile)
+            quads = self._collect_merged(driver_fast_max)
+            if quads is not None:
+                return self._entail_local(quads, graph, profile)
         materialize = (rdfs_materialize if profile == "rdfs"
                        else owl_rl_materialize)
         cur = self.read()
@@ -873,7 +873,7 @@ class GraphStore:
                                   extra={"entail_graph": graph})
 
     def _entail_incremental_local(self, graph: str, wrows: list,
-                                  srows: list) -> int:
+                                  squads: list) -> int:
         """Exact in-memory mirror of the distributed semi-naive tail:
         closure(window ∪ schema) minus asserted = the new inferences; window
         triples retract their inference-graph shadow. Same commit shape and
@@ -881,9 +881,9 @@ class GraphStore:
         from .operators.reasoner import rdfs_closure_local
 
         window_t = {(r.subj, r.pred, r.obj) for r in wrows}
-        asserted = {(r.subj, r.pred, r.obj) for r in srows
-                    if r.prov is None or r.prov != graph}
-        old_inf = {(r.subj, r.pred, r.obj) for r in srows if r.prov == graph}
+        asserted = {(s, p, o) for s, p, o, prov in squads
+                    if prov is None or prov != graph}
+        old_inf = {(s, p, o) for s, p, o, prov in squads if prov == graph}
         schema = {(s, p, o) for s, p, o in asserted
                   if p in self._SCHEMA_PREDS}
         derived = rdfs_closure_local(window_t | schema) - asserted
@@ -905,16 +905,38 @@ class GraphStore:
             delta, seq + 1, "rdfs-entail",
             extra={"entail_mode": "incremental", "entail_graph": graph})
 
-    def _entail_local(self, rows: list, graph: str, profile: str) -> int:
+    def _collect_merged(self, cap: int) -> list | None:
+        """The merged quad-set view collected driver-side WITHOUT read()'s
+        groupBy shuffle: raw delta rows stream to the driver and max_by
+        merges in a dict (each commit batch is a quad-set and d/a batches
+        carry distinct seqs, so the max seq per quad is unique). Returns
+        [(subj, pred, obj, prov), ...] or None when the RAW log exceeds
+        ``cap`` rows — a stricter bound than the merged size, so the only
+        effect of long delete histories is an earlier fall-back to the
+        distributed plan."""
+        raw = self.tbl.read(self.spark)
+        rows = raw.limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        best: dict = {}
+        for r in rows:
+            q = (r.subj, r.pred, r.obj, r.prov)
+            seq = r["__seq"]
+            cur = best.get(q)
+            if cur is None or seq > cur[0]:
+                best[q] = (seq, r["__op"])
+        return [q for q, (_, op) in best.items() if op == "a"]
+
+    def _entail_local(self, quads: list, graph: str, profile: str) -> int:
         """Exact in-memory mirror of the distributed entail() tail over the
         collected merged view: asserted = every non-inference quad, closure
         via the reasoner's local twin, delta = (stale inferences as 'd'
         rows, new inferences as 'a' rows)."""
         from .operators.reasoner import owl_closure_local, rdfs_closure_local
 
-        asserted = {(r.subj, r.pred, r.obj) for r in rows
-                    if r.prov is None or r.prov != graph}
-        old_inf = {(r.subj, r.pred, r.obj) for r in rows if r.prov == graph}
+        asserted = {(s, p, o) for s, p, o, prov in quads
+                    if prov is None or prov != graph}
+        old_inf = {(s, p, o) for s, p, o, prov in quads if prov == graph}
         close = rdfs_closure_local if profile == "rdfs" else owl_closure_local
         derived = close(asserted) - asserted
         dels = sorted(old_inf - derived)
@@ -983,10 +1005,10 @@ class GraphStore:
                     for r in wrows)
                 if unsound_local:
                     return None
-                srows = self.read().limit(driver_fast_max + 1).collect()
-                if len(srows) <= driver_fast_max:
+                squads = self._collect_merged(driver_fast_max)
+                if squads is not None:
                     return self._entail_incremental_local(
-                        graph, wrows, srows)
+                        graph, wrows, squads)
                 # store over cap: fall through to the distributed plan
         window = window.localCheckpoint(eager=True)
         unsound = window.filter(
